@@ -1,0 +1,69 @@
+package graft.approach
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Airport, Approach, FlightSample, Thresholds}
+
+/** Distributed wrapper of [[ApproachDetector]] — the engine's flagship
+  * custom operator (SURVEY.md §2.5, §2.10): behaves like a UDTF, one
+  * flight group in, N approach rows out.
+  *
+  * Physical strategy: exactly ONE shuffle. `repartition(flight)` +
+  * `sortWithinPartitions(flight, time)` gives each partition a stream
+  * of whole flights in time order (secondary sort); `mapPartitions`
+  * then walks runs of equal flight ids. We deliberately do NOT use
+  * `groupByKey(_.flight).flatMapGroups` — its lambda key is opaque to
+  * Catalyst, so it would add a second full shuffle of the samples and
+  * would not preserve the time order established here.
+  *
+  * The airport dimension is broadcast (reference reaches it via
+  * fork copy-on-write, main.py:43,136); each task builds one shared
+  * [[AirportIndex]]. Per-flight sample vectors are materialized
+  * (bounded: hours of 1 Hz data = <100k samples per flight), matching
+  * the reference's per-flight list (main.py:87-97).
+  */
+object ApproachPipeline {
+
+  def detectApproaches(
+      samples: Dataset[FlightSample],
+      airports: Array[Airport],
+      th: Thresholds = Thresholds()
+  ): Dataset[Approach] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val bAirports = spark.sparkContext.broadcast(airports)
+
+    samples
+      .repartition(col("flight"))
+      .sortWithinPartitions(col("flight"), col("time"))
+      .mapPartitions { it =>
+        val detector = new ApproachDetector(new AirportIndex(bAirports.value), th)
+        groupedRuns(it)(_.flight).flatMap { case (fid, data) =>
+          detector.detect(fid, data)
+        }
+      }
+  }
+
+  /** 18-column DataFrame matching the reference's `approaches` sink
+    * (FlightAnalysis.py:22-26) — drops the in-memory intervals list.
+    */
+  def approachesTable(approaches: Dataset[Approach]): DataFrame =
+    approaches.drop("unstable_intervals")
+
+  /** Lazily groups a sorted iterator into (key, run) pairs without
+    * reading past each run's end until it is consumed.
+    */
+  private[approach] def groupedRuns[T, K](it: Iterator[T])(key: T => K)
+      : Iterator[(K, IndexedSeq[T])] =
+    new Iterator[(K, IndexedSeq[T])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (K, IndexedSeq[T]) = {
+        val k = key(buf.head)
+        val run = scala.collection.mutable.ArrayBuffer.empty[T]
+        while (buf.hasNext && key(buf.head) == k) run += buf.next()
+        (k, run.toIndexedSeq)
+      }
+    }
+}

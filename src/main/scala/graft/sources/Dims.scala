@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Airport, Runway}
+
+/** Dimension loaders (reference main.py:163-183) and a deterministic
+  * synthetic airport grid for the testdata-driven pipeline.
+  *
+  * The reference loads two CSVs positionally with a naive
+  * `line.split(',')` (main.py:172,180); we use Spark's CSV source with
+  * explicit schemas (no inference in production paths) and fix the
+  * `row[6]`-is-latitude elevation bug (main.py:181, SURVEY.md §1.3).
+  */
+object Dims {
+
+  /** Schema of data/Airports.csv (reference main.py:168-174). */
+  val airportsCsvSchema: StructType = StructType(Seq(
+    StructField("code", StringType),
+    StructField("name", StringType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("elevation_ft", DoubleType),
+    StructField("tower_freq", StringType)
+  ))
+
+  /** Columns our engine uses from data/AirportsDetailed.csv
+    * (reference main.py:176-182): indices 2, 8, 10, 11, 12, 25, 26 of
+    * the 27-column file. Loaded positionally like the reference, but
+    * with the *correct* elevation column (8, not 6).
+    */
+  def loadAirportsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(airportsCsvSchema).csv(path)
+
+  def loadRunwaysCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val c = raw.columns
+    raw.select(
+      col(c(2)).as("airportCode"),
+      col(c(10)).as("runwayCode"),
+      col(c(11)).cast(DoubleType).as("magHeading"),
+      col(c(12)).cast(DoubleType).as("trueHeading"),
+      col(c(25)).cast(DoubleType).as("lat"),
+      col(c(26)).cast(DoubleType).as("lon"),
+      col(c(8)).cast(DoubleType).as("elevationFt")
+    )
+  }
+
+  /** Rebuild the reference's nested Airport->runways association
+    * (main.py:182) relationally: broadcast hash join + collect_list.
+    */
+  def airportsWithRunways(airports: DataFrame, runways: DataFrame): DataFrame =
+    airports
+      .join(
+        broadcast(
+          runways.groupBy(col("airportCode"))
+            .agg(collect_list(struct(
+              col("airportCode"), col("runwayCode"), col("magHeading"),
+              col("trueHeading"), col("lat"), col("lon"), col("elevationFt")
+            )).as("runways"))),
+        airports("code") === runways("airportCode"),
+        "left"
+      )
+      .drop("airportCode")
+
+  /** Deterministic synthetic airport grid used by the testdata flight
+    * pipeline: `n` airports 1 degree apart on the lat/lon diagonal,
+    * each with reciprocal runways 09/27 at the field center.
+    */
+  def syntheticAirports(n: Int = 8): Array[Airport] =
+    (0 until n).map { k =>
+      val lat = 40.0 + k
+      val lon = -100.0 + k
+      val alt = 800.0 + 25 * k
+      val code = f"AP$k%02d"
+      Airport(
+        code = code,
+        name = s"Synthetic $code",
+        city = s"City$k",
+        state = "ND",
+        lat = lat,
+        lon = lon,
+        alt = alt,
+        runways = Seq(
+          Runway(code, "09", 90.0, 90.0, lat, lon, alt),
+          Runway(code, "27", 270.0, 270.0, lat, lon, alt)
+        )
+      )
+    }.toArray
+}
