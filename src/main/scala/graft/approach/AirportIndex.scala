@@ -29,13 +29,15 @@ final class AirportIndex(val airports: Array[Airport], cellDeg: Double = 2.0)
   private def cellOf(lat: Double, lon: Double): (Int, Int) =
     (math.floor(lat / cellDeg).toInt, math.floor(lon / cellDeg).toInt)
 
-  private val maxRing: Int = {
-    if (airports.isEmpty) 0
+  // Occupied-cell bounding box; the per-query ring bound is the
+  // Chebyshev distance from the query cell to the farthest bbox corner
+  // (covers every occupied cell even when the query lies far outside
+  // the grid — the round-1 span-based bound crashed on such points).
+  private val (minR, maxR, minC, maxC): (Int, Int, Int, Int) = {
+    if (cells.isEmpty) (0, 0, 0, 0)
     else {
       val ks = cells.keys
-      val latSpan = ks.map(_._1).max - ks.map(_._1).min
-      val lonSpan = ks.map(_._2).max - ks.map(_._2).min
-      math.max(latSpan, lonSpan) + 1
+      (ks.map(_._1).min, ks.map(_._1).max, ks.map(_._2).min, ks.map(_._2).max)
     }
   }
 
@@ -47,6 +49,10 @@ final class AirportIndex(val airports: Array[Airport], cellDeg: Double = 2.0)
   def nearest(lat: Double, lon: Double): Airport = {
     require(airports.nonEmpty, "empty airport index")
     val (cr, cc) = cellOf(lat, lon)
+    // Last ring that can contain an occupied cell, from THIS query cell.
+    val maxRing = math.max(
+      math.max(math.abs(cr - minR), math.abs(maxR - cr)),
+      math.max(math.abs(cc - minC), math.abs(maxC - cc)))
     var bestIdx = -1
     var bestDist = Double.MaxValue
     var ring = 0
@@ -74,10 +80,13 @@ final class AirportIndex(val airports: Array[Airport], cellDeg: Double = 2.0)
         }
         dr += 1
       }
-      if (bestIdx >= 0 && bestDist <= ring * cellDeg) done = true
+      // Strict '<': a point in ring k+1 has L1 >= k*cellDeg, so stopping
+      // only when bestDist < ring*cellDeg also rules out exact ties in
+      // unexplored rings (preserves the documented lowest-index tie order).
+      if (bestIdx >= 0 && bestDist < ring * cellDeg) done = true
       ring += 1
     }
-    airports(bestIdx)
+    if (bestIdx < 0) nearestBrute(lat, lon) else airports(bestIdx)
   }
 
   /** Brute-force argmin — the reference's algorithm verbatim; used to

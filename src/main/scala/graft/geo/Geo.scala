@@ -50,7 +50,10 @@ object Geo {
 
   def vUnit(a: Column): Column = {
     val n = vLength(a)
-    vec(vx(a) / n, vy(a) / n, vz(a) / n)
+    // No-op on zero/unit length like GeoS.Vec.unit (and the reference
+    // Vector3d.unit) so degenerate inputs give (0,0,0), not NaN.
+    when(n === lit(0d) || n === lit(1d), a)
+      .otherwise(vec(vx(a) / n, vy(a) / n, vz(a) / n))
   }
 
   /** Unsigned angle between two vectors (reference Vector3d.py:155-172). */

@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geo.Geo
+
+/** Relational query inventory over the driver testdata (TESTDATA.md).
+  *
+  * Completes the reference's operator surface (SURVEY.md §2.3 note,
+  * §2.6-2.7) with the standard relational ops the reference never
+  * needed: equi/broadcast/sort-merge/semi/anti joins, hash aggregates,
+  * grouping sets, window ranking + frames, gaps-and-islands, sorts /
+  * limits / top-k, set operations, and the geodesy scalar library
+  * (§2.8) expressed relationally so DuckDB can oracle it.
+  *
+  * Cross-engine exactness rules (every query is hash-compared against
+  * DuckDB at sf0.01):
+  *   - money doubles (2-dec) are summed as integer cents
+  *     (`round(x*100) :: long`) — order-independent, bit-exact;
+  *   - `l_quantity` is integer-valued, so double sums/avgs are exact;
+  *   - trig outputs are rounded to 4 decimals (libm last-ulp slack);
+  *   - every query ends in a total ORDER BY so row order is
+  *     deterministic in both engines.
+  */
+object Relational {
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with its TIMESTAMP(NANOS) column normalized to a
+    * Spark µs timestamp. Spark has no ns timestamp type: the parquet
+    * reader rejects NANOS unless `nanosAsLong` is set, so read ns as
+    * long and truncate with integer division (`DIV`, not `/` — double
+    * division loses µs precision at 1.7e18 ns). Matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` ns->µs truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** 2-decimal money double -> exact integer cents. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** 4-decimal double -> exact integer e4 units. */
+  def e4(c: Column): Column = round(c * 10000, 0).cast("long")
+
+  /** 6-decimal double -> exact integer e6 units. */
+  def e6(c: Column): Column = round(c * 1000000, 0).cast("long")
+
+  // ---- q01: pricing summary (hash agg; filter pushdown; TPC-H Q1 shape) ----
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(e4(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+          .as("sum_disc_e4"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_cents,
+      |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS sum_disc_e4,
+      |  avg(l_quantity) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q02: projection + filter (parquet pushdown / column pruning) ----
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 48 &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_quantity >= 48
+      |  AND l_shipdate >= TIMESTAMP '2000-01-01'
+      |  AND l_shipdate < TIMESTAMP '2001-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q03: 3-way equi join + agg + top-k (TPC-H Q3 shape) ----
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = tbl(spark, dir, "orders")
+    val l = tbl(spark, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(e4(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey,
+      |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS revenue_e4
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue_e4 DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---- q04: broadcast hash join (small dim) ----
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .join(broadcast(tbl(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val q04Sql: String =
+    """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---- q05: sort-merge join (hinted; big-big) ----
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders").hint("merge")
+      .join(tbl(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+      .orderBy(col("o_orderstatus"))
+
+  val q05Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_lines,
+      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q06: left-semi join (EXISTS) ----
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .join(tbl(spark, dir, "lineitem").filter(col("l_quantity") === 50),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q06Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity = 50)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q07: left-anti join (NOT EXISTS) ----
+  // Customers with no order since 2001 (unrestricted anti join is
+  // vacuous on this data — every customer has some order).
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .join(tbl(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"), min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("c_mktsegment"))
+
+  val q07Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_custs, min(c_custkey) AS min_custkey
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q08: rollup / grouping sets ----
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val r = tbl(spark, dir, "region")
+    val n = tbl(spark, dir, "nation")
+    val c = tbl(spark, dir, "customer")
+    r.join(n, col("r_regionkey") === col("n_regionkey"))
+      .join(c, col("n_nationkey") === col("c_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(cents(col("c_acctbal"))).as("sum_bal_cents"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_custs"), col("sum_bal_cents"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q08Sql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_custs,
+      |  sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS sum_bal_cents
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // ---- q09: window ranking (top-3 per group) ----
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    tbl(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_mktsegment, rn, c_custkey, CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ---- q10: window frame (rolling 5-row mean — A3 as SQL) ----
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-4, 0)
+    tbl(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("roll_sum"),
+        avg(col("l_quantity")).over(w).as("roll_avg"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q10Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  sum(l_quantity) OVER w AS roll_sum,
+      |  avg(l_quantity) OVER w AS roll_avg
+      |FROM lineitem
+      |WHERE l_suppkey <= 10
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q11: gaps-and-islands sessionization (W5 as SQL) ----
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q11Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  max(n_events) AS max_session_events, sum(n_events) AS n_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q12: sort / limit / top-k ----
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        cents(col("p_retailprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("p_partkey"))
+      .limit(10)
+
+  val q12Sql: String =
+    """SELECT p_partkey, p_brand, CAST(round(p_retailprice*100, 0) AS BIGINT) AS price_cents
+      |FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10""".stripMargin
+
+  // ---- q13: set operations ----
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cn = tbl(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nk")).distinct()
+    val sn = tbl(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nk")).distinct()
+    val u = cn.union(sn).distinct().select(lit("union").as("op"), col("nk"))
+    val i = cn.intersect(sn).select(lit("intersect").as("op"), col("nk"))
+    val e = cn.except(sn).select(lit("except").as("op"), col("nk"))
+    u.union(i).union(e).orderBy(col("op"), col("nk"))
+  }
+
+  val q13Sql: String =
+    """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer),
+      |     sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)
+      |SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+      |UNION ALL
+      |SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      |UNION ALL
+      |SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      |ORDER BY op, nk""".stripMargin
+
+  // ---- q14: distinct aggregates ----
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_custs"))
+      .orderBy(col("nationkey"))
+
+  val q14Sql: String =
+    """SELECT CAST(c_nationkey AS INT) AS nationkey,
+      |  count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_custs
+      |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  // ---- q15: tumbling-window (hourly) event aggregation — batch twin of
+  //      the Structured Streaming query (SURVEY.md §2.9) ----
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(e6(col("value"))).as("sum_value_e6"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val q15Sql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(round(value*1000000, 0) AS BIGINT)) AS sum_value_e6,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---- q16: geodesy scalar library as SQL (G1, G4, G8 — SURVEY §2.8) ----
+  // Synthetic points derived from customer keys; DuckDB oracle carries
+  // the same closed-form n-vector trig. Rounded to 4 decimals (libm).
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val lat1 = (k % 120) - lit(60) + lit(0.25)
+    val lon1 = ((k * 7) % 300) - lit(150) + lit(0.5)
+    val h1 = (k % 360).cast("double")
+    val h2 = ((k * 13) % 360).cast("double")
+    tbl(spark, dir, "customer")
+      .select(
+        k.as("c_custkey"),
+        round(Geo.distanceTo(lat1, lon1, lit(40.6892), lit(-74.0445),
+          lit(3959d)), 4).as("dist_mi"),
+        Geo.headingDifference(h1, h2).as("hdg_diff"),
+        round(Geo.crossTrackDistanceTo(lat1, lon1, lit(40.6892),
+          lit(-74.0445), lit(45d), lit(20900000d)), 2).as("xtrack_ft"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // Same n-vector formulas in DuckDB SQL (reference LatLon.py:95-117,
+  // 196-231 semantics; see graft.geo.Geo).
+  val q16Sql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 120) - 60 + 0.25 AS lat1, ((c_custkey*7) % 300) - 150 + 0.5 AS lon1,
+      |    CAST(c_custkey % 360 AS DOUBLE) AS h1, CAST((c_custkey*13) % 360 AS DOUBLE) AS h2,
+      |    radians((c_custkey % 120) - 60 + 0.25) AS rlat1, radians(((c_custkey*7) % 300) - 150 + 0.5) AS rlon1,
+      |    radians(40.6892) AS rlat2, radians(-74.0445) AS rlon2, radians(45.0) AS brg
+      |  FROM customer
+      |), vecs AS (
+      |  SELECT c_custkey, h1, h2,
+      |    cos(rlat1)*cos(rlon1) AS ax, cos(rlat1)*sin(rlon1) AS ay, sin(rlat1) AS az,
+      |    cos(rlat2)*cos(rlon2) AS bx, cos(rlat2)*sin(rlon2) AS by, sin(rlat2) AS bz,
+      |    sin(rlon2)*cos(brg) - sin(rlat2)*cos(rlon2)*sin(brg) AS gx,
+      |    -cos(rlon2)*cos(brg) - sin(rlat2)*sin(rlon2)*sin(brg) AS gy,
+      |    cos(rlat2)*sin(brg) AS gz
+      |  FROM pts
+      |), d AS (
+      |  SELECT c_custkey, h1, h2, ax, ay, az, gx, gy, gz,
+      |    atan2(sqrt(pow(ay*bz-az*by,2)+pow(az*bx-ax*bz,2)+pow(ax*by-ay*bx,2)),
+      |          ax*bx+ay*by+az*bz) * 3959 AS dist_mi
+      |  FROM vecs
+      |), xt AS (
+      |  SELECT c_custkey, h1, h2, dist_mi,
+      |    -- angleTo(gc, p) signed by (p x gc): atan2(±|gc x p|, gc.p)
+      |    atan2(sqrt(pow(gy*az-gz*ay,2)+pow(gz*ax-gx*az,2)+pow(gx*ay-gy*ax,2)) *
+      |            (CASE WHEN (gy*az-gz*ay)*(ay*gz-az*gy)
+      |                     + (gz*ax-gx*az)*(az*gx-ax*gz)
+      |                     + (gx*ay-gy*ax)*(ax*gy-ay*gx) < 0 THEN -1 ELSE 1 END),
+      |          gx*ax+gy*ay+gz*az) AS alpha0
+      |  FROM d
+      |)
+      |SELECT c_custkey,
+      |  round(dist_mi, 4) AS dist_mi,
+      |  180 - abs(abs(h1 - h2) - 180) AS hdg_diff,
+      |  round((CASE WHEN alpha0 < 0 THEN -pi()/2 - alpha0 ELSE pi()/2 - alpha0 END) * 20900000, 2) AS xtrack_ft
+      |FROM xt ORDER BY c_custkey""".stripMargin
+
+  // ---- q17: work-list anti join (S1/J5 — main.py:27,128-132) ----
+  // "done" flights = user_id % 3 == 0; pending = all \ done.
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val all = tbl(spark, dir, "events").select(col("user_id")).distinct()
+    val done = all.filter(col("user_id") % 3 === 0)
+    all.join(done, Seq("user_id"), "left_anti")
+      .orderBy(col("user_id"))
+  }
+
+  val q17Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events),
+      |     done AS (SELECT user_id FROM a WHERE user_id % 3 = 0)
+      |SELECT user_id FROM a
+      |WHERE NOT EXISTS (SELECT 1 FROM done d WHERE d.user_id = a.user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q18: flight -> aircraft-type broadcast equi join (J4/S2) ----
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("aircraft_type",
+        element_at(array(lit("C172"), lit("PA28"), lit("SR20"), lit("BE36")),
+          (col("user_id") % 4 + 1).cast("int")))
+    ev.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("aircraft_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_flights"))
+      .orderBy(col("aircraft_type"))
+  }
+
+  val q18Sql: String =
+    """WITH dim AS (
+      |  SELECT user_id, ['C172','PA28','SR20','BE36'][CAST(user_id % 4 AS INT) + 1] AS aircraft_type
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |)
+      |SELECT aircraft_type, count(*) AS n_events, count(DISTINCT e.user_id) AS n_flights
+      |FROM events e JOIN dim USING (user_id)
+      |GROUP BY 1 ORDER BY aircraft_type""".stripMargin
+
+  // ---- q19: NULL-row filter (F2 — main.py:92-96) ----
+  // Inject NULLs (value < 100 -> NULL) then na.drop("any"), proving the
+  // reference's drop-any-null semantics relationally.
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("value", when(col("value") < 100, lit(null)).otherwise(col("value")))
+      .na.drop("any")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(e6(col("value"))).as("sum_value_e6"))
+      .orderBy(col("event_type"))
+
+  val q19Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(round(value*1000000, 0) AS BIGINT)) AS sum_value_e6
+      |FROM events
+      |WHERE value >= 100 AND event_id IS NOT NULL AND ts IS NOT NULL
+      |  AND user_id IS NOT NULL AND event_type IS NOT NULL AND props IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** All relational queries, keyed as registered in SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join3_topk" -> (q03 _),
+    "q04_broadcast_join" -> (q04 _),
+    "q05_sortmerge_join" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_rollup" -> (q08 _),
+    "q09_window_rank" -> (q09 _),
+    "q10_window_frame" -> (q10 _),
+    "q11_sessionize" -> (q11 _),
+    "q12_topk" -> (q12 _),
+    "q13_setops" -> (q13 _),
+    "q14_distinct_agg" -> (q14 _),
+    "q15_hourly_window" -> (q15 _),
+    "q16_geodesy" -> (q16 _),
+    "q17_worklist_anti" -> (q17 _),
+    "q18_aircraft_join" -> (q18 _),
+    "q19_nulldrop" -> (q19 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join3_topk" -> q03Sql,
+    "q04_broadcast_join" -> q04Sql,
+    "q05_sortmerge_join" -> q05Sql,
+    "q06_semi_join" -> q06Sql,
+    "q07_anti_join" -> q07Sql,
+    "q08_rollup" -> q08Sql,
+    "q09_window_rank" -> q09Sql,
+    "q10_window_frame" -> q10Sql,
+    "q11_sessionize" -> q11Sql,
+    "q12_topk" -> q12Sql,
+    "q13_setops" -> q13Sql,
+    "q14_distinct_agg" -> q14Sql,
+    "q15_hourly_window" -> q15Sql,
+    "q16_geodesy" -> q16Sql,
+    "q17_worklist_anti" -> q17Sql,
+    "q18_aircraft_join" -> q18Sql,
+    "q19_nulldrop" -> q19Sql
+  )
+}

@@ -52,20 +52,41 @@ object Dims {
 
   /** Rebuild the reference's nested Airport->runways association
     * (main.py:182) relationally: broadcast hash join + collect_list.
+    * Output is shaped exactly like the [[Airport]] case class (airports
+    * without runways get an empty list, as the reference does — never
+    * null), so `.as[Airport]` works directly.
     */
-  def airportsWithRunways(airports: DataFrame, runways: DataFrame): DataFrame =
+  def airportsWithRunways(airports: DataFrame, runways: DataFrame): DataFrame = {
+    val nested = runways.groupBy(col("airportCode"))
+      .agg(collect_list(struct(
+        col("airportCode"), col("runwayCode"), col("magHeading"),
+        col("trueHeading"), col("lat"), col("lon"), col("elevationFt")
+      )).as("runways"))
     airports
-      .join(
-        broadcast(
-          runways.groupBy(col("airportCode"))
-            .agg(collect_list(struct(
-              col("airportCode"), col("runwayCode"), col("magHeading"),
-              col("trueHeading"), col("lat"), col("lon"), col("elevationFt")
-            )).as("runways"))),
-        airports("code") === runways("airportCode"),
-        "left"
+      .join(broadcast(nested), airports("code") === nested("airportCode"), "left")
+      .select(
+        airports("code"),
+        airports("name"),
+        airports("city"),
+        airports("state"),
+        airports("latitude").as("lat"),
+        airports("longitude").as("lon"),
+        airports("elevation_ft").as("alt"),
+        coalesce(nested("runways"), typedLit(Seq.empty[Runway])).as("runways")
       )
-      .drop("airportCode")
+  }
+
+  /** The reference's full airport dimension from its two CSVs
+    * (main.py:163-183): 15,165 airports, 164 runway rows.
+    */
+  def referenceAirports(spark: SparkSession,
+      dir: String = "/root/reference/data"): Array[Airport] = {
+    import spark.implicits._
+    airportsWithRunways(
+      loadAirportsCsv(spark, s"$dir/Airports.csv"),
+      loadRunwaysCsv(spark, s"$dir/AirportsDetailed.csv")
+    ).na.drop(Seq("lat", "lon", "alt")).as[Airport].collect()
+  }
 
   /** Deterministic synthetic airport grid used by the testdata flight
     * pipeline: `n` airports 1 degree apart on the lat/lon diagonal,

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only; the
+shipped library is pure Scala/Spark).
+
+Usage:
+  python3 tools/check.py [sfDir] [outDir] [--skip-verify]
+
+1. sbt runMain graft.Verify <sfDir> <outDir>   (unless --skip-verify)
+2. for each query dir in outDir: read its parquet, run the matching
+   oracle_sql.json entry in DuckDB over the sfDir tables,
+   sort columns by name + rows by all columns, compare cell-by-cell.
+Reports exact mismatches and float near-misses separately.
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify(sf_dir, out_dir):
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit(f"Verify failed rc={r.returncode}")
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(norm(col[i]) for col in data) for i in range(tbl.num_rows)]
+    return cols, rows
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    if "--skip-verify" not in sys.argv:
+        run_verify(sf_dir, out_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    results = {}
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        spark_tbl = pq.read_table(qdir)
+        scols, srows = table_rows(spark_tbl)
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(srows)}"
+            continue
+        try:
+            dtbl = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        dcols, drows = table_rows(dtbl)
+        if scols != dcols:
+            results[name] = f"SCHEMA-MISMATCH spark={scols} duck={dcols}"
+            continue
+        srows_s, drows_s = sorted(srows, key=repr), sorted(drows, key=repr)
+        if len(srows_s) != len(drows_s):
+            results[name] = f"ROWCOUNT spark={len(srows_s)} duck={len(drows_s)}"
+            continue
+        exact = srows_s == drows_s
+        if exact:
+            results[name] = f"OK rows={len(srows)} (exact)"
+            continue
+        # find first differing cell
+        diff = None
+        near = True
+        for i, (a, b) in enumerate(zip(srows_s, drows_s)):
+            if a != b:
+                for j, (x, y) in enumerate(zip(a, b)):
+                    if x != y:
+                        if isinstance(x, float) and isinstance(y, float) \
+                                and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                            continue
+                        near = False
+                        if diff is None:
+                            diff = (i, scols[j], x, y)
+        if near:
+            results[name] = f"FLOAT-NEAR rows={len(srows)} (within 1e-9; may still hash-mismatch!)"
+        else:
+            results[name] = f"MISMATCH first diff row={diff[0]} col={diff[1]} spark={diff[2]!r} duck={diff[3]!r}"
+
+    width = max(len(k) for k in results)
+    n_ok = 0
+    for k in sorted(results):
+        print(f"{k:<{width}}  {results[k]}")
+        if results[k].startswith(("OK", "NO-ORACLE")):
+            n_ok += 1
+    print(f"\n{n_ok}/{len(results)} green")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
