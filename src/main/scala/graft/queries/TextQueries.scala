@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** LLM-training-data pipeline queries over the `documents` table
+  * (SURVEY.md §2.11): exact dedup, MinHash-LSH near-dup, SimHash,
+  * n-gram-Jaccard near-dup, language ID, quality scoring, token
+  * counting, fingerprinting. Every signature is md5-based so DuckDB
+  * reproduces it bit-identically — the oracle checks the *whole*
+  * pipeline (shingling, hashing, banding, pairing), not a projection.
+  *
+  * Near-dup queries plant their own positives: perturbed copies
+  * (doc_id + 1,000,000, last 3 tokens dropped) of every 7th document,
+  * constructed identically in both engines, so the pair-generation
+  * path provably fires even when the corpus has no organic dups.
+  */
+object TextQueries {
+
+  import Relational.tbl
+  import TextOps._
+
+  private val toks = tokens(col("text"))
+
+  /** documents ∪ planted exact copies of every 10th doc. */
+  private def withExactCopies(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val exactCopiesSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** documents ∪ planted near-copies (last 3 tokens dropped) of every
+    * 7th doc with > 10 tokens.
+    */
+  private def withNearCopies(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.union(d
+      .filter(col("doc_id") % 7 === 0 && size(toks) > 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text")))
+  }
+
+  // ---- q30: exact deduplication (hash-groupBy on the text digest) ----
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    withExactCopies(tbl(spark, dir, "documents"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).cast("long").as("n_copies"))
+      .orderBy(col("keeper"))
+
+  val q30Sql: String =
+    s"""WITH docs AS (
+       |  $exactCopiesSql
+       |)
+       |SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+       |FROM docs GROUP BY text ORDER BY keeper""".stripMargin
+
+  // ---- q31: MinHash + LSH near-duplicate detection ----
+  // shingle(3-word) -> minhash(k=8, md5 family) -> 4 bands x 2 rows ->
+  // bucket join on band key -> exact-Jaccard confirm >= 0.5.
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+      .withColumn("sh", wordShingles(toks))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.select(
+      (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+    pairs
+      .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jac") * 10000).cast("long").as("jaccard_e4"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def mhSql(i: Int) =
+    s"list_min(list_transform(sh, s -> md5('$i|' || s)))"
+
+  val q31Sql: String = {
+    val bands = (0 until 4).map { b =>
+      s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS b$b"
+    }.mkString(",\n    ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM docs)
+       |), sig AS (
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
+       |  FROM sh WHERE len(sh) > 0
+       |), banded AS (
+       |  SELECT doc_id, sh, $bands
+       |  FROM sig
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(round(10000.0 * len(list_intersect(a.sh, b.sh)) /
+       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 0) AS BIGINT)
+       |    AS jaccard_e4
+       |FROM banded a JOIN banded b
+       |  ON a.doc_id < b.doc_id
+       | AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+       |WHERE 1.0 * len(list_intersect(a.sh, b.sh)) /
+       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- q32: 16-bit SimHash signatures ----
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), simHash16(toks).cast("int").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q32Sql: String = {
+    val nib = (p: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $p, 1)) - 1)"
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN sum(CASE WHEN (tv >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" +\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id,
+       |    ${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS tv
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST($bits AS INT) AS simhash
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q33: n-gram-Jaccard near-dup via inverted shingle index ----
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(withNearCopies(tbl(spark, dir, "documents")), 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q33Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM docs)
+      |), inv AS (
+      |  SELECT doc_id, len(sh) AS n_sh, unnest(list_transform(sh, s -> md5(s))) AS s
+      |  FROM sh
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+      |    count(*) AS common
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT id_a, id_b, common,
+      |  CAST(round(10000.0 * common / (na + nb - common), 0) AS BIGINT) AS jaccard_e4
+      |FROM pairs
+      |WHERE 1.0 * common / (na + nb - common) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q34: language-ID heuristic — confusion matrix vs labels ----
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("lang"), languageId(toks).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val q34Sql: String = {
+    val hits = langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS ${lang}_hits"
+    }.mkString(",\n    ")
+    val langs = langProfiles.map(_._1)
+    // first max in lexicographic lang order (matches TextOps.languageId)
+    val pred = langs.map { l =>
+      val later = langs.filter(_ > l)
+      val geLater =
+        if (later.isEmpty) "TRUE"
+        else later.map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+      val gtEarlier = langs.filter(_ < l).map(o => s"${l}_hits > ${o}_hits")
+      val cond = (Seq(geLater) ++ Seq(
+        if (gtEarlier.isEmpty) "TRUE" else gtEarlier.mkString(" AND ")))
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    $hits
+       |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(${langs.map(_ + "_hits").mkString(",")}) = 0 THEN 'und'
+       |      $pred
+       |      END AS predicted
+       |  FROM s
+       |)
+       |SELECT lang, predicted, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---- q35: quality scoring (length / token / stopword metrics) ----
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = langHits(toks, langProfiles.toMap.apply("en")).cast("long")
+    tbl(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        floor(sumLen * 100 / nTok).cast("long").as("avg_tok_len_e2"),
+        floor(stopHits * 10000 / nTok).cast("long").as("stop_ratio_e4"),
+        least(lit(10000L),
+          floor(sumLen * 100 / nTok) * 10 + floor(stopHits * 10000 / nTok))
+          .cast("long").as("quality_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q35Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_chars,
+      |    len(toks) AS n_tokens,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+      |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS stop_hits
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  sum_len * 100 // n_tokens AS avg_tok_len_e2,
+      |  stop_hits * 10000 // n_tokens AS stop_ratio_e4,
+      |  least(10000, (sum_len * 100 // n_tokens) * 10
+      |    + stop_hits * 10000 // n_tokens) AS quality_e4
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- q36: token counting (whitespace + BPE-ish regex) ----
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("ws_tokens"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val q36Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q37: document fingerprint (min rolling char-8-gram hash) ----
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val grams = when(length(col("text")) < 8, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => md5(col("text").substr(i, lit(8)))))
+    tbl(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_min(grams).as("fingerprint"),
+        size(array_distinct(grams)).cast("long").as("n_distinct_8grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(range(1, length(text) - 6),
+      |    i -> md5(substr(text, i, 8)))) AS fingerprint,
+      |  CAST(len(list_distinct(list_transform(range(1, length(text) - 6),
+      |    i -> md5(substr(text, i, 8))))) AS BIGINT) AS n_distinct_8grams
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> (q30 _),
+    "q31_minhash_lsh" -> (q31 _),
+    "q32_simhash" -> (q32 _),
+    "q33_jaccard_pairs" -> (q33 _),
+    "q34_langid" -> (q34 _),
+    "q35_quality" -> (q35 _),
+    "q36_tokens" -> (q36 _),
+    "q37_fingerprint" -> (q37 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" -> q30Sql,
+    "q31_minhash_lsh" -> q31Sql,
+    "q32_simhash" -> q32Sql,
+    "q33_jaccard_pairs" -> q33Sql,
+    "q34_langid" -> q34Sql,
+    "q35_quality" -> q35Sql,
+    "q36_tokens" -> q36Sql,
+    "q37_fingerprint" -> q37Sql
+  )
+}

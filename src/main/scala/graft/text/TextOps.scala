@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operator library for large-scale training-data
+  * curation over a `documents(doc_id, text, ...)` table: exact and
+  * near deduplication (MinHash + LSH, SimHash, n-gram Jaccard),
+  * language identification, quality scoring, token counting, and
+  * document fingerprinting.
+  *
+  * Design rules (100 TB posture):
+  *   - everything is pure `Column` arithmetic over built-ins (md5,
+  *     split, transform, aggregate) — whole-stage codegen'd, no UDFs;
+  *   - near-dup candidate generation is *bucketed* (LSH band keys or
+  *     an inverted shingle index) — never an all-pairs cross join;
+  *   - shuffle keys are fixed-width digests (md5 hex), not raw text;
+  *   - md5 is the cross-engine hash: DuckDB computes bit-identical
+  *     signatures, so every operator here is oracle-checkable.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (lowercased). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word `n`-gram shingles from a token array. */
+  def wordShingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+
+  /** MinHash signature: for seed i, the minimum md5 of `i|shingle`
+    * over the document's shingles — the classic k-hash-function
+    * approximation with md5(seed ‖ s) as the hash family. Fixed-width
+    * hex strings compare lexicographically == numerically, so the
+    * signature is engine-portable (DuckDB computes it bit-identically).
+    */
+  def minHash(shingles: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
+        .as(s"mh$i")
+    }
+
+  /** LSH band keys over a precomputed signature: `bands` bands of
+    * `rows` minhashes, each keyed by the md5 of its slice. Explode
+    * these and bucket-join to generate candidate pairs —
+    * O(collisions), never O(n^2).
+    */
+  def lshBandKeys(sig: Seq[Column], bands: Int, rows: Int): Column = {
+    require(sig.length == bands * rows, "signature length != bands*rows")
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", sig.slice(b * rows, (b + 1) * rows): _*)).as("key"))
+    }: _*)
+  }
+
+  /** 16-bit SimHash over a token array: token hash = first 4 hex chars
+    * of md5 (16 bits); each bit votes +1/-1; signature bit = 1 iff the
+    * vote sum is positive. Width is a parameter of the scheme (64-bit
+    * in production); 16 keeps the cross-engine oracle SQL tractable.
+    */
+  def simHash16(toks: Column): Column = {
+    val tokVal = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("int")
+    (0 until 16).map { j =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(tokVal(t).bitwiseAND(1 << j) =!= 0, 1).otherwise(-1))
+      when(vote > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+  }
+
+  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val common = size(array_intersect(a, b)).cast("double")
+    common / (size(a) + size(b) - common)
+  }
+
+  /** Candidate near-duplicate pairs via an inverted shingle index:
+    * explode shingles, equi-join on the shingle digest, count common
+    * shingles per pair, filter on exact Jaccard. Bucketed by shingle —
+    * no cross join; `maxDf` drops hot shingles (document-frequency
+    * cap, the standard stop-shingle guard against quadratic buckets).
+    */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+      maxDf: Long = 1000000L): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), wordShingles(tokens(col("text"))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .withColumn("s", md5(col("s")))
+    val rare = inv.groupBy("s").count().filter(col("count") <= maxDf).select("s")
+    val pruned = inv.join(rare, "s")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+  }
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "ne", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "不")
+  )
+
+  /** Stopword-hit count for one language profile. */
+  def langHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of profile hits, ties to the
+    * lexicographically first language; 'und' (undetermined) when no
+    * profile scores a hit.
+    */
+  def languageId(toks: Column): Column = {
+    val scored = langProfiles.map { case (lang, ws) =>
+      struct(langHits(toks, ws).as("hits"), lit(lang).as("lang"))
+    }
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits") ||
+        (b.getField("hits") === a.getField("hits") &&
+          b.getField("lang") < a.getField("lang")), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}
