@@ -27,6 +27,9 @@ object FlightGen {
   /** One flight per distinct events.user_id. */
   def flights(spark: SparkSession, sfDir: String): Dataset[FlightSample] = {
     import spark.implicits._
+    // events.ts is TIMESTAMP(NANOS); schema conversion rejects it even
+    // for pruned columns unless nanos are read as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val users = spark.read
       .parquet(s"$sfDir/events.parquet")
       .select(col("user_id").as("flight"))

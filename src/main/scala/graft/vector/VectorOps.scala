@@ -1,0 +1,57 @@
+package graft.vector
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator library over embedding columns
+  * (`array<float>`): exact cosine via codegen'd higher-order array
+  * functions, brute-force top-k as the small-scale baseline, and
+  * signed-random-projection (SRP) LSH bucketing as the 100 TB path —
+  * candidate generation becomes an equi join on the bucket id, never
+  * an all-pairs cross join.
+  *
+  * Determinism rules: all arithmetic is double-precision sequential
+  * folds (`aggregate`), which DuckDB's `list_sum` reproduces
+  * bit-identically (verified empirically), so cosine scores are
+  * oracle-checkable; the SRP hyperplanes are Rademacher ±1 vectors
+  * derived from md5 parity — a fixed, engine-independent matrix that
+  * the oracle SQL embeds as literals.
+  */
+object VectorOps {
+
+  /** `array<float>` -> `array<double>` (exact widening). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic Rademacher hyperplane matrix: sign(p)(i) = +1 iff
+    * the first hex nibble of md5("p:i") is even. Public-recipe SRP —
+    * both engines embed the same literals.
+    */
+  def srpSigns(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        if ((Character.digit(md5hex(s"$p:$i").charAt(0), 16) & 1) == 0) 1.0
+        else -1.0
+      }
+    }
+
+  /** SRP-LSH bucket id (0 .. 2^planes-1) of a double vector. */
+  def srpBucket(v: Column, signs: Seq[Seq[Double]]): Column =
+    signs.zipWithIndex.map { case (plane, p) =>
+      val proj = dot(v, typedLit(plane))
+      when(proj > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+}

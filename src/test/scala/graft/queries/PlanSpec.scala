@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Physical-plan assertions (100 TB posture): near-dup candidate
+  * generation must be bucketed (hash-join on band/bucket/shingle
+  * keys), never a cartesian product; dimension joins must broadcast;
+  * big-big joins must sort-merge; scans must push filters down.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoAllPairs(df: DataFrame, name: String): Unit = {
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"$name materializes a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$name falls back to a nested-loop join")
+  }
+
+  test("q31 MinHash-LSH pair generation is a bucketed equi join") {
+    assertNoAllPairs(TextQueries.q31(spark, dir), "q31")
+  }
+
+  test("q33 inverted-index Jaccard pair generation is a bucketed equi join") {
+    assertNoAllPairs(TextQueries.q33(spark, dir), "q33")
+  }
+
+  test("q42 ANN near-dup pair generation is a bucketed equi join") {
+    assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
+  }
+
+  test("q40 brute-force baseline broadcasts the small query side") {
+    // the deliberate exception: scoring every (query, vector) pair is
+    // the baseline's job — but the big side must NOT shuffle, so the
+    // plan must be a broadcast nested loop, not a cartesian product
+    val p = plan(VectorQueries.q40(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q04 dimension join is a broadcast hash join") {
+    assert(plan(Relational.q04(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q05 big-big join is a sort-merge join") {
+    assert(plan(Relational.q05(spark, dir)).contains("SortMergeJoin"))
+  }
+
+  test("q02 filter reaches the parquet scan (pushdown + pruning)") {
+    val p = plan(Relational.q02(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"expected pushed filters in:\n$p")
+    // column pruning: unreferenced columns must not reach the scan
+    assert(!p.contains("l_extendedprice"), "scan reads pruned column")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string,l_shipdate:timest"))
+  }
+
+  test("flagship approach pipeline has exactly one shuffle") {
+    val p = plan(ApproachQueries.q20(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // one repartition(flight) + the final orderBy's range exchange
+    assert(exchanges <= 2, s"unexpected shuffles in approach pipeline:\n$p")
+  }
+}
