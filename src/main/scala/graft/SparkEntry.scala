@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ApproachQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{ApproachQueries, MultimodalQueries, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ApproachQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ ApproachQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles
+      VectorQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus the Spark-side plumbing a real
+  * decode/feature pipeline needs (schema, partitioning, batch shape).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic fake — `===STUB===` markers below show exactly where
+  * a real decoder (javax.imageio, ffmpeg via mapPartitions, or a
+  * Python `mapInPandas` worker) plugs in. Everything around the stub
+  * is real: a self-describing header in the binary payload, header
+  * parsing with codegen'd binary Column functions (substring / hex /
+  * conv — no UDFs), frame sampling by byte-range slicing, and
+  * md5-derived feature vectors. At 100 TB the payload column stays
+  * opaque (never shuffled whole unless the operator needs it;
+  * metadata-only queries prune it away at the parquet scan).
+  */
+object MultimodalOps {
+
+  /** Big-endian uint16 -> 2-byte binary. */
+  private def u16(v: Column): Column = unhex(lpad(hex(v.cast("int")), 4, "0"))
+
+  /** Parse a big-endian uint16 at byte offset `off` (1-based). */
+  def readU16(bytes: Column, off: Int): Column =
+    conv(hex(substring(bytes, off, 2)), 16, 10).cast("long")
+
+  /** Synthesize a media payload: magic 'GM' + kind + width + height +
+    * n_frames header, then the body. Stands in for real image/audio
+    * bytes; the header layout is what [[decodeMeta]] parses back.
+    */
+  def encodeMedia(kind: Column, width: Column, height: Column,
+      nFrames: Column, body: Column): Column =
+    concat(
+      lit("GM").cast("binary"),
+      u16(kind), u16(width), u16(height), u16(nFrames),
+      body)
+
+  /** Decode the typed metadata struct from the payload header — the
+    * real-codec boundary for metadata probes (magic check included).
+    */
+  def decodeMeta(bytes: Column): Column =
+    when(substring(bytes, 1, 2) === lit("GM").cast("binary"),
+      struct(
+        readU16(bytes, 3).as("kind"),
+        readU16(bytes, 5).as("width"),
+        readU16(bytes, 7).as("height"),
+        readU16(bytes, 9).as("n_frames"),
+        (length(bytes) - 10).cast("long").as("body_bytes")))
+      .otherwise(lit(null))
+
+  /** ===STUB=== Decode the pixel/sample data. A real implementation
+    * replaces this with a batched decoder (mapPartitions over payload
+    * iterators, or mapInPandas from PySpark); the deterministic fake
+    * hashes the body so downstream plumbing is testable end-to-end.
+    */
+  def decodeBodyStub(bytes: Column): Column = md5(substring(bytes, 11, 1 << 24))
+
+  /** Frame sampling for video payloads: every `stride`-th byte-range
+    * of the body as one "frame" (real decoder: keyframe extraction).
+    * Returns array<binary> of at most `maxFrames` frames.
+    */
+  def sampleFrames(bytes: Column, frameBytes: Int, maxFrames: Int): Column = {
+    val nAvail = floor((length(bytes) - 10) / frameBytes).cast("int")
+    val n = least(nAvail, lit(maxFrames))
+    when(n <= 0, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), n - 1),
+        f => substring(bytes, lit(11) + f * frameBytes, lit(frameBytes))))
+  }
+
+  /** ===STUB=== Feature extraction: 4 pseudo-features from the md5 of
+    * each sampled frame (real pipeline: a vision/audio encoder via a
+    * batched worker). Deterministic, oracle-able.
+    */
+  def frameFeaturesStub(frames: Column): Column =
+    transform(frames, f =>
+      transform(sequence(lit(0), lit(3)),
+        i => conv(substring(md5(f), i * 4 + 1, lit(4)), 16, 10).cast("long")))
+
+  /** Resize metadata transform (pure metadata op — a real resize
+    * would rewrite the payload in the decode worker).
+    */
+  def resizeMeta(meta: Column, maxDim: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val scale = when(greatest(w, h) <= maxDim, lit(1.0))
+      .otherwise(lit(maxDim.toDouble) / greatest(w, h))
+    struct(
+      floor(w * scale).cast("long").as("width"),
+      floor(h * scale).cast("long").as("height"))
+  }
+
+  /** Deterministic media table derived from `documents`: one payload
+    * per doc, kind = doc_id % 3 (0 image, 1 audio, 2 video), header
+    * fields closed-form in doc_id so an engine-independent oracle can
+    * verify the whole binary round-trip.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(
+      id.as("media_id"),
+      (id % 3).cast("int").as("kind_id"),
+      encodeMedia(
+        kind = id % 3,
+        width = lit(64) + id % 64,
+        height = lit(48) + id % 48,
+        nFrames = lit(1) + id % 30,
+        body = encode(col("text"), "UTF-8")).as("payload"))
+  }
+}

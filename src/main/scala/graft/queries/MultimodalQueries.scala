@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps._
+
+/** Multimodal-column queries (SURVEY.md §2.11): the payloads are
+  * synthesized from `documents` with closed-form header fields, so a
+  * DuckDB oracle can verify the whole binary round-trip (encode ->
+  * header parse -> byte-range frame sampling -> md5 features) without
+  * any binary support on the oracle side.
+  */
+object MultimodalQueries {
+
+  import Relational.tbl
+
+  // ---- q50: encode -> decode metadata round-trip + metadata resize ----
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(tbl(spark, dir, "documents"))
+      .withColumn("meta", decodeMeta(col("payload")))
+    media.select(
+      col("media_id"),
+      col("meta.kind").as("kind"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.n_frames").as("n_frames"),
+      col("meta.body_bytes").as("body_bytes"),
+      resizeMeta(col("meta"), 32).getField("width").as("resized_w"),
+      resizeMeta(col("meta"), 32).getField("height").as("resized_h"))
+      .orderBy(col("media_id"))
+  }
+
+  val q50Sql: String =
+    """SELECT doc_id AS media_id,
+      |  doc_id % 3 AS kind,
+      |  64 + doc_id % 64 AS width,
+      |  48 + doc_id % 48 AS height,
+      |  1 + doc_id % 30 AS n_frames,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
+      |  CAST(floor((64 + doc_id % 64) *
+      |    (32.0 / greatest(64 + doc_id % 64, 48 + doc_id % 48))) AS BIGINT) AS resized_w,
+      |  CAST(floor((48 + doc_id % 48) *
+      |    (32.0 / greatest(64 + doc_id % 64, 48 + doc_id % 48))) AS BIGINT) AS resized_h
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q51: frame sampling + feature extraction for video payloads ----
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(tbl(spark, dir, "documents"))
+      .filter(col("kind_id") === 2)
+      .withColumn("frames", sampleFrames(col("payload"), 16, 4))
+      .withColumn("feats", frameFeaturesStub(col("frames")))
+    media.select(col("media_id"), posexplode(col("feats")))
+      .select(
+        col("media_id"),
+        col("pos").cast("long").as("frame_idx"),
+        col("col").getItem(0).as("f0"),
+        col("col").getItem(1).as("f1"),
+        col("col").getItem(2).as("f2"),
+        col("col").getItem(3).as("f3"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q51Sql: String = {
+    val nib = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+    def feat(s: Int) = {
+      val cs = (0 until 4).map(j => nib(s"substr(h, ${s * 4 + j + 1}, 1)"))
+      s"CAST(${cs(0)} * 4096 + ${cs(1)} * 256 + ${cs(2)} * 16 + ${cs(3)} AS BIGINT)"
+    }
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id, text,
+       |    least(octet_length(encode(text)) // 16, 4) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), f AS (
+       |  SELECT media_id, u.f AS frame_idx,
+       |    md5(substr(text, 1 + u.f * 16, 16)) AS h
+       |  FROM v, UNNEST(range(0, CAST(nf AS BIGINT))) AS u(f)
+       |)
+       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  ${feat(0)} AS f0, ${feat(1)} AS f1, ${feat(2)} AS f2, ${feat(3)} AS f3
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_media_roundtrip" -> (q50 _),
+    "q51_frame_features" -> (q51 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_media_roundtrip" -> q50Sql,
+    "q51_frame_features" -> q51Sql
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value) — SURVEY.md §2.9.
+  *
+  * The reference is strictly batch; these are the streaming twins of
+  * the batch queries (q15 hourly windows, q11 sessionization) built
+  * the idiomatic way: event-time watermarks + windowed aggregation,
+  * and `flatMapGroupsWithState` with an event-time timeout for
+  * session state. Both scale by key partitioning: state lives in the
+  * state store, partitioned by user, no driver-side anything.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time aggregation with a 2-hour watermark
+    * (streaming twin of Relational.q15).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** One user session: closed after `gapSeconds` of event-time
+    * silence (twin of the batch gaps-and-islands in Relational.q11).
+    */
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Event-time sessionization via flatMapGroupsWithState: state per
+    * user holds the open session; events extend it when within the
+    * gap, close-and-emit when beyond it; the event-time timeout emits
+    * the final session once the watermark passes.
+    */
+  def sessionize(events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new Timestamp(s.start),
+          new Timestamp(s.end), s.n, s.sum))
+      }
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+              s.sum + e.value))
+          case Some(s) =>
+            out ::= Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

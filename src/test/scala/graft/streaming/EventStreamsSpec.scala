@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+
+/** Drives the streaming operators through MemoryStream micro-batches,
+  * asserting watermark-gated emission (windows/sessions only finalize
+  * once the watermark passes them).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  // day-1 base: an event at exactly epoch 0 sits on the initial
+  // watermark and is discarded as late
+  private val Base = 86400000L
+  private def ts(min: Long) = new Timestamp(Base + min * 60000L)
+
+  test("hourlyCounts: windows close only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = hourlyCounts(events).writeStream
+      .format("memory").queryName("hourly").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // two events in hour 0, one in hour 1
+      in.addData((ts(10), "view", 1.0), (ts(20), "view", 2.0),
+        (ts(70), "click", 5.0))
+      q.processAllAvailable()
+      // watermark = max(event) - 2h is still before hour 0 -> nothing out
+      assert(spark.table("hourly").count() == 0)
+      // advance event time beyond hour 0 + 2h watermark
+      in.addData((ts(200), "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("hourly").collect()
+        .map(r => ((r.getAs[Timestamp]("hour").getTime - Base) / 60000,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(closed == Set((0L, "view", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; timeout emits the last one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = sessionize(in.toDS(), gapSeconds = 600).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // user 1: events at 0,5 min (one session), then 30 min (new session)
+      in.addData(SessionEvent(1, ts(0), 1.0), SessionEvent(1, ts(5), 2.0),
+        SessionEvent(1, ts(30), 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[Session].collect()
+      assert(first.map(s => (s.user_id, (s.start.getTime - Base) / 60000,
+        (s.end.getTime - Base) / 60000, s.n_events, s.sum_value)).toSet ==
+        Set((1L, 0L, 5L, 2L, 3.0)))
+      // push the watermark (2h) past 30min + 10min gap -> timeout fires
+      in.addData(SessionEvent(2, ts(300), 9.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(2, ts(301), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect()
+      assert(all.exists(s => s.user_id == 1 &&
+        (s.start.getTime - Base) / 60000 == 30 && s.n_events == 1 && s.sum_value == 4.0))
+    } finally q.stop()
+  }
+}
