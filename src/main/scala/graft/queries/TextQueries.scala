@@ -63,14 +63,19 @@ object TextQueries {
        |FROM docs GROUP BY text ORDER BY keeper""".stripMargin
 
   // ---- q31: MinHash + LSH near-duplicate detection ----
-  // shingle(3-word) -> minhash(k=8, md5 family) -> 4 bands x 2 rows ->
-  // bucket join on band key -> exact-Jaccard confirm >= 0.5.
+  // shingle(5-word) -> base md5 hash once -> minhash(k=8, affine
+  // family) -> 4 bands x 2 rows -> bucket join on band key ->
+  // exact-Jaccard confirm >= 0.5.
   def q31(spark: SparkSession, dir: String): DataFrame = {
     val docs = withNearCopies(tbl(spark, dir, "documents"))
-      .withColumn("sh", wordShingles(toks))
+      .withColumn("sh",
+        array_distinct(hashShingles(wordShingles(toks, 5))))
       .filter(size(col("sh")) > 0)
+    // persisted: the band self-join reads this twice (see
+    // TextOps.jaccardPairs for the rationale)
     val sig = docs.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
+      .persist()
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
     val pairs = banded.as("a")
@@ -87,8 +92,15 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB: first 15 md5 hex digits of `e` as a BIGINT (Horner). */
+  private def md5IntSql(e: String): String = {
+    val h = (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1)")
+    h.reduce((acc, n) => s"($acc * 16 + $n)")
+  }
+
   private def mhSql(i: Int) =
-    s"list_min(list_transform(sh, s -> md5('$i|' || s)))"
+    s"list_min(list_transform(sh, h -> (h * ${MinHashA(i)} + ${MinHashB(i)}) % $MinHashP))"
 
   val q31Sql: String = {
     val bands = (0 until 4).map { b =>
@@ -103,9 +115,10 @@ object TextQueries {
        |  WHERE doc_id % 7 = 0 AND len(toks) > 10
        |), sh AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-       |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+       |         END AS sh
        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
        |        FROM docs)
        |), sig AS (
@@ -158,22 +171,23 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   val q33Sql: String =
-    """WITH docs AS (
+    s"""WITH docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
       |        FROM documents)
       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
       |), sh AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-      |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-      |                i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+      |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+      |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+      |         END AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
       |        FROM docs)
       |), inv AS (
-      |  SELECT doc_id, len(sh) AS n_sh, unnest(list_transform(sh, s -> md5(s))) AS s
+      |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
       |  FROM sh
       |), pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,

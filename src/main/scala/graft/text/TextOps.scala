@@ -30,17 +30,37 @@ object TextOps {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
-  /** MinHash signature: for seed i, the minimum md5 of `i|shingle`
-    * over the document's shingles — the classic k-hash-function
-    * approximation with md5(seed ‖ s) as the hash family. Fixed-width
-    * hex strings compare lexicographically == numerically, so the
-    * signature is engine-portable (DuckDB computes it bit-identically).
+  /** Largest prime below 2^30 — the MinHash permutation modulus. */
+  val MinHashP = 1073741789L
+
+  /** Affine multipliers/offsets of the MinHash permutation family
+    * (any a != 0 makes h -> (a*h + b) mod P a bijection; uniformity
+    * comes from the md5 base hash). a*h stays < 2^35: no overflow in
+    * either engine's BIGINT.
     */
-  def minHash(shingles: Column, k: Int): Seq[Column] =
+  val MinHashA: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23)
+  val MinHashB: Seq[Long] = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+
+  /** One strong base hash per shingle: the first 15 md5 hex digits as
+    * a BIGINT, reduced mod [[MinHashP]]. Hash each shingle ONCE; the k
+    * signature rows are cheap affine transforms of this array — 8x
+    * less hashing than k independent digests, the standard single-hash
+    * MinHash construction.
+    */
+  def hashShingles(shingles: Column): Column =
+    transform(shingles,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP)
+
+  /** MinHash signature over a pre-hashed shingle array: row i is
+    * min((a_i * h + b_i) mod P) — engine-portable integer arithmetic.
+    */
+  def minHash(hs: Column, k: Int): Seq[Column] = {
+    require(k <= MinHashA.length, s"at most ${MinHashA.length} rows")
     (0 until k).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
-        .as(s"mh$i")
+      array_min(transform(hs,
+        h => (h * MinHashA(i) + MinHashB(i)) % MinHashP)).as(s"mh$i")
     }
+  }
 
   /** LSH band keys over a precomputed signature: `bands` bands of
     * `rows` minhashes, each keyed by the md5 of its slice. Explode
@@ -82,13 +102,20 @@ object TextOps {
     * cap, the standard stop-shingle guard against quadratic buckets).
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
-      maxDf: Long = 1000000L): DataFrame = {
+      shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
+    // Persist the hashed-shingle table: the self-join below reads it
+    // twice, and without a barrier each side would re-run the whole
+    // tokenize/shingle/md5 pipeline (measured 2x cost). A few bytes
+    // per shingle — at 100 TB this is the digest table a production
+    // dedup pipeline checkpoints before pairing.
     val sh = docs
-      .select(col("doc_id"), wordShingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(hashShingles(wordShingles(tokens(col("text")), shingleN)))
+          .as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .persist()
     val inv = sh
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      .withColumn("s", md5(col("s")))
     val rare = inv.groupBy("s").count().filter(col("count") <= maxDf).select("s")
     val pruned = inv.join(rare, "s")
     val pairs = pruned.as("a")

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+import graft.text.TextOps._
+
+/** Dev-only stage-by-stage timing of the near-dup pipeline. */
+object DebugPerf {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[debug] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    time("read+count")(docs.count())
+    val t = tokens(col("text"))
+    time("tokenize")(docs.select(size(t)).agg(sum("size(split(lower(trim(text)), \\s+, -1))")).collect())
+    val sh5 = docs.select(col("doc_id"), wordShingles(t, 5).as("sh"))
+    time("shingle5")(sh5.select(sum(size(col("sh")))).collect())
+    val hashed = docs.select(col("doc_id"),
+      array_distinct(hashShingles(wordShingles(t, 5))).as("sh"))
+    time("shingle5+hash")(hashed.select(sum(size(col("sh")))).collect())
+    val inv = hashed.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    time("explode")(inv.count())
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+    time("inv-join+group")(pairs.count())
+    time("q33 full")(TextQueries.q33(spark, dir).count())
+    time("q31 full")(TextQueries.q31(spark, dir).count())
+    println(TextQueries.q31(spark, dir).queryExecution.executedPlan.toString.take(6000))
+    spark.stop()
+  }
+}
