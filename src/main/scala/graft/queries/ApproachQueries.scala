@@ -83,15 +83,67 @@ object ApproachQueries {
       |FROM (SELECT DISTINCT user_id FROM events)
       |ORDER BY flight_id, approach_id""".stripMargin
 
+  // ---- q23: processed-flag sink contents (S7 + A4) ----
+  // Every input flight must come out flagged with exactly one
+  // detected approach (FlightGen guarantees one per flight) — catches
+  // silently dropped flights.
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val flights = graft.sinks.Sinks.analysisFlags(
+      FlightGen.flights(spark, dir).toDF())
+    val counts = approaches(spark, dir)
+      .groupBy(col("flight_id")).agg(count(lit(1)).as("n_approaches"))
+    flights.join(counts, Seq("flight_id"), "left")
+      .select(col("flight_id"), col("approach_analysis"),
+        coalesce(col("n_approaches"), lit(0L)).as("n_approaches"))
+      .orderBy(col("flight_id"))
+  }
+
+  val q23Sql: String =
+    """SELECT user_id AS flight_id, 1 AS approach_analysis,
+      |  CAST(1 AS BIGINT) AS n_approaches
+      |FROM (SELECT DISTINCT user_id FROM events)
+      |ORDER BY flight_id""".stripMargin
+
+  // ---- q24: airport dimension scan over the reference CSVs
+  //      (S4 + S5 + J3; main.py:163-183) ----
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val refDir = "/root/reference/data"
+    val dim = Dims.airportsWithRunways(
+      Dims.loadAirportsCsv(spark, s"$refDir/Airports.csv"),
+      Dims.loadRunwaysCsv(spark, s"$refDir/AirportsDetailed.csv"))
+    dim.groupBy(col("state"))
+      .agg(count(lit(1)).as("n_airports"),
+        sum(size(col("runways"))).cast("long").as("n_runways"),
+        max(col("alt")).cast("long").as("max_elev_ft"))
+      .orderBy(col("state"))
+  }
+
+  val q24Sql: String =
+    """WITH r AS (
+      |  SELECT Airport_Code AS code, count(*) AS nr
+      |  FROM read_csv('/root/reference/data/AirportsDetailed.csv', header=true)
+      |  GROUP BY 1
+      |)
+      |SELECT a.State_Code AS state, count(*) AS n_airports,
+      |  CAST(coalesce(sum(r.nr), 0) AS BIGINT) AS n_runways,
+      |  CAST(max(a.Elevation_FT) AS BIGINT) AS max_elev_ft
+      |FROM read_csv('/root/reference/data/Airports.csv', header=true) a
+      |LEFT JOIN r ON a.Airport_Code = r.code
+      |GROUP BY 1 ORDER BY state""".stripMargin
+
   /** All approach queries + oracles, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_approaches" -> (q20 _),
     "q21_landing_types" -> (q21 _),
-    "q22_stability_flags" -> (q22 _)
+    "q22_stability_flags" -> (q22 _),
+    "q23_analysis_flags" -> (q23 _),
+    "q24_airport_dims" -> (q24 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q21_landing_types" -> q21Sql,
-    "q22_stability_flags" -> q22Sql
+    "q22_stability_flags" -> q22Sql,
+    "q23_analysis_flags" -> q23Sql,
+    "q24_airport_dims" -> q24Sql
   )
 }

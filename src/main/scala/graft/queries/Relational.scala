@@ -424,6 +424,100 @@ object Relational {
       |  round((CASE WHEN alpha0 < 0 THEN -pi()/2 - alpha0 ELSE pi()/2 - alpha0 END) * 20900000, 2) AS xtrack_ft
       |FROM xt ORDER BY c_custkey""".stripMargin
 
+  // ---- q25: geodesy library part 2 (G5/G6/G7 — SURVEY §2.8) ----
+  // bearingTo / midpointTo / destinationPoint on custkey-derived
+  // points; the oracle replays the exact n-vector op sequence.
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val lat1 = (k % 120) - lit(60) + lit(0.25)
+    val lon1 = ((k * 7) % 300) - lit(150) + lit(0.5)
+    val brg = (k % 360).cast("double")
+    val dist = (lit(100) + (k % 500)).cast("double")
+    val lat2 = lit(40.6892)
+    val lon2 = lit(-74.0445)
+    val mid = Geo.midpointTo(lat1, lon1, lat2, lon2)
+    val dest = Geo.destinationPoint(lat1, lon1, dist, brg, lit(3959d))
+    tbl(spark, dir, "customer")
+      .select(k.as("c_custkey"),
+        round(Geo.bearingTo(lat1, lon1, lat2, lon2), 4).as("bearing"),
+        round(mid.getField("lat"), 4).as("mid_lat"),
+        round(mid.getField("lon"), 4).as("mid_lon"),
+        round(dest.getField("lat"), 4).as("dest_lat"),
+        round(dest.getField("lon"), 4).as("dest_lon"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q25Sql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    radians((c_custkey % 120) - 60 + 0.25) AS rlat1,
+      |    radians(((c_custkey*7) % 300) - 150 + 0.5) AS rlon1,
+      |    radians(CAST(c_custkey % 360 AS DOUBLE)) AS th,
+      |    CAST(100 + (c_custkey % 500) AS DOUBLE) / 3959.0 AS delta,
+      |    radians(40.6892) AS rlat2, radians(-74.0445) AS rlon2
+      |  FROM customer
+      |), v AS (
+      |  SELECT c_custkey, rlat1, rlon1, th, delta,
+      |    cos(rlat1)*cos(rlon1) AS ax, cos(rlat1)*sin(rlon1) AS ay, sin(rlat1) AS az,
+      |    cos(rlat2)*cos(rlon2) AS bx, cos(rlat2)*sin(rlon2) AS by, sin(rlat2) AS bz
+      |  FROM pts
+      |), be AS ( -- bearingTo: signed angle between great-circle normals
+      |  SELECT c_custkey, rlat1, rlon1, th, delta, ax, ay, az,
+      |    ay*bz-az*by AS c1x, az*bx-ax*bz AS c1y, ax*by-ay*bx AS c1z,
+      |    ay*1-az*0 AS c2x, az*0-ax*1 AS c2y, ax*0-ay*0 AS c2z
+      |  FROM v
+      |), be2 AS (
+      |  SELECT *, c1y*c2z-c1z*c2y AS ccx, c1z*c2x-c1x*c2z AS ccy,
+      |    c1x*c2y-c1y*c2x AS ccz
+      |  FROM be
+      |), bearing AS (
+      |  SELECT c_custkey, rlat1, rlon1, th, delta, ax, ay, az,
+      |    degrees(atan2(
+      |      CASE WHEN ccx*ax+ccy*ay+ccz*az < 0
+      |           THEN -sqrt(ccx*ccx+ccy*ccy+ccz*ccz)
+      |           ELSE sqrt(ccx*ccx+ccy*ccy+ccz*ccz) END,
+      |      c1x*c2x+c1y*c2y+c1z*c2z)) + 360 AS a
+      |  FROM be2
+      |), mids AS ( -- midpointTo: unit(p1+p2) -> lat/lon
+      |  SELECT c_custkey, ax+bx AS sx, ay+by AS sy, az+bz AS sz FROM v
+      |), mid AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN n = 0 OR n = 1 THEN sx ELSE sx/n END AS ux,
+      |    CASE WHEN n = 0 OR n = 1 THEN sy ELSE sy/n END AS uy,
+      |    CASE WHEN n = 0 OR n = 1 THEN sz ELSE sz/n END AS uz
+      |  FROM (SELECT c_custkey, sx, sy, sz,
+      |          sqrt(sx*sx+sy*sy+sz*sz) AS n FROM mids)
+      |), dest0 AS ( -- destinationPoint: p1*cos(d) + (gc x p1)*sin(d)
+      |  SELECT c_custkey,
+      |    sin(rlon1)*cos(th) - sin(rlat1)*cos(rlon1)*sin(th) AS gx,
+      |    -cos(rlon1)*cos(th) - sin(rlat1)*sin(rlon1)*sin(th) AS gy,
+      |    cos(rlat1)*sin(th) AS gz,
+      |    ax, ay, az, delta
+      |  FROM bearing
+      |), dest1 AS (
+      |  SELECT c_custkey,
+      |    ax*cos(delta) + (gy*az-gz*ay)*sin(delta) AS sx,
+      |    ay*cos(delta) + (gz*ax-gx*az)*sin(delta) AS sy,
+      |    az*cos(delta) + (gx*ay-gy*ax)*sin(delta) AS sz
+      |  FROM dest0
+      |), dest AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN n = 0 OR n = 1 THEN sx ELSE sx/n END AS ux,
+      |    CASE WHEN n = 0 OR n = 1 THEN sy ELSE sy/n END AS uy,
+      |    CASE WHEN n = 0 OR n = 1 THEN sz ELSE sz/n END AS uz
+      |  FROM (SELECT c_custkey, sx, sy, sz,
+      |          sqrt(sx*sx+sy*sy+sz*sz) AS n FROM dest1)
+      |)
+      |SELECT b.c_custkey,
+      |  round(CASE WHEN fmod(b.a, 360) < 0 THEN fmod(b.a, 360) + 360
+      |             ELSE fmod(b.a, 360) END, 4) AS bearing,
+      |  round(degrees(atan2(m.uz, sqrt(m.ux*m.ux+m.uy*m.uy))), 4) AS mid_lat,
+      |  round(degrees(atan2(m.uy, m.ux)), 4) AS mid_lon,
+      |  round(degrees(atan2(d.uz, sqrt(d.ux*d.ux+d.uy*d.uy))), 4) AS dest_lat,
+      |  round(degrees(atan2(d.uy, d.ux)), 4) AS dest_lon
+      |FROM bearing b JOIN mid m USING (c_custkey) JOIN dest d USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- q17: work-list anti join (S1/J5 — main.py:27,128-132) ----
   // "done" flights = user_id % 3 == 0; pending = all \ done.
   def q17(spark: SparkSession, dir: String): DataFrame = {
@@ -500,6 +594,7 @@ object Relational {
     "q14_distinct_agg" -> (q14 _),
     "q15_hourly_window" -> (q15 _),
     "q16_geodesy" -> (q16 _),
+    "q25_geodesy2" -> (q25 _),
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _)
@@ -522,6 +617,7 @@ object Relational {
     "q14_distinct_agg" -> q14Sql,
     "q15_hourly_window" -> q15Sql,
     "q16_geodesy" -> q16Sql,
+    "q25_geodesy2" -> q25Sql,
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql

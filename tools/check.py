@@ -65,6 +65,11 @@ def main():
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     results = {}
+    # a query that threw during Verify has no output dir — surface it
+    present = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+    for name in oracle:
+        if name not in present:
+            results[name] = "VERIFY-FAILED (no output dir)"
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue
