@@ -427,23 +427,101 @@ object Relational {
   // ---- q25: geodesy library part 2 (G5/G6/G7 — SURVEY §2.8) ----
   // bearingTo / midpointTo / destinationPoint on custkey-derived
   // points; the oracle replays the exact n-vector op sequence.
+  //
+  // Deliberately STAGED into flat per-component projections instead
+  // of composing Geo.midpointTo/destinationPoint directly: the nested
+  // struct + unit-guard composition duplicates subtrees exponentially
+  // (getField over CaseWhen copies the condition into every branch),
+  // which blew past whole-stage codegen and ran 200x slower. Same
+  // arithmetic, same values — Geo's composed forms stay correct for
+  // scalar use and are unit-tested in GeoSpec.
   def q25(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
-    val lat1 = (k % 120) - lit(60) + lit(0.25)
-    val lon1 = ((k * 7) % 300) - lit(150) + lit(0.5)
-    val brg = (k % 360).cast("double")
-    val dist = (lit(100) + (k % 500)).cast("double")
-    val lat2 = lit(40.6892)
-    val lon2 = lit(-74.0445)
-    val mid = Geo.midpointTo(lat1, lon1, lat2, lon2)
-    val dest = Geo.destinationPoint(lat1, lon1, dist, brg, lit(3959d))
-    tbl(spark, dir, "customer")
-      .select(k.as("c_custkey"),
-        round(Geo.bearingTo(lat1, lon1, lat2, lon2), 4).as("bearing"),
-        round(mid.getField("lat"), 4).as("mid_lat"),
-        round(mid.getField("lon"), 4).as("mid_lon"),
-        round(dest.getField("lat"), 4).as("dest_lat"),
-        round(dest.getField("lon"), 4).as("dest_lon"))
+    val pts = tbl(spark, dir, "customer").select(
+      k.as("c_custkey"),
+      radians((k % 120) - lit(60) + lit(0.25)).as("rlat1"),
+      radians(((k * 7) % 300) - lit(150) + lit(0.5)).as("rlon1"),
+      radians((k % 360).cast("double")).as("th"),
+      ((lit(100) + (k % 500)).cast("double") / lit(3959.0)).as("delta"),
+      radians(lit(40.6892)).as("rlat2"),
+      radians(lit(-74.0445)).as("rlon2"))
+    val v = pts.select(col("c_custkey"), col("rlat1"), col("rlon1"),
+      col("th"), col("delta"),
+      (cos(col("rlat1")) * cos(col("rlon1"))).as("ax"),
+      (cos(col("rlat1")) * sin(col("rlon1"))).as("ay"),
+      sin(col("rlat1")).as("az"),
+      (cos(col("rlat2")) * cos(col("rlon2"))).as("bx"),
+      (cos(col("rlat2")) * sin(col("rlon2"))).as("by"),
+      sin(col("rlat2")).as("bz"))
+    val be = v.select(col("*"),
+      (col("ay") * col("bz") - col("az") * col("by")).as("c1x"),
+      (col("az") * col("bx") - col("ax") * col("bz")).as("c1y"),
+      (col("ax") * col("by") - col("ay") * col("bx")).as("c1z"),
+      (col("ay") * lit(1) - col("az") * lit(0)).as("c2x"),
+      (col("az") * lit(0) - col("ax") * lit(1)).as("c2y"),
+      (col("ax") * lit(0) - col("ay") * lit(0)).as("c2z"))
+    val be2 = be.select(col("*"),
+      (col("c1y") * col("c2z") - col("c1z") * col("c2y")).as("ccx"),
+      (col("c1z") * col("c2x") - col("c1x") * col("c2z")).as("ccy"),
+      (col("c1x") * col("c2y") - col("c1y") * col("c2x")).as("ccz"))
+    val withBearing = be2.select(col("*"),
+      (degrees(atan2(
+        when(col("ccx") * col("ax") + col("ccy") * col("ay") +
+          col("ccz") * col("az") < 0,
+          -sqrt(col("ccx") * col("ccx") + col("ccy") * col("ccy") +
+            col("ccz") * col("ccz")))
+          .otherwise(sqrt(col("ccx") * col("ccx") + col("ccy") * col("ccy") +
+            col("ccz") * col("ccz"))),
+        col("c1x") * col("c2x") + col("c1y") * col("c2y") +
+          col("c1z") * col("c2z"))) + lit(360)).as("a"))
+    // midpoint: unit(p1 + p2) -> lat/lon
+    val mids = withBearing.select(col("*"),
+      (col("ax") + col("bx")).as("sx"),
+      (col("ay") + col("by")).as("sy"),
+      (col("az") + col("bz")).as("sz"))
+    val midN = mids.select(col("*"),
+      sqrt(col("sx") * col("sx") + col("sy") * col("sy") +
+        col("sz") * col("sz")).as("n"))
+    def unitC(c: String): Column =
+      when(col("n") === 0 || col("n") === 1, col(c)).otherwise(col(c) / col("n"))
+    val mid = midN.select(col("c_custkey"), col("rlat1"), col("rlon1"),
+      col("th"), col("delta"), col("ax"), col("ay"), col("az"), col("a"),
+      unitC("sx").as("mux"), unitC("sy").as("muy"), unitC("sz").as("muz"))
+    // destination: unit(p1*cos(d) + (gc x p1)*sin(d)) -> lat/lon
+    val dest0 = mid.select(col("*"),
+      (sin(col("rlon1")) * cos(col("th")) -
+        sin(col("rlat1")) * cos(col("rlon1")) * sin(col("th"))).as("gx"),
+      (-cos(col("rlon1")) * cos(col("th")) -
+        sin(col("rlat1")) * sin(col("rlon1")) * sin(col("th"))).as("gy"),
+      (cos(col("rlat1")) * sin(col("th"))).as("gz"))
+    val dest1 = dest0.select(col("*"),
+      (col("ax") * cos(col("delta")) +
+        (col("gy") * col("az") - col("gz") * col("ay")) * sin(col("delta")))
+        .as("dsx"),
+      (col("ay") * cos(col("delta")) +
+        (col("gz") * col("ax") - col("gx") * col("az")) * sin(col("delta")))
+        .as("dsy"),
+      (col("az") * cos(col("delta")) +
+        (col("gx") * col("ay") - col("gy") * col("ax")) * sin(col("delta")))
+        .as("dsz"))
+    val destN = dest1.select(col("*"),
+      sqrt(col("dsx") * col("dsx") + col("dsy") * col("dsy") +
+        col("dsz") * col("dsz")).as("dn"))
+    def unitD(c: String): Column =
+      when(col("dn") === 0 || col("dn") === 1, col(c)).otherwise(col(c) / col("dn"))
+    val dest = destN.select(col("c_custkey"), col("a"),
+      col("mux"), col("muy"), col("muz"),
+      unitD("dsx").as("dux"), unitD("dsy").as("duy"), unitD("dsz").as("duz"))
+    dest.select(col("c_custkey"),
+      round(pmod(col("a"), lit(360)), 4).as("bearing"),
+      round(degrees(atan2(col("muz"),
+        sqrt(col("mux") * col("mux") + col("muy") * col("muy")))), 4)
+        .as("mid_lat"),
+      round(degrees(atan2(col("muy"), col("mux"))), 4).as("mid_lon"),
+      round(degrees(atan2(col("duz"),
+        sqrt(col("dux") * col("dux") + col("duy") * col("duy")))), 4)
+        .as("dest_lat"),
+      round(degrees(atan2(col("duy"), col("dux"))), 4).as("dest_lon"))
       .orderBy(col("c_custkey"))
   }
 
@@ -517,6 +595,25 @@ object Relational {
       |  round(degrees(atan2(d.uy, d.ux)), 4) AS dest_lon
       |FROM bearing b JOIN mid m USING (c_custkey) JOIN dest d USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
+
+  // ---- q26: salted skew join (same result as the plain join; the
+  //      shuffle spreads each hot key over 8 sub-keys) ----
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedEquiJoin(
+      tbl(spark, dir, "lineitem")
+        .withColumnRenamed("l_partkey", "p_partkey"),
+      tbl(spark, dir, "part").hint("merge"),
+      "p_partkey", 8, col("l_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+      .orderBy(col("p_brand"))
+
+  val q26Sql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ---- q17: work-list anti join (S1/J5 — main.py:27,128-132) ----
   // "done" flights = user_id % 3 == 0; pending = all \ done.
@@ -595,6 +692,7 @@ object Relational {
     "q15_hourly_window" -> (q15 _),
     "q16_geodesy" -> (q16 _),
     "q25_geodesy2" -> (q25 _),
+    "q26_salted_join" -> (q26 _),
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _)
@@ -618,6 +716,7 @@ object Relational {
     "q15_hourly_window" -> q15Sql,
     "q16_geodesy" -> q16Sql,
     "q25_geodesy2" -> q25Sql,
+    "q26_salted_join" -> q26Sql,
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql
