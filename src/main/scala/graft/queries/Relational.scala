@@ -596,6 +596,31 @@ object Relational {
       |FROM bearing b JOIN mid m USING (c_custkey) JOIN dest d USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- q27: full cube + grouping_id (completes §2 grouping sets) ----
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"),
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price_cents"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+  }
+
+  val q27Sql: String =
+    """SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   // ---- q26: salted skew join (same result as the plain join; the
   //      shuffle spreads each hot key over 8 sub-keys) ----
   def q26(spark: SparkSession, dir: String): DataFrame =
@@ -693,6 +718,7 @@ object Relational {
     "q16_geodesy" -> (q16 _),
     "q25_geodesy2" -> (q25 _),
     "q26_salted_join" -> (q26 _),
+    "q27_cube" -> (q27 _),
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _)
@@ -717,6 +743,7 @@ object Relational {
     "q16_geodesy" -> q16Sql,
     "q25_geodesy2" -> q25Sql,
     "q26_salted_join" -> q26Sql,
+    "q27_cube" -> q27Sql,
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql

@@ -144,15 +144,91 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q43: IVF-style ANN (coarse quantize -> probe 2 lists) ----
+  // Centroids = every 31st vector (deterministic data-derived coarse
+  // quantizer); each vector is assigned to its max-cosine centroid;
+  // a query probes its 2 nearest centroids' lists and ranks
+  // candidates by exact cosine. The inverted-list join replaces the
+  // all-pairs scan — at scale, candidates/query ~ n/centroids *
+  // nprobe. Scores ranked on rounded e6 ints so both engines break
+  // ties identically.
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")) * 1e6).cast("long").as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        round(cosine(col("qv"), col("cv")) * 1e6).cast("long").as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id"))
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")) * 1e6).cast("long").as("cos_e6"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q43Sql: String = {
+    def cosE6(a: String, b: String) =
+      s"CAST(round(1000000.0 * (${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))), 0) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+       |), assign AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosE6("q.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e q, cents c WHERE q.vec_id % 100 = 0)
+       |  WHERE rn <= 2
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_e6 FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosE6("p.qv", "a.v")} AS cos_e6,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosE6("p.qv", "a.v")} DESC, a.vec_id) AS rank
+       |  FROM probes p JOIN assign a USING (cid)
+       |  WHERE a.vec_id <> p.query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
-    "q42_ann_neardup" -> (q42 _)
+    "q42_ann_neardup" -> (q42 _),
+    "q43_ivf_ann" -> (q43 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q41_srp_buckets" -> q41Sql,
-    "q42_ann_neardup" -> q42Sql
+    "q42_ann_neardup" -> q42Sql,
+    "q43_ivf_ann" -> q43Sql
   )
 }

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.text.TextOps._
+
+/** Unit tests for the text-pipeline operator library (the end-to-end
+  * DuckDB oracles cover the full pipelines; these pin the pieces).
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq("x").toDF("dummy").select(c).collect().head.get(0).asInstanceOf[T]
+  }
+
+  private def shingleRow(text: String, n: Int): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(wordShingles(tokens(col("text")), n).as("sh"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("wordShingles: counts, distinctness, under-length edge") {
+    assert(shingleRow("a b c d e", 3) == Seq("a b c", "b c d", "c d e"))
+    assert(shingleRow("a b", 3).isEmpty)
+    assert(shingleRow("x x x x", 3) == Seq("x x x")) // distinct
+    assert(shingleRow("A  B\tc", 2) == Seq("a b", "b c")) // lower + ws split
+  }
+
+  test("minHash: deterministic, within [0, P), monotone under containment") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over the lazy dog again and again")
+      .toDF("text")
+      .select(hashShingles(wordShingles(tokens(col("text")), 3)).as("hs"))
+    val sig1 = df.select(minHash(col("hs"), 8): _*).collect().head
+    val sig2 = df.select(minHash(col("hs"), 8): _*).collect().head
+    assert(sig1 == sig2)
+    (0 until 8).foreach { i =>
+      val v = sig1.getLong(i)
+      assert(v >= 0 && v < MinHashP)
+    }
+  }
+
+  test("jaccard: identical, disjoint, half-overlap") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    assert(df.select(jaccard(col("a"), col("a"))).collect().head.getDouble(0) == 1.0)
+    assert(df.select(jaccard(col("a"), col("b"))).collect().head.getDouble(0) == 0.5)
+  }
+
+  test("languageId: stopword argmax with deterministic ties and 'und'") {
+    import spark.implicits._
+    def lid(s: String): String =
+      Seq(s).toDF("text").select(languageId(tokens(col("text")))).collect()
+        .head.getString(0)
+    assert(lid("the cat and the hat is here") == "en")
+    assert(lid("el perro y la casa es grande") == "es")
+    assert(lid("der hund und die katze ist da") == "de")
+    assert(lid("zzz qqq www") == "und")
+    // 'la de' hits both es and fr equally -> lexicographically first (es)
+    assert(lid("la de") == "es")
+  }
+
+  test("jaccardPairs: finds the planted near-pair, never pairs disjoint docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of 1
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = jaccardPairs(docs, 0.3, shingleN = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simHash16: 16-bit range, identical texts collide, determinism") {
+    import spark.implicits._
+    val df = Seq("spark rows columns", "spark rows columns", "zz yy xx ww")
+      .toDF("text")
+      .select(simHash16(tokens(col("text"))).as("h"))
+    val hs = df.collect().map(_.getInt(0))
+    assert(hs(0) == hs(1))
+    assert(hs.forall(h => h >= 0 && h < 65536))
+  }
+}
