@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the driver's smoke check: the flagship entry() must return
+  * rows on sf0.001, and every registered query must have either an
+  * oracle or an explicit rows-only justification.
+  */
+class EntrySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  test("entry(): flagship approach pipeline returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.length == 18)
+  }
+
+  test("query registry: oracle coverage and key hygiene") {
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    assert(qs.nonEmpty)
+    // every oracle refers to a registered query
+    assert(os.keySet.subsetOf(qs.keySet))
+    // the only oracle-exempt query is the raw state-machine table
+    assert((qs.keySet -- os.keySet) == Set("q20_approaches"))
+  }
+}
