@@ -51,6 +51,44 @@ object ApproachPipeline {
   def approachesTable(approaches: Dataset[Approach]): DataFrame =
     approaches.drop("unstable_intervals")
 
+  // NOT private: encoder codegen instantiates it from generated code
+  case class TypedSample(s: FlightSample, aircraft_type: String)
+
+  /** Per-aircraft-type exceedance thresholds — the feature the
+    * reference intended but never shipped (`setThresholds` assigns to
+    * locals and its call site is commented out, FlightAnalysis.py:
+    * 52,67-83). The type dimension is broadcast-joined onto the
+    * samples (J4/S2 semantics, main.py:83-84); each flight's run is
+    * analyzed with `thresholds(type)`, falling back to the defaults.
+    */
+  def detectApproachesPerAircraft(
+      samples: Dataset[FlightSample],
+      airports: Array[Airport],
+      types: DataFrame, // (flight, aircraft_type)
+      thresholds: Map[String, Thresholds],
+      default: Thresholds = Thresholds()
+  ): Dataset[Approach] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val bAirports = spark.sparkContext.broadcast(airports)
+    val bThresholds = spark.sparkContext.broadcast(thresholds)
+
+    samples
+      .join(broadcast(types), "flight")
+      .select(struct(samples.columns.map(col): _*).as("s"),
+        col("aircraft_type"))
+      .as[TypedSample]
+      .repartition(col("s.flight"))
+      .sortWithinPartitions(col("s.flight"), col("s.time"))
+      .mapPartitions { it =>
+        val index = new AirportIndex(bAirports.value)
+        groupedRuns(it)(_.s.flight).flatMap { case (fid, data) =>
+          val th = bThresholds.value.getOrElse(data.head.aircraft_type, default)
+          new ApproachDetector(index, th).detect(fid, data.map(_.s))
+        }
+      }
+  }
+
   /** Lazily groups a sorted iterator into (key, run) pairs without
     * reading past each run's end until it is consumed.
     */

@@ -131,19 +131,61 @@ object ApproachQueries {
       |LEFT JOIN r ON a.Airport_Code = r.code
       |GROUP BY 1 ORDER BY state""".stripMargin
 
+  // ---- q28: per-aircraft-type thresholds (the reference's dead
+  //      setThresholds feature, working) ----
+  // PA28 (flight%4==1) tolerates IAS<=85 -> the engineered 80 kt
+  // A-violation vanishes; SR20 (flight%4==2) tolerates VSI>=-1300 ->
+  // the -1200 fpm S-violation vanishes. Everything else unchanged.
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, array}
+    val samples = FlightGen.flights(spark, dir)
+    val types = samples.select(col("flight")).distinct()
+      .withColumn("aircraft_type",
+        element_at(array(lit("C172"), lit("PA28"), lit("SR20"), lit("BE36")),
+          (col("flight") % 4 + 1).cast("int")))
+    val th = Map(
+      "PA28" -> graft.model.Thresholds(approachMaxIas = 85),
+      "SR20" -> graft.model.Thresholds(approachMinVsi = -1300))
+    ApproachPipeline.approachesTable(
+      ApproachPipeline.detectApproachesPerAircraft(
+        samples, Dims.syntheticAirports(), types, th))
+      .select(
+        col("flight_id"),
+        col("unstable"),
+        col("a_ias").isNotNull.cast("int").as("has_a"),
+        col("s_vsi").isNotNull.cast("int").as("has_s"),
+        col("f1_heading").isNotNull.cast("int").as("has_f1"),
+        col("f2_crosstrack").isNotNull.cast("int").as("has_f2"))
+      .orderBy(col("flight_id"))
+  }
+
+  val q28Sql: String =
+    """SELECT user_id AS flight_id,
+      |  CAST((user_id % 5 = 0 AND user_id % 4 <> 1)
+      |    OR (user_id % 7 = 0 AND user_id % 4 <> 2)
+      |    OR user_id % 11 = 0 OR user_id % 13 = 0 AS INT) AS unstable,
+      |  CAST(user_id % 5 = 0 AND user_id % 4 <> 1 AS INT) AS has_a,
+      |  CAST(user_id % 7 = 0 AND user_id % 4 <> 2 AS INT) AS has_s,
+      |  CAST(user_id % 11 = 0 AS INT) AS has_f1,
+      |  CAST(user_id % 13 = 0 AS INT) AS has_f2
+      |FROM (SELECT DISTINCT user_id FROM events)
+      |ORDER BY flight_id""".stripMargin
+
   /** All approach queries + oracles, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_approaches" -> (q20 _),
     "q21_landing_types" -> (q21 _),
     "q22_stability_flags" -> (q22 _),
     "q23_analysis_flags" -> (q23 _),
-    "q24_airport_dims" -> (q24 _)
+    "q24_airport_dims" -> (q24 _),
+    "q28_per_aircraft_thresholds" -> (q28 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q21_landing_types" -> q21Sql,
     "q22_stability_flags" -> q22Sql,
     "q23_analysis_flags" -> q23Sql,
-    "q24_airport_dims" -> q24Sql
+    "q24_airport_dims" -> q24Sql,
+    "q28_per_aircraft_thresholds" -> q28Sql
   )
 }
