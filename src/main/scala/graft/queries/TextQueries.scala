@@ -71,19 +71,24 @@ object TextQueries {
       .withColumn("sh",
         array_distinct(hashShingles(wordShingles(toks, 5))))
       .filter(size(col("sh")) > 0)
-    // persisted: the band self-join reads this twice (see
-    // TextOps.jaccardPairs for the rationale)
+    // persisted: the band self-join and the shingle-set fetch below
+    // each re-read this (see TextOps.jaccardPairs for the rationale)
     val sig = docs.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
       .persist()
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // band join carries ids only — the ~250-element shingle arrays
+    // would otherwise be exploded 4x and shuffled with every band row
+    val banded = sig.select(col("doc_id"),
       explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
-    val pairs = banded.as("a")
+    val idPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val sets = sig.select(col("doc_id"), col("sh"))
+    val pairs = idPairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
     pairs
       .withColumn("jac", TextOps.jaccard(col("sha"), col("shb")))
       .filter(col("jac") >= 0.5)
