@@ -324,7 +324,50 @@ object TextQueries {
       |    i -> md5(substr(text, i, 8))))) AS BIGINT) AS n_distinct_8grams
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q38: TF-IDF (completes tokenize/n-gram/TF-IDF, §2.11) ----
+  // tf = occurrences/doc_len, idf = ln(N/df); scores for the first 20
+  // docs, rounded e6. ln is libm on both engines -> identical doubles.
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val tok = docs
+      .select(col("doc_id"), size(toks).as("doc_len"),
+        explode(toks).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("occ"))
+    val df_ = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count() // small driver-side scalar (table row count)
+    tf.join(df_, "term")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("term"), col("occ").cast("long").as("occ"),
+        col("df").cast("long").as("df"),
+        round((col("occ") / col("doc_len")) *
+          log(lit(n.toDouble) / col("df")) * 1e6).cast("long")
+          .as("tfidf_e6"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val q38Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)
+      |), tf AS (
+      |  SELECT doc_id, doc_len, term, count(*) AS occ
+      |  FROM tok GROUP BY 1, 2, 3
+      |), df AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      |SELECT doc_id, term, occ, df,
+      |  CAST(round((1.0 * occ / doc_len) * ln(n.n / df) * 1000000, 0) AS BIGINT)
+      |    AS tfidf_e6
+      |FROM tf JOIN df USING (term), n
+      |WHERE doc_id < 20
+      |ORDER BY doc_id, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_tfidf" -> (q38 _),
     "q30_exact_dedup" -> (q30 _),
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
@@ -336,6 +379,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_tfidf" -> q38Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
