@@ -596,6 +596,24 @@ object Relational {
       |FROM bearing b JOIN mid m USING (c_custkey) JOIN dest d USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- q29: exact percentiles (median / p90 / p25, linear interp) ----
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  val q29Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // ---- q27: full cube + grouping_id (completes §2 grouping sets) ----
   def q27(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -719,6 +737,7 @@ object Relational {
     "q25_geodesy2" -> (q25 _),
     "q26_salted_join" -> (q26 _),
     "q27_cube" -> (q27 _),
+    "q29_percentiles" -> (q29 _),
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _)
@@ -744,6 +763,7 @@ object Relational {
     "q25_geodesy2" -> q25Sql,
     "q26_salted_join" -> q26Sql,
     "q27_cube" -> q27Sql,
+    "q29_percentiles" -> q29Sql,
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql
