@@ -20,6 +20,25 @@ object DebugPerf {
       println(f"[debug] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // optional: flagship throughput at synthetic scale
+    // usage: runMain graft.tools.DebugPerf <sfDir> <nFlights>
+    if (args.length > 1) {
+      import spark.implicits._
+      val n = args(1).toInt
+      val samples = graft.sources.FlightGen
+        .trace(spark.range(n).toDF("flight"))
+        .as[graft.model.FlightSample]
+      val t0 = System.nanoTime()
+      val rows = graft.approach.ApproachPipeline
+        .detectApproaches(samples, graft.sources.Dims.syntheticAirports())
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sps = n.toLong * graft.sources.FlightGen.SamplesPerFlight / secs
+      println(f"[debug] flagship: $n%d flights (${n * 600L}%d samples) -> " +
+        f"$rows%d approaches in $secs%.1f s = ${sps / 1e6}%.2f M samples/s")
+      spark.stop(); return
+    }
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     time("read+count")(docs.count())
