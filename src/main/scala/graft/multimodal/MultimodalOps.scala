@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** Header layout: 'GM' magic (2) + kind/width/height/n_frames u16s
+    * (8). Every byte-offset below derives from this.
+    */
+  val HeaderBytes = 10
+
   /** Big-endian uint16 -> 2-byte binary. */
   private def u16(v: Column): Column = unhex(lpad(hex(v.cast("int")), 4, "0"))
 
@@ -48,7 +53,7 @@ object MultimodalOps {
         readU16(bytes, 5).as("width"),
         readU16(bytes, 7).as("height"),
         readU16(bytes, 9).as("n_frames"),
-        (length(bytes) - 10).cast("long").as("body_bytes")))
+        (length(bytes) - HeaderBytes).cast("long").as("body_bytes")))
       .otherwise(lit(null))
 
   /** ===STUB=== Decode the pixel/sample data. A real implementation
@@ -56,18 +61,19 @@ object MultimodalOps {
     * iterators, or mapInPandas from PySpark); the deterministic fake
     * hashes the body so downstream plumbing is testable end-to-end.
     */
-  def decodeBodyStub(bytes: Column): Column = md5(substring(bytes, 11, 1 << 24))
+  def decodeBodyStub(bytes: Column): Column =
+    md5(substring(bytes, HeaderBytes + 1, 1 << 24))
 
   /** Frame sampling for video payloads: every `stride`-th byte-range
     * of the body as one "frame" (real decoder: keyframe extraction).
     * Returns array<binary> of at most `maxFrames` frames.
     */
   def sampleFrames(bytes: Column, frameBytes: Int, maxFrames: Int): Column = {
-    val nAvail = floor((length(bytes) - 10) / frameBytes).cast("int")
+    val nAvail = floor((length(bytes) - HeaderBytes) / frameBytes).cast("int")
     val n = least(nAvail, lit(maxFrames))
     when(n <= 0, array().cast("array<binary>"))
       .otherwise(transform(sequence(lit(0), n - 1),
-        f => substring(bytes, lit(11) + f * frameBytes, lit(frameBytes))))
+        f => substring(bytes, lit(HeaderBytes + 1) + f * frameBytes, lit(frameBytes))))
   }
 
   /** ===STUB=== Feature extraction: 4 pseudo-features from the md5 of

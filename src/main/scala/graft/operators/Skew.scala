@@ -22,7 +22,10 @@ object Skew {
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int, saltSrc: Column): DataFrame = {
-    val sf = fact.withColumn("__salt", pmod(saltSrc, lit(salts)).cast("int"))
+    // NULL saltSrc must still land in some sub-key (a null salt would
+    // silently drop the row from the inner join)
+    val sf = fact.withColumn("__salt",
+      coalesce(pmod(saltSrc, lit(salts)), lit(0)).cast("int"))
     // generator must be top-level in the projection (no cast wrapper);
     // sequence(int, int) already yields array<int>
     val sd = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))

@@ -8,9 +8,11 @@ import graft.model.Approach
 /** Output sinks (SURVEY.md §2.1 S6/S7). The reference upserts into
   * MySQL (`INSERT .. ON DUPLICATE KEY UPDATE`, FlightAnalysis.py:
   * 400-431) and flips a per-flight done flag (py:432-437) — Spark has
-  * no multi-table transaction, so both outputs are idempotent parquet
-  * tables: re-running a batch overwrites the same keys with the same
-  * rows.
+  * no multi-table transaction, so both outputs are snapshot parquet
+  * tables: each write REPLACES the whole table with this batch's
+  * rows (idempotent for re-runs of the same batch; NOT a per-key
+  * merge — incremental batches must target distinct paths or use a
+  * table format with MERGE semantics).
   */
 object Sinks {
 

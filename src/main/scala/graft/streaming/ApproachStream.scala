@@ -20,6 +20,15 @@ import graft.model.{Airport, Approach, FlightSample, Thresholds}
   * < ~100k rows), partitioned by flight across executors in the state
   * store; airports are broadcast; no driver-side state. The detector
   * itself is reused verbatim — batch/stream parity by construction.
+  *
+  * Caveat (inherent to gap-based completion): a mid-flight
+  * transmission dropout longer than `gapSeconds` closes the flight
+  * early — the detector runs on the partial trace, and a later
+  * resumption starts a fresh buffer whose approaches restart at
+  * approach_id 1. Size `gapSeconds` above the worst expected sensor
+  * dropout (it bounds result latency, not correctness, for gap-free
+  * feeds); a downstream sink keyed on (flight_id, approach_id) must
+  * treat re-emission for the same flight as a split-trace signal.
   */
 object ApproachStream {
 
@@ -36,7 +45,9 @@ object ApproachStream {
       watermark: String = "10 minutes"): Dataset[Approach] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val bAirports = spark.sparkContext.broadcast(airports)
+    // broadcast the PREBUILT index: constructing it per timed-out
+    // flight would redo the O(airports) grid build millions of times
+    val bIndex = spark.sparkContext.broadcast(new AirportIndex(airports))
     val gapMs = gapSeconds * 1000
 
     def fn(flightId: Long, it: Iterator[TimedSample],
@@ -44,7 +55,7 @@ object ApproachStream {
       if (state.hasTimedOut) {
         val buf = state.get
         state.remove()
-        val detector = new ApproachDetector(new AirportIndex(bAirports.value), th)
+        val detector = new ApproachDetector(bIndex.value, th)
         return detector
           .detect(flightId, buf.samples.sortBy(_.time).toIndexedSeq)
           .iterator

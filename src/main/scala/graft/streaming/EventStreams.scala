@@ -63,8 +63,10 @@ object EventStreams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-              s.sum + e.value))
+            // min() on start: a late-but-in-watermark event from a
+            // previous batch may precede the stored session start
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.end, t), s.n + 1, s.sum + e.value))
           case Some(s) =>
             out ::= Session(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n, s.sum)
