@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: exercise the scan/codegen/JIT paths once so the first
+    // timed query doesn't absorb ~5-8 s of one-time cost
+    try {
+      SparkEntry.queries.get("q12_topk").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     // fixed name order: stable warm-up attribution across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

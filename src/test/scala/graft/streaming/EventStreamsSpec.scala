@@ -74,4 +74,31 @@ class EventStreamsSpec extends AnyFunSuite {
         (s.start.getTime - Base) / 60000 == 30 && s.n_events == 1 && s.sum_value == 4.0))
     } finally q.stop()
   }
+
+  test("sessionize: late in-watermark event extends the session start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = sessionize(in.toDS(), gapSeconds = 600).writeStream
+      .format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(SessionEvent(1, ts(60), 1.0))
+      q.processAllAvailable()
+      // late event 5 min EARLIER, still inside the 2h watermark
+      in.addData(SessionEvent(1, ts(55), 2.0))
+      q.processAllAvailable()
+      // close the session via a far-future event on another key
+      in.addData(SessionEvent(2, ts(600), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(2, ts(601), 0.0))
+      q.processAllAvailable()
+      val s = spark.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1).head
+      // the emitted window must cover BOTH counted events
+      assert((s.start.getTime - Base) / 60000 == 55)
+      assert((s.end.getTime - Base) / 60000 == 60)
+      assert(s.n_events == 2 && s.sum_value == 3.0)
+    } finally q.stop()
+  }
 }
