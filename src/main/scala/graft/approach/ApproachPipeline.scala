@@ -74,7 +74,9 @@ object ApproachPipeline {
     val bThresholds = spark.sparkContext.broadcast(thresholds)
 
     samples
-      .join(broadcast(types), "flight")
+      // LEFT join: a flight with no type row must still be analyzed
+      // (with `default`), not silently dropped
+      .join(broadcast(types), Seq("flight"), "left")
       .select(struct(samples.columns.map(col): _*).as("s"),
         col("aircraft_type"))
       .as[TypedSample]
@@ -83,7 +85,8 @@ object ApproachPipeline {
       .mapPartitions { it =>
         val index = new AirportIndex(bAirports.value)
         groupedRuns(it)(_.s.flight).flatMap { case (fid, data) =>
-          val th = bThresholds.value.getOrElse(data.head.aircraft_type, default)
+          val th = Option(data.head.aircraft_type) // null when no type row
+            .flatMap(bThresholds.value.get).getOrElse(default)
           new ApproachDetector(index, th).detect(fid, data.map(_.s))
         }
       }

@@ -45,8 +45,13 @@ object MultimodalQueries {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- q51: frame sampling + feature extraction for video payloads ----
+  // ASCII guard (octet_length == char length): DuckDB cannot md5/slice
+  // BLOBs, so the oracle slices characters; restricting both engines
+  // to byte==char documents makes the comparison exact by
+  // construction rather than by fixture luck.
   def q51(spark: SparkSession, dir: String): DataFrame = {
-    val media = mediaFromDocuments(tbl(spark, dir, "documents"))
+    val media = mediaFromDocuments(tbl(spark, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text"))))
       .filter(col("kind_id") === 2)
       .withColumn("frames", sampleFrames(col("payload"), 16, 4))
       .withColumn("feats", frameFeaturesStub(col("frames")))
@@ -70,7 +75,8 @@ object MultimodalQueries {
     s"""WITH v AS (
        |  SELECT doc_id AS media_id, text,
        |    least(octet_length(encode(text)) // 16, 4) AS nf
-       |  FROM documents WHERE doc_id % 3 = 2
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)
        |), f AS (
        |  SELECT media_id, u.f AS frame_idx,
        |    md5(substr(text, 1 + u.f * 16, 16)) AS h

@@ -329,9 +329,12 @@ object TextQueries {
   // docs, rounded e6. ln is libm on both engines -> identical doubles.
   def q38(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // persisted: tf and df both consume the exploded tokens — without
+    // a barrier each branch re-tokenizes the full corpus
     val tok = docs
       .select(col("doc_id"), size(toks).as("doc_len"),
         explode(toks).as("term"))
+      .persist()
     val tf = tok.groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("occ"))
     val df_ = tok.select(col("doc_id"), col("term")).distinct()

@@ -107,7 +107,11 @@ object TextOps {
     // twice, and without a barrier each side would re-run the whole
     // tokenize/shingle/md5 pipeline (measured 2x cost). A few bytes
     // per shingle — at 100 TB this is the digest table a production
-    // dedup pipeline checkpoints before pairing.
+    // dedup pipeline checkpoints before pairing. Lifecycle note: the
+    // cached table lives until the caller clears it (the driver
+    // harness calls spark.catalog.clearCache() between queries);
+    // long-lived applications should unpersist after consuming the
+    // result, or checkpoint to storage instead.
     val sh = docs
       .select(col("doc_id"),
         array_distinct(hashShingles(wordShingles(tokens(col("text")), shingleN)))
