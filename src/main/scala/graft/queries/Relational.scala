@@ -68,8 +68,8 @@ object Relational {
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_base_cents,
-      |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS sum_disc_e4,
+      |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
       |  avg(l_quantity) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
@@ -111,7 +111,7 @@ object Relational {
 
   val q03Sql: String =
     """SELECT o_orderkey,
-      |  sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS revenue_e4
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -145,7 +145,7 @@ object Relational {
 
   val q05Sql: String =
     """SELECT o_orderstatus, count(*) AS n_lines,
-      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -204,7 +204,7 @@ object Relational {
   val q08Sql: String =
     """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
       |  count(*) AS n_custs,
-      |  sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS sum_bal_cents
+      |  CAST(sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents
       |FROM region JOIN nation ON r_regionkey = n_regionkey
       |JOIN customer ON n_nationkey = c_nationkey
       |GROUP BY ROLLUP (r_name, n_name)
@@ -223,7 +223,7 @@ object Relational {
   }
 
   val q09Sql: String =
-    """SELECT c_mktsegment, rn, c_custkey, CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents
+    """SELECT c_mktsegment, CAST(rn AS INT) AS rn, c_custkey, CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents
       |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
       |        row_number() OVER (PARTITION BY c_mktsegment
       |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -295,7 +295,8 @@ object Relational {
       |  FROM sessions GROUP BY user_id, session_id
       |)
       |SELECT user_id, count(*) AS n_sessions,
-      |  max(n_events) AS max_session_events, sum(n_events) AS n_events
+      |  max(n_events) AS max_session_events,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---- q12: sort / limit / top-k ----
@@ -360,7 +361,7 @@ object Relational {
   val q15Sql: String =
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
       |  event_type, count(*) AS n,
-      |  sum(CAST(round(value*1000000, 0) AS BIGINT)) AS sum_value_e6,
+      |  CAST(sum(CAST(round(value*1000000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
@@ -634,7 +635,7 @@ object Relational {
       |  coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
       |  count(*) AS n,
-      |  sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
@@ -654,14 +655,17 @@ object Relational {
 
   val q26Sql: String =
     """SELECT p_brand, count(*) AS n_items,
-      |  sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS sum_price_cents
+      |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ---- q17: work-list anti join (S1/J5 — main.py:27,128-132) ----
   // "done" flights = user_id % 3 == 0; pending = all \ done.
+  // Reads via events() so the TIMESTAMP(NANOS) conf is set even when
+  // this query runs first in a fresh session (column pruning drops the
+  // ts conversion — the scan reads user_id only).
   def q17(spark: SparkSession, dir: String): DataFrame = {
-    val all = tbl(spark, dir, "events").select(col("user_id")).distinct()
+    val all = events(spark, dir).select(col("user_id")).distinct()
     val done = all.filter(col("user_id") % 3 === 0)
     all.join(done, Seq("user_id"), "left_anti")
       .orderBy(col("user_id"))
@@ -710,7 +714,7 @@ object Relational {
 
   val q19Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(round(value*1000000, 0) AS BIGINT)) AS sum_value_e6
+      |  CAST(sum(CAST(round(value*1000000, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
       |FROM events
       |WHERE value >= 100 AND event_id IS NOT NULL AND ts IS NOT NULL
       |  AND user_id IS NOT NULL AND event_type IS NOT NULL AND props IS NOT NULL

@@ -77,14 +77,13 @@ object TextQueries {
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
       .persist()
     // band join carries ids only — the ~250-element shingle arrays
-    // would otherwise be exploded 4x and shuffled with every band row
+    // would otherwise be exploded 4x and shuffled with every band row.
+    // lshCandidatePairs adds the hot-bucket cap (default never binds
+    // on this corpus, so the DuckDB oracle — which has no cap — still
+    // matches bit-for-bit).
     val banded = sig.select(col("doc_id"),
       explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
-    val idPairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val idPairs = TextOps.lshCandidatePairs(banded)
     val sets = sig.select(col("doc_id"), col("sh"))
     val pairs = idPairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
@@ -207,9 +206,14 @@ object TextQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- q34: language-ID heuristic — confusion matrix vs labels ----
+  // Uses the STAGED form (flat per-language hit columns): the scalar
+  // languageId expression re-evaluates the token scans; staged, each
+  // profile scan runs exactly once per row (16.2 s -> sub-second at
+  // sf0.1).
   def q34(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
-      .select(col("lang"), languageId(toks).as("predicted"))
+    TextOps.withLanguageId(
+      tbl(spark, dir, "documents").select(col("lang"), col("text")),
+      col("text"), "predicted")
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
@@ -339,13 +343,16 @@ object TextQueries {
       .agg(count(lit(1)).as("occ"))
     val df_ = tok.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.count() // small driver-side scalar (table row count)
+    // corpus size as a broadcast 1-row scalar aggregate — folded into
+    // the plan (one job), no driver-side count round-trip
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(df_, "term")
       .filter(col("doc_id") < 20)
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("occ").cast("long").as("occ"),
         col("df").cast("long").as("df"),
         round((col("occ") / col("doc_len")) *
-          log(lit(n.toDouble) / col("df")) * 1e6).cast("long")
+          log(col("n_docs") / col("df")) * 1e6).cast("long")
           .as("tfidf_e6"))
       .orderBy(col("doc_id"), col("term"))
   }

@@ -71,7 +71,7 @@ object VectorQueries {
        |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, rank, neighbor_id, cos_e6
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_e6
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -208,7 +208,7 @@ object VectorQueries {
        |    FROM e q, cents c WHERE q.vec_id % 100 = 0)
        |  WHERE rn <= 2
        |)
-       |SELECT query_id, rank, neighbor_id, cos_e6 FROM (
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_e6 FROM (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${cosE6("p.qv", "a.v")} AS cos_e6,
        |    row_number() OVER (PARTITION BY p.query_id

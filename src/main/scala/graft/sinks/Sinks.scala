@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -7,12 +8,10 @@ import graft.model.Approach
 
 /** Output sinks (SURVEY.md §2.1 S6/S7). The reference upserts into
   * MySQL (`INSERT .. ON DUPLICATE KEY UPDATE`, FlightAnalysis.py:
-  * 400-431) and flips a per-flight done flag (py:432-437) — Spark has
-  * no multi-table transaction, so both outputs are snapshot parquet
-  * tables: each write REPLACES the whole table with this batch's
-  * rows (idempotent for re-runs of the same batch; NOT a per-key
-  * merge — incremental batches must target distinct paths or use a
-  * table format with MERGE semantics).
+  * 400-431) and flips a per-flight done flag (py:432-437). Spark has
+  * no multi-table transaction; [[writeApproaches]] is the snapshot
+  * form (whole-table replace) and [[mergeApproaches]] is the
+  * incremental per-key upsert matching the reference's semantics.
   */
 object Sinks {
 
@@ -29,6 +28,70 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("flight_bucket")
       .parquet(path)
+
+  /** S6 incremental: per-key upsert of an 18-column approaches batch
+    * into the bucketed parquet table at `path`, matching the
+    * reference's `INSERT .. ON DUPLICATE KEY UPDATE` on
+    * (flight_id, approach_id) (FlightAnalysis.py:400-431): batch rows
+    * replace same-key rows, other rows survive untouched. Stale
+    * approach ids a re-run no longer produces also survive — exactly
+    * the reference's upsert (it never deletes).
+    *
+    * 100 TB posture: dynamic partition overwrite rewrites ONLY the
+    * flight buckets the batch touches; the existing-table read is
+    * partition-pruned to those buckets, and the survivor set (old rows
+    * of touched buckets minus batch keys) is localCheckpoint'ed to cut
+    * lineage from the files being replaced — bounded by touched-bucket
+    * size, not table size. The anti join broadcasts the batch's key
+    * projection (two small columns). On a lakehouse deployment a table
+    * format's MERGE INTO (Delta/Iceberg) replaces this file dance; the
+    * semantics here are identical.
+    */
+  def mergeApproachesTable(batch: DataFrame, path: String,
+      buckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val newRows = batch
+      .withColumn("flight_bucket",
+        pmod(col("flight_id"), lit(buckets)).cast("int"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) {
+      newRows.repartition(col("flight_bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("flight_bucket").parquet(path)
+      return
+    }
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // bucket ids only — at most `buckets` small values on the driver
+      val touched = newRows.select(col("flight_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(path)
+        .filter(col("flight_bucket").isin(touched: _*))
+        .withColumn("flight_bucket", col("flight_bucket").cast("int"))
+      val survivors = existing.join(
+        broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
+        Seq("flight_id", "approach_id"), "left_anti")
+      survivors.localCheckpoint(true).unionByName(newRows)
+        .repartition(col("flight_bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("flight_bucket").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Typed form of [[mergeApproachesTable]]. */
+  def mergeApproaches(batch: Dataset[Approach], path: String,
+      buckets: Int = 64): Unit =
+    mergeApproachesTable(batch.drop("unstable_intervals"), path, buckets)
 
   /** S7: the processed-flag table (flight_id, approach_analysis=1).
     * Derived from the *input* flight set, not the approaches output —

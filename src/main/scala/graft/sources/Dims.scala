@@ -16,16 +16,21 @@ import graft.model.{Airport, Runway}
   */
 object Dims {
 
-  /** Schema of data/Airports.csv (reference main.py:168-174). */
+  /** Schema of data/Airports.csv (reference main.py:168-174), with
+    * field names matching the file header exactly — a name mismatch
+    * makes Spark's header-conformance check log an error block on
+    * every read even though an explicit schema binds positionally.
+    * [[loadAirportsCsv]] renames to the engine's column names.
+    */
   val airportsCsvSchema: StructType = StructType(Seq(
-    StructField("code", StringType),
-    StructField("name", StringType),
-    StructField("city", StringType),
-    StructField("state", StringType),
-    StructField("latitude", DoubleType),
-    StructField("longitude", DoubleType),
-    StructField("elevation_ft", DoubleType),
-    StructField("tower_freq", StringType)
+    StructField("Airport_Code", StringType),
+    StructField("Airport Name", StringType),
+    StructField("City", StringType),
+    StructField("State_Code", StringType),
+    StructField("Latitude", DoubleType),
+    StructField("Longitude", DoubleType),
+    StructField("Elevation_FT", DoubleType),
+    StructField("Tower Freq", StringType)
   ))
 
   /** Columns our engine uses from data/AirportsDetailed.csv
@@ -35,6 +40,15 @@ object Dims {
     */
   def loadAirportsCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(airportsCsvSchema).csv(path)
+      .select(
+        col("Airport_Code").as("code"),
+        col("`Airport Name`").as("name"),
+        col("City").as("city"),
+        col("State_Code").as("state"),
+        col("Latitude").as("latitude"),
+        col("Longitude").as("longitude"),
+        col("Elevation_FT").as("elevation_ft"),
+        col("`Tower Freq`").as("tower_freq"))
 
   def loadRunwaysCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("header", "true").csv(path)

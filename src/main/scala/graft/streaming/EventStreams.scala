@@ -62,7 +62,13 @@ object EventStreams {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.end <= gapMs =>
+          // An event merges only if it lands within the gap of the
+          // session's span on EITHER side: `t - s.end` is negative for
+          // any out-of-order event (vacuously within gap), so a late
+          // event must also be within gap of the session start or it
+          // belongs to an earlier session (matches the batch q11 twin,
+          // which would emit separate islands).
+          case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
             // min() on start: a late-but-in-watermark event from a
             // previous batch may precede the stored session start
             cur = Some(SessionState(math.min(s.start, t),

@@ -75,6 +75,30 @@ object TextOps {
     }: _*)
   }
 
+  /** Candidate near-duplicate id pairs from an exploded band-key table
+    * `banded(doc_id, bk)` via a bucketed self-join, guarded by a
+    * hot-bucket cap: band buckets holding more than `maxBucket`
+    * signatures are dropped before pairing — the LSH analogue of
+    * [[jaccardPairs]]'s `maxDf` stop-shingle cap. Without it, an
+    * adversarial corpus (boilerplate near-identical docs collapsing
+    * into one bucket) makes a single bucket O(n^2); with it, pair
+    * count is bounded by buckets * maxBucket^2. Recall-lossy,
+    * precision-safe: dropped buckets lose candidates, the exact
+    * Jaccard confirm stage downstream is unaffected. The cap costs
+    * one extra aggregate + semi join on the 16-byte band keys.
+    */
+  def lshCandidatePairs(banded: DataFrame,
+      maxBucket: Long = 100000L): DataFrame = {
+    val sizes = banded.groupBy(col("bk")).agg(count(lit(1)).as("__bsz"))
+    val small = banded.join(
+      sizes.filter(col("__bsz") <= maxBucket).select(col("bk")), "bk")
+    small.as("a")
+      .join(small.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** 16-bit SimHash over a token array: token hash = first 4 hex chars
     * of md5 (16 bits); each bit votes +1/-1; signature bit = 1 iff the
     * vote sum is positive. Width is a parameter of the scheme (64-bit
@@ -100,6 +124,13 @@ object TextOps {
     * shingles per pair, filter on exact Jaccard. Bucketed by shingle —
     * no cross join; `maxDf` drops hot shingles (document-frequency
     * cap, the standard stop-shingle guard against quadratic buckets).
+    *
+    * maxDf bias: pruning removes hot shingles from the `common` count
+    * but NOT from the `na`/`nb` denominators, so once the cap binds,
+    * Jaccard is a systematic UNDER-estimate and pairs sharing only
+    * hot shingles are missed entirely — recall-lossy, precision-safe
+    * (no false pairs are introduced). Tune maxDf knowing confirmed
+    * scores skew low; the default never binds on organic corpora.
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
       shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
@@ -152,16 +183,47 @@ object TextOps {
   /** Predicted language: argmax of profile hits, ties to the
     * lexicographically first language; 'und' (undetermined) when no
     * profile scores a hit.
+    *
+    * Scalar convenience form. Flat shape (greatest + chained when over
+    * the hit counts — the earlier struct-reduce version duplicated the
+    * token scan exponentially via getField-over-CaseWhen, the same
+    * blow-up documented at Relational.q25). Still re-evaluates the
+    * hit counts a handful of times inside one expression; for per-row
+    * hot paths prefer [[withLanguageId]], which stages the counts as
+    * named columns so each is computed exactly once.
     */
   def languageId(toks: Column): Column = {
-    val scored = langProfiles.map { case (lang, ws) =>
-      struct(langHits(toks, ws).as("hits"), lit(lang).as("lang"))
+    val hits = langProfiles.map { case (_, ws) => langHits(toks, ws) }
+    val m = greatest(hits: _*)
+    val pick = langProfiles.zip(hits).tail.foldLeft(
+      when(hits.head === m, langProfiles.head._1)) {
+      case (acc, ((lang, _), h)) => acc.when(h === m, lang)
     }
-    val best = scored.reduce { (a, b) =>
-      when(b.getField("hits") > a.getField("hits") ||
-        (b.getField("hits") === a.getField("hits") &&
-          b.getField("lang") < a.getField("lang")), b).otherwise(a)
+    when(m === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Staged language-ID over a DataFrame: one flat hit-count column
+    * per profile (each token scan evaluated ONCE per row), then an
+    * argmax of named attribute references. Identical semantics to
+    * [[languageId]]; this is the form to use in pipelines — per-row
+    * CPU is k membership scans instead of the scalar form's
+    * re-evaluated expression tree. `df` must contain `textCol`.
+    */
+  def withLanguageId(df: DataFrame, textCol: Column, out: String): DataFrame = {
+    val tk = tokens(textCol)
+    val hitNames = langProfiles.map { case (lang, _) => s"__hits_$lang" }
+    val staged = df.select(
+      col("*") +: langProfiles.map { case (lang, ws) =>
+        langHits(tk, ws).as(s"__hits_$lang")
+      }: _*)
+      .withColumn("__hits_max",
+        greatest(hitNames.map(col): _*))
+    val pick = langProfiles.tail.foldLeft(
+      when(col(hitNames.head) === col("__hits_max"), langProfiles.head._1)) {
+      case (acc, (lang, _)) => acc.when(col(s"__hits_$lang") === col("__hits_max"), lang)
     }
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    staged
+      .withColumn(out, when(col("__hits_max") === 0, lit("und")).otherwise(pick))
+      .drop("__hits_max" +: hitNames: _*)
   }
 }

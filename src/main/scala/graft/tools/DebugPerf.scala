@@ -58,6 +58,30 @@ object DebugPerf {
     time("inv-join+group")(pairs.count())
     time("q33 full")(TextQueries.q33(spark, dir).count())
     time("q31 full")(TextQueries.q31(spark, dir).count())
+    spark.catalog.clearCache()
+    // q31 internal stage split
+    val near = docs.union(docs
+      .filter(col("doc_id") % 7 === 0 && size(tokens(col("text"))) > 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), lit(1),
+          size(tokens(col("text"))) - 3)).as("text")))
+    val sh31 = near.withColumn("sh",
+      array_distinct(hashShingles(wordShingles(tokens(col("text")), 5))))
+      .filter(size(col("sh")) > 0)
+    val sig = sh31.select(
+      (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*).persist()
+    time("q31 sig materialize")(sig.count())
+    val banded = sig.select(col("doc_id"),
+      explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
+    val idPairs = lshCandidatePairs(banded).persist()
+    time("q31 band join")(idPairs.count())
+    val sets = sig.select(col("doc_id"), col("sh"))
+    val confirmed = idPairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("jac", jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= 0.5)
+    time("q31 confirm join")(confirmed.count())
     println(TextQueries.q31(spark, dir).queryExecution.executedPlan.toString.take(6000))
     spark.stop()
   }

@@ -22,7 +22,9 @@ class EntrySpec extends AnyFunSuite {
     assert(qs.nonEmpty)
     // every oracle refers to a registered query
     assert(os.keySet.subsetOf(qs.keySet))
-    // the only oracle-exempt query is the raw state-machine table
-    assert((qs.keySet -- os.keySet) == Set("q20_approaches"))
+    // every query is oracled (q20's state machine got a closed-form
+    // oracle in round 3 — keep this exhaustive)
+    assert((qs.keySet -- os.keySet).isEmpty,
+      s"oracle-less queries: ${qs.keySet -- os.keySet}")
   }
 }

@@ -36,6 +36,41 @@ class SinksSpec extends AnyFunSuite {
     assert(secondRows == firstRows)
   }
 
+  test("mergeApproaches: per-key upsert across two overlapping batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("merge").toString + "/approaches"
+    val flights = FlightGen.trace(spark.range(6).toDF("flight"))
+      .as[graft.model.FlightSample]
+    val all = ApproachPipeline.approachesTable(
+      ApproachPipeline.detectApproaches(flights, Dims.syntheticAirports()))
+      .persist()
+    // batch 1: flights 0,2,4 with a sentinel; batch 2: flights 0,3
+    Sinks.mergeApproachesTable(
+      all.filter(col("flight_id") % 2 === 0).withColumn("unstable", lit(9)),
+      out, buckets = 4)
+    Sinks.mergeApproachesTable(
+      all.filter(col("flight_id") % 3 === 0), out, buckets = 4)
+    val got = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    all.unpersist()
+    // keys = {0,2,3,4}; flight 0 updated by batch 2 (sentinel replaced),
+    // 2 and 4 survive with the sentinel, 3 inserted by batch 2
+    assert(got.keySet == Set(0L, 2L, 3L, 4L))
+    assert(got(0L) != 9, "overlap key must take batch-2 values")
+    assert(got(2L) == 9 && got(4L) == 9, "non-matched rows must survive")
+    // idempotency: re-merging batch 2 changes nothing
+    Sinks.mergeApproachesTable(
+      ApproachPipeline.approachesTable(
+        ApproachPipeline.detectApproaches(flights, Dims.syntheticAirports()))
+        .filter(col("flight_id") % 3 === 0), out, buckets = 4)
+    val again = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got)
+  }
+
   test("analysisFlags: every distinct flight flagged once") {
     import spark.implicits._
     val flights = FlightGen.trace(spark.range(3).toDF("flight"))

@@ -66,6 +66,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(lid("la de") == "es")
   }
 
+  test("withLanguageId: staged form matches scalar languageId on every case") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat and the hat is here",
+      "el perro y la casa es grande",
+      "der hund und die katze ist da",
+      "le chien et la maison est grande",
+      "zzz qqq www",
+      "la de", // es/fr tie -> lexicographically first (es)
+      "")
+    val df = texts.toDF("text")
+    val scalar = df.select(col("text"), languageId(tokens(col("text"))).as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val staged = withLanguageId(df, col("text"), "p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(staged == scalar)
+    assert(staged("the cat and the hat is here") == "en")
+    assert(staged("la de") == "es")
+    assert(staged("zzz qqq www") == "und")
+  }
+
+  test("lshCandidatePairs: hot-bucket cap prunes an all-identical corpus") {
+    import spark.implicits._
+    // 50 docs all sharing one band key: uncapped would pair 50*49/2
+    val banded = (1L to 50L).map(i => (i, "deadbeef")).toDF("doc_id", "bk")
+    assert(lshCandidatePairs(banded).count() == 50L * 49 / 2)
+    // cap below the bucket size drops the hot bucket entirely
+    assert(lshCandidatePairs(banded, maxBucket = 10).count() == 0)
+    // cap spares cold buckets alongside a hot one
+    val mixed = banded.union(Seq((100L, "c0ld"), (101L, "c0ld")).toDF("doc_id", "bk"))
+    val got = lshCandidatePairs(mixed, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)))
+  }
+
   test("jaccardPairs: finds the planted near-pair, never pairs disjoint docs") {
     import spark.implicits._
     val docs = Seq(
