@@ -51,6 +51,20 @@ object ApproachPipeline {
   def approachesTable(approaches: Dataset[Approach]): DataFrame =
     approaches.drop("unstable_intervals")
 
+  /** F4: flight-validity probe (reference main.py:186-191) — a flight
+    * is valid iff ANY sample has a usable position: latitude or
+    * longitude neither NULL nor exactly 0. Null-safe by construction
+    * (each conjunct leads with isNotNull, so `false AND null` folds to
+    * false, never leaking NULL through the OR).
+    */
+  def flightValidity(samples: DataFrame): DataFrame = {
+    val usable =
+      (col("latitude").isNotNull && col("latitude") =!= 0) ||
+        (col("longitude").isNotNull && col("longitude") =!= 0)
+    samples.groupBy(col("flight").as("flight_id"))
+      .agg(max(usable.cast("int")).as("valid"))
+  }
+
   // NOT private: encoder codegen instantiates it from generated code
   case class TypedSample(s: FlightSample, aircraft_type: String)
 

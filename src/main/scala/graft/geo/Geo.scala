@@ -166,6 +166,14 @@ object Geo {
     * (reference FlightAnalysis.py:122,148).
     */
   def agl(mslAltitude: Column, airportAlt: Column): Column = mslAltitude - airportAlt
+
+  /** G14: "(lat, lon)" string form of a point (reference
+    * LatLon.py:42-49 `__str__`; Python `{0:5f}` = `%f`, six decimal
+    * places). Java's `%f` and C printf's `%f` agree on these doubles,
+    * so the DuckDB oracle replays it with `printf`.
+    */
+  def formatLatLon(lat: Column, lon: Column): Column =
+    format_string("(%f, %f)", lat, lon)
 }
 
 /** Plain-Scala twins of [[Geo]] for use inside the typed per-flight

@@ -279,6 +279,26 @@ object ApproachQueries {
       |WHERE user_id % 2 = 0 OR user_id % 3 = 0
       |ORDER BY flight_id, approach_id""".stripMargin
 
+  // ---- q44: flight-validity probe (F4 — main.py:186-191) ----
+  // Plant invalid position data (lat := 0, lon := NULL) on every 4th
+  // flight, then probe: valid iff any sample has a usable position.
+  // Closed-form oracle: valid = (flight % 4 != 0).
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val s = FlightGen.flights(spark, dir).toDF()
+    val planted = s
+      .withColumn("latitude",
+        when(col("flight") % 4 === 0, lit(0.0)).otherwise(col("latitude")))
+      .withColumn("longitude",
+        when(col("flight") % 4 === 0, lit(null).cast("double"))
+          .otherwise(col("longitude")))
+    ApproachPipeline.flightValidity(planted).orderBy(col("flight_id"))
+  }
+
+  val q44Sql: String =
+    """SELECT user_id AS flight_id, CAST(user_id % 4 <> 0 AS INT) AS valid
+      |FROM (SELECT DISTINCT user_id FROM events)
+      |ORDER BY flight_id""".stripMargin
+
   /** All approach queries + oracles, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_approaches" -> (q20 _),
@@ -287,7 +307,8 @@ object ApproachQueries {
     "q23_analysis_flags" -> (q23 _),
     "q24_airport_dims" -> (q24 _),
     "q28_per_aircraft_thresholds" -> (q28 _),
-    "q39_merge_sink" -> (q39 _)
+    "q39_merge_sink" -> (q39 _),
+    "q44_validity_probe" -> (q44 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +318,7 @@ object ApproachQueries {
     "q23_analysis_flags" -> q23Sql,
     "q24_airport_dims" -> q24Sql,
     "q28_per_aircraft_thresholds" -> q28Sql,
-    "q39_merge_sink" -> q39Sql
+    "q39_merge_sink" -> q39Sql,
+    "q44_validity_probe" -> q44Sql
   )
 }

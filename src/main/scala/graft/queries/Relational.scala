@@ -720,6 +720,26 @@ object Relational {
       |  AND user_id IS NOT NULL AND event_type IS NOT NULL AND props IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q45: lat/lon string formatting (G14 — LatLon.py:42-49) ----
+  // Points derived from customer keys (exact quarter/half-degree
+  // doubles — no decimal-rounding ambiguity at 6 places); Java %f and
+  // DuckDB printf %f agree.
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    tbl(spark, dir, "customer")
+      .select(k.as("c_custkey"),
+        Geo.formatLatLon(
+          (k % 120) - lit(60) + lit(0.25),
+          ((k * 7) % 300) - lit(150) + lit(0.5)).as("pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q45Sql: String =
+    """SELECT c_custkey,
+      |  printf('(%f, %f)', (c_custkey % 120) - 60 + 0.25e0,
+      |         ((c_custkey * 7) % 300) - 150 + 0.5e0) AS pos
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -744,7 +764,8 @@ object Relational {
     "q29_percentiles" -> (q29 _),
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
-    "q19_nulldrop" -> (q19 _)
+    "q19_nulldrop" -> (q19 _),
+    "q45_latlon_format" -> (q45 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -770,6 +791,7 @@ object Relational {
     "q29_percentiles" -> q29Sql,
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
-    "q19_nulldrop" -> q19Sql
+    "q19_nulldrop" -> q19Sql,
+    "q45_latlon_format" -> q45Sql
   )
 }

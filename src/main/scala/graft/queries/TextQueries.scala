@@ -69,7 +69,7 @@ object TextQueries {
   def q31(spark: SparkSession, dir: String): DataFrame = {
     val docs = withNearCopies(tbl(spark, dir, "documents"))
       .withColumn("sh",
-        array_distinct(hashShingles(wordShingles(toks, 5))))
+        array_distinct(hashShingles(wordShinglesRaw(toks, 5))))
       .filter(size(col("sh")) > 0)
     // persisted: the band self-join and the shingle-set fetch below
     // each re-read this (see TextOps.jaccardPairs for the rationale)
@@ -146,9 +146,13 @@ object TextQueries {
   }
 
   // ---- q32: 16-bit SimHash signatures ----
+  // Staged: the token md5 pass lands in a named column evaluated once
+  // per row; the 16 bit-vote aggregates then scan the small int array.
   def q32(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
-      .select(col("doc_id"), simHash16(toks).cast("int").as("simhash"))
+      .select(col("doc_id"), tokenHashes16(toks).as("__tv"))
+      .select(col("doc_id"),
+        simHash16FromHashes(col("__tv")).cast("int").as("simhash"))
       .orderBy(col("doc_id"))
 
   val q32Sql: String = {
@@ -333,16 +337,17 @@ object TextQueries {
   // docs, rounded e6. ln is libm on both engines -> identical doubles.
   def q38(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    // persisted: tf and df both consume the exploded tokens — without
-    // a barrier each branch re-tokenizes the full corpus
+    // tf rows are unique per (doc, term), so document frequency is a
+    // count over tf — deriving df from tf instead of a second
+    // distinct+aggregate over the raw exploded tokens halves the
+    // shuffled volume; tf is the persisted barrier both consumers read
     val tok = docs
       .select(col("doc_id"), size(toks).as("doc_len"),
         explode(toks).as("term"))
-      .persist()
     val tf = tok.groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("occ"))
-    val df_ = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist()
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row scalar aggregate — folded into
     // the plan (one job), no driver-side count round-trip
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))

@@ -1,8 +1,9 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.model.Approach
 
@@ -92,6 +93,20 @@ object Sinks {
   def mergeApproaches(batch: Dataset[Approach], path: String,
       buckets: Int = 64): Unit =
     mergeApproachesTable(batch.drop("unstable_intervals"), path, buckets)
+
+  /** S8: console sink — the reference prints each approach tuple to
+    * stdout as it inserts (FlightAnalysis.py:426-427). Batch form:
+    * `show` without truncation (driver-side, debug scale only).
+    */
+  def printApproaches(df: DataFrame, numRows: Int = 20): Unit =
+    df.show(numRows, truncate = false)
+
+  /** S8 streaming twin: the Structured Streaming console sink, for
+    * wiring a streamed approaches table to stdout
+    * (`consoleStream(df).start()`).
+    */
+  def consoleStream(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").outputMode("append")
 
   /** S7: the processed-flag table (flight_id, approach_analysis=1).
     * Derived from the *input* flight set, not the approaches output —

@@ -30,6 +30,19 @@ object TextOps {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** Word `n`-gram shingles WITHOUT the string-level distinct. For
+    * hashed pipelines (minhash/Jaccard) dedup happens after hashing
+    * (`array_distinct` over the longs) — deduping the ~250-element
+    * string array first is an O(len^2) string-compare pass per doc
+    * that buys nothing, since the hash is deterministic and the
+    * post-hash distinct produces the identical set.
+    */
+  def wordShinglesRaw(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   /** Largest prime below 2^30 — the MinHash permutation modulus. */
   val MinHashP = 1073741789L
 
@@ -99,19 +112,33 @@ object TextOps {
       .distinct()
   }
 
-  /** 16-bit SimHash over a token array: token hash = first 4 hex chars
-    * of md5 (16 bits); each bit votes +1/-1; signature bit = 1 iff the
-    * vote sum is positive. Width is a parameter of the scheme (64-bit
-    * in production); 16 keeps the cross-engine oracle SQL tractable.
+  /** 16-bit token hash array: first 4 hex chars of each token's md5.
+    * Stage this as a NAMED column before [[simHash16FromHashes]] — the
+    * 16 bit-vote aggregates each reference it, and an inline
+    * expression would recompute the md5 pass 16x per row.
     */
-  def simHash16(toks: Column): Column = {
-    val tokVal = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("int")
+  def tokenHashes16(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+
+  /** 16-bit SimHash from a pre-staged token-hash array: each bit votes
+    * +1/-1 per token; signature bit = 1 iff the vote sum is positive.
+    * Width is a parameter of the scheme (64-bit in production); 16
+    * keeps the cross-engine oracle SQL tractable. The 16 vote passes
+    * scan a small int array — the one md5 pass happens in
+    * [[tokenHashes16]].
+    */
+  def simHash16FromHashes(tvs: Column): Column =
     (0 until 16).map { j =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(tokVal(t).bitwiseAND(1 << j) =!= 0, 1).otherwise(-1))
+      val vote = aggregate(tvs, lit(0),
+        (acc, tv) => acc + when(tv.bitwiseAND(1 << j) =!= 0, 1).otherwise(-1))
       when(vote > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
-  }
+
+  /** Scalar convenience form of SimHash (md5 pass re-evaluated per
+    * bit — use the staged pair above in per-row hot paths).
+    */
+  def simHash16(toks: Column): Column =
+    simHash16FromHashes(tokenHashes16(toks))
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -145,7 +172,7 @@ object TextOps {
     // result, or checkpoint to storage instead.
     val sh = docs
       .select(col("doc_id"),
-        array_distinct(hashShingles(wordShingles(tokens(col("text")), shingleN)))
+        array_distinct(hashShingles(wordShinglesRaw(tokens(col("text")), shingleN)))
           .as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist()

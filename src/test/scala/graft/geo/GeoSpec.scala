@@ -13,6 +13,14 @@ import graft.SparkSpec
   */
 class GeoSpec extends AnyFunSuite {
 
+  test("Geo.formatLatLon: 6-decimal '(lat, lon)' form (G14)") {
+    import SparkSpec.spark.implicits._
+    val got = Seq((12.25, -59.5)).toDF("lat", "lon")
+      .select(Geo.formatLatLon(col("lat"), col("lon")))
+      .collect().head.getString(0)
+    assert(got == "(12.250000, -59.500000)")
+  }
+
   // ---- scalar twins (GeoS) ----
 
   test("GeoS.toVector (45,45) = [0.5, 0.5, 0.7071]") {

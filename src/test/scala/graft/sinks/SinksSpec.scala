@@ -71,6 +71,26 @@ class SinksSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("flightValidity: zero/NULL positions invalid, any usable sample valid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq(
+      (1L, 0.0, Option.empty[Double]), // invalid: lat 0, lon NULL
+      (1L, 0.0, Option.empty[Double]),
+      (2L, 0.0, Option.empty[Double]),
+      (2L, 40.1, Some(-100.0)), // one usable sample -> valid
+      (3L, 0.0, Some(0.0)) // both exactly 0 -> invalid
+    ).toDF("flight", "latitude", "longitude")
+    val got = ApproachPipeline.flightValidity(samples)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("printApproaches: console sink renders without throwing (S8)") {
+    import spark.implicits._
+    Sinks.printApproaches(Seq((1L, "AP01")).toDF("flight_id", "airport_id"), 5)
+  }
+
   test("analysisFlags: every distinct flight flagged once") {
     import spark.implicits._
     val flights = FlightGen.trace(spark.range(3).toDF("flight"))
