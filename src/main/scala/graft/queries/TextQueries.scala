@@ -72,10 +72,14 @@ object TextQueries {
         array_distinct(hashShingles(wordShinglesRaw(toks, 5))))
       .filter(size(col("sh")) > 0)
     // persisted: the band self-join and the shingle-set fetch below
-    // each re-read this (see TextOps.jaccardPairs for the rationale)
+    // each re-read this (see TextOps.jaccardPairs for the rationale);
+    // eagerly materialized, or the sibling stages of the first job
+    // race to compute it and the md5 digest pass runs 2-3x (measured:
+    // 27 s -> ~10 s for the whole query at sf0.1)
     val sig = docs.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
       .persist()
+    sig.count()
     // band join carries ids only — the ~250-element shingle arrays
     // would otherwise be exploded 4x and shuffled with every band row.
     // lshCandidatePairs adds the hot-bucket cap (default never binds
@@ -347,6 +351,7 @@ object TextQueries {
     val tf = tok.groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("occ"))
       .persist()
+    tf.count() // eager barrier — see TextOps.jaccardPairs
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row scalar aggregate — folded into
     // the plan (one job), no driver-side count round-trip

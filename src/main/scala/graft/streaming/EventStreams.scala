@@ -30,6 +30,21 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup over a document stream — the streamed twin
+    * of the batch hash-groupBy dedup (TextQueries.q30) for a
+    * training-data ingest pipeline: keep the first document per
+    * content digest, drop re-ingested duplicates arriving within the
+    * watermark horizon. Scale posture matches the batch operator:
+    * state and shuffle key are the 16-byte md5 digest, raw text never
+    * shuffles; state size = unique digests inside the horizon, evicted
+    * by watermark.
+    */
+  def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** One user session: closed after `gapSeconds` of event-time
     * silence (twin of the batch gaps-and-islands in Relational.q11).
     */

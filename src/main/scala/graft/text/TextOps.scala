@@ -102,9 +102,14 @@ object TextOps {
     */
   def lshCandidatePairs(banded: DataFrame,
       maxBucket: Long = 100000L): DataFrame = {
-    val sizes = banded.groupBy(col("bk")).agg(count(lit(1)).as("__bsz"))
-    val small = banded.join(
-      sizes.filter(col("__bsz") <= maxBucket).select(col("bk")), "bk")
+    // Hot-set shape: aggregate to the OVER-cap buckets only (tiny by
+    // definition — at most n/maxBucket keys) and broadcast-anti-join
+    // them away, so the banded table itself is never shuffled for the
+    // cap. The aggregate shuffles only 16-byte keys with map-side
+    // partial counts.
+    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket).select(col("bk"))
+    val small = banded.join(broadcast(hot), Seq("bk"), "left_anti")
     small.as("a")
       .join(small.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
@@ -176,6 +181,12 @@ object TextOps {
           .as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist()
+    // Eager barrier: the consumers below sit in SIBLING stages of one
+    // job, which race to compute uncached partitions — each racer runs
+    // the full tokenize/md5 pipeline before the cache wins (measured
+    // ~2x the digest cost). One count() fills the cache first; at
+    // warehouse scale this is where the digest table is checkpointed.
+    sh.count()
     val inv = sh
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val rare = inv.groupBy("s").count().filter(col("count") <= maxDf).select("s")

@@ -48,6 +48,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupDocuments: first doc per digest survives, in-watermark dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = dedupDocuments(docs, "2 hours").writeStream
+      .format("memory").queryName("deduped").outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData((ts(0), 1L, "alpha"), (ts(1), 2L, "alpha"), (ts(2), 3L, "beta"))
+      q.processAllAvailable()
+      val first = spark.table("deduped").collect()
+      assert(first.map(_.getAs[String]("text")).sorted.toSeq == Seq("alpha", "beta"))
+      // a later re-ingest of "alpha" within the watermark is dropped
+      in.addData((ts(30), 4L, "alpha"), (ts(31), 5L, "gamma"))
+      q.processAllAvailable()
+      val all = spark.table("deduped").collect()
+      assert(all.map(_.getAs[String]("text")).sorted.toSeq ==
+        Seq("alpha", "beta", "gamma"))
+      assert(!all.exists(_.getAs[Long]("doc_id") == 4L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; timeout emits the last one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
