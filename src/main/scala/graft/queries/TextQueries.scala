@@ -182,8 +182,11 @@ object TextQueries {
     jaccardPairs(withNearCopies(tbl(spark, dir, "documents")), 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  val q33Sql: String =
-    s"""WITH docs AS (
+  /** Shared oracle CTE chain producing the inverted-index candidate
+    * pairs (used by q33 and the q47 cluster resolution on top of it).
+    */
+  private val nearPairsCte: String =
+    s"""docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
@@ -206,7 +209,10 @@ object TextQueries {
       |    count(*) AS common
       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4
-      |)
+      |)""".stripMargin
+
+  val q33Sql: String =
+    s"""WITH $nearPairsCte
       |SELECT id_a, id_b, common,
       |  CAST(round(10000.0 * common / (na + nb - common), 0) AS BIGINT) AS jaccard_e4
       |FROM pairs
@@ -386,8 +392,66 @@ object TextQueries {
       |WHERE doc_id < 20
       |ORDER BY doc_id, term""".stripMargin
 
+  // ---- q46: deterministic train/valid/test split (hash-mod) ----
+  // The standard leakage-safe corpus split: bucket = salted content-id
+  // hash mod 100, 80/10/10. Pure column arithmetic, reshuffles nothing
+  // — at 100 TB the split is a free projection on every scan.
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100).as("bucket")
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q46Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+      |       WHEN ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q47: near-dup cluster resolution (connected components) ----
+  // Turns the q33 pair list into the actual dedup decision: every doc
+  // in the near-dup graph labeled with its component's minimum id
+  // (keep keeper == doc_id, drop the rest). Spark: min-label
+  // propagation, O(diameter) join rounds; oracle: recursive CTE
+  // reachability fixpoint.
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(jaccardPairs(withNearCopies(tbl(spark, dir, "documents")), 0.5))
+      .select(col("id").as("doc_id"), col("label").as("keeper"))
+      .orderBy(col("doc_id"))
+
+  val q47Sql: String =
+    s"""WITH RECURSIVE $nearPairsCte,
+      |good AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE 1.0 * common / (na + nb - common) >= 0.5
+      |), nodes AS (
+      |  SELECT DISTINCT id
+      |  FROM (SELECT id_a AS id FROM good UNION ALL SELECT id_b FROM good)
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM good
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM good
+      |), reach(n, m) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      |)
+      |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
+    "q46_split" -> (q46 _),
+    "q47_dedup_clusters" -> (q47 _),
     "q30_exact_dedup" -> (q30 _),
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
@@ -400,6 +464,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q38_tfidf" -> q38Sql,
+    "q46_split" -> q46Sql,
+    "q47_dedup_clusters" -> q47Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,

@@ -205,6 +205,45 @@ object TextOps {
         round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
   }
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns candidate pairs (q31/q33 output) into an actionable
+    * dedup decision: every doc gets the minimum doc_id of its
+    * component as `label`; keep label == id, drop the rest.
+    *
+    * Spark-native min-label propagation: each iteration joins labels
+    * across the bidirectional edge list and takes the per-node min;
+    * converges in O(component diameter) iterations (near-dup
+    * components are shallow — dup clusters, not social graphs). The
+    * driver-side loop holds only the iteration count and a changed
+    * counter; labels/edges stay distributed. Input must have id_a <
+    * id_b columns; output is (id, label) for every node of the graph.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b")).persist()
+    edges.count() // eager barrier: consumed by every iteration
+    val bidir = edges.union(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = bidir.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val msgs = bidir.join(labels, bidir("id_a") === labels("id"))
+        .select(col("id_b").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      next.count()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Per-language stopword profiles for the language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),

@@ -113,6 +113,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("dedupClusters: min-label propagation across chained components") {
+    import spark.implicits._
+    // chain 1-2-3 (via 1-2, 2-3) and isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simHash16: 16-bit range, identical texts collide, determinism") {
     import spark.implicits._
     val df = Seq("spark rows columns", "spark rows columns", "zz yy xx ww")
