@@ -256,8 +256,10 @@ object ApproachQueries {
     val batch1 = all.filter(col("flight_id") % 2 === 0)
       .withColumn("unstable", lit(9))
     val batch2 = all.filter(col("flight_id") % 3 === 0)
-    graft.sinks.Sinks.mergeApproachesTable(batch1, out)
-    graft.sinks.Sinks.mergeApproachesTable(batch2, out)
+    // 8 buckets at test scale (the 64-bucket default is sized for the
+    // 100 TB table; here it just multiplies tiny files and write jobs)
+    graft.sinks.Sinks.mergeApproachesTable(batch1, out, buckets = 8)
+    graft.sinks.Sinks.mergeApproachesTable(batch2, out, buckets = 8)
     spark.read.parquet(out)
       .select(col("flight_id"), col("approach_id"), col("airport_id"),
         col("landing_type"), col("unstable"))

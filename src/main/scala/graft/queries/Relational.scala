@@ -369,20 +369,67 @@ object Relational {
   // ---- q16: geodesy scalar library as SQL (G1, G4, G8 — SURVEY §2.8) ----
   // Synthetic points derived from customer keys; DuckDB oracle carries
   // the same closed-form n-vector trig. Rounded to 4 decimals (libm).
+  //
+  // STAGED into flat per-component projections (same pattern and
+  // reason as q25 below): composing Geo.distanceTo /
+  // crossTrackDistanceTo inline duplicated the trig subtrees enough
+  // to cost ~6 s of codegen plus 2.6 s steady-state for 15k rows
+  // (measured). The staged form is the identical arithmetic in the
+  // identical IEEE order — Geo's composed combinators stay correct
+  // for scalar use and are pinned by GeoSpec.
   def q16(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
-    val lat1 = (k % 120) - lit(60) + lit(0.25)
-    val lon1 = ((k * 7) % 300) - lit(150) + lit(0.5)
-    val h1 = (k % 360).cast("double")
-    val h2 = ((k * 13) % 360).cast("double")
-    tbl(spark, dir, "customer")
-      .select(
-        k.as("c_custkey"),
-        round(Geo.distanceTo(lat1, lon1, lit(40.6892), lit(-74.0445),
-          lit(3959d)), 4).as("dist_mi"),
-        Geo.headingDifference(h1, h2).as("hdg_diff"),
-        round(Geo.crossTrackDistanceTo(lat1, lon1, lit(40.6892),
-          lit(-74.0445), lit(45d), lit(20900000d)), 2).as("xtrack_ft"))
+    val rlat2 = radians(lit(40.6892))
+    val rlon2 = radians(lit(-74.0445))
+    val th = radians(lit(45d))
+    val pts = tbl(spark, dir, "customer").select(
+      k.as("c_custkey"),
+      radians((k % 120) - lit(60) + lit(0.25)).as("rlat1"),
+      radians(((k * 7) % 300) - lit(150) + lit(0.5)).as("rlon1"),
+      (k % 360).cast("double").as("h1"),
+      ((k * 13) % 360).cast("double").as("h2"))
+    // a = point n-vector; b, g(reat-circle normal) fold to constants
+    val v = pts.select(col("c_custkey"), col("h1"), col("h2"),
+      (cos(col("rlat1")) * cos(col("rlon1"))).as("ax"),
+      (cos(col("rlat1")) * sin(col("rlon1"))).as("ay"),
+      sin(col("rlat1")).as("az"),
+      (cos(rlat2) * cos(rlon2)).as("bx"),
+      (cos(rlat2) * sin(rlon2)).as("by"),
+      sin(rlat2).as("bz"),
+      (sin(rlon2) * cos(th) - sin(rlat2) * cos(rlon2) * sin(th)).as("gx"),
+      (-cos(rlon2) * cos(th) - sin(rlat2) * sin(rlon2) * sin(th)).as("gy"),
+      (cos(rlat2) * sin(th)).as("gz"))
+    // cross products: c = a x b (distance), cr = g x a and sv = a x g
+    // (signed cross-track) — component orders exactly as Geo.vCross
+    val cr = v.select(col("*"),
+      (col("ay") * col("bz") - col("az") * col("by")).as("cx"),
+      (col("az") * col("bx") - col("ax") * col("bz")).as("cy"),
+      (col("ax") * col("by") - col("ay") * col("bx")).as("cz"),
+      (col("gy") * col("az") - col("gz") * col("ay")).as("crx"),
+      (col("gz") * col("ax") - col("gx") * col("az")).as("cry"),
+      (col("gx") * col("ay") - col("gy") * col("ax")).as("crz"),
+      (col("ay") * col("gz") - col("az") * col("gy")).as("svx"),
+      (col("az") * col("gx") - col("ax") * col("gz")).as("svy"),
+      (col("ax") * col("gy") - col("ay") * col("gx")).as("svz"))
+    val s = sqrt(col("crx") * col("crx") + col("cry") * col("cry") +
+      col("crz") * col("crz"))
+    val ang = cr.select(col("c_custkey"), col("h1"), col("h2"),
+      atan2(
+        sqrt(col("cx") * col("cx") + col("cy") * col("cy") +
+          col("cz") * col("cz")),
+        col("ax") * col("bx") + col("ay") * col("by") + col("az") * col("bz"))
+        .as("theta"),
+      atan2(
+        when(col("crx") * col("svx") + col("cry") * col("svy") +
+          col("crz") * col("svz") < 0, -s).otherwise(s),
+        col("gx") * col("ax") + col("gy") * col("ay") + col("gz") * col("az"))
+        .as("alpha0"))
+    val halfPi = lit(math.Pi / 2)
+    ang.select(col("c_custkey"),
+      round(col("theta") * lit(3959d), 4).as("dist_mi"),
+      Geo.headingDifference(col("h1"), col("h2")).as("hdg_diff"),
+      round(when(col("alpha0") < 0, -halfPi - col("alpha0"))
+        .otherwise(halfPi - col("alpha0")) * lit(20900000d), 2).as("xtrack_ft"))
       .orderBy(col("c_custkey"))
   }
 

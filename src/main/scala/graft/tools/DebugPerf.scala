@@ -20,6 +20,20 @@ object DebugPerf {
       println(f"[debug] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // usage: runMain graft.tools.DebugPerf <sfDir> rel — time the
+    // relational hot spots twice (1st run = codegen + exec, 2nd = exec)
+    if (args.length > 1 && args(1) == "rel") {
+      Seq("q16_geodesy", "q03_join3_topk", "q13_setops", "q43_ivf_ann",
+        "q39_merge_sink").foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        time(s"$name run1")(fn(spark, dir).count())
+        spark.catalog.clearCache()
+        time(s"$name run2")(fn(spark, dir).count())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     // optional: flagship throughput at synthetic scale
     // usage: runMain graft.tools.DebugPerf <sfDir> <nFlights>
     if (args.length > 1) {
