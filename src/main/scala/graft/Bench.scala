@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // warm-up: exercise the scan/codegen/JIT paths once so the first
     // timed query doesn't absorb ~5-8 s of one-time cost
     try {

@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime helper for [[Md5Long60]]: md5 the UTF-8 bytes and take the
+  * first 15 hex nibbles (60 bits) as a non-negative long — EXACTLY the
+  * value of `conv(substring(md5(s), 1, 15), 16, 10)`, the engine's
+  * cross-engine-portable base hash (DuckDB replays it from the hex
+  * form). Computing it from the digest bytes skips the 32-char hex
+  * string materialization and the string-based base conversion that
+  * the built-in-function composition pays per shingle.
+  */
+object HashUtil {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private def long60(d: Array[Byte]): Long =
+    // first 8 bytes big-endian = 16 nibbles; drop the 16th -> 60 bits
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+
+  def md5Long60(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    long60(digest.digest(s.getBytes))
+  }
+
+  /** All word n-gram shingle hashes of a token array, in order: the
+    * 60-bit md5 of each window's tokens joined by a single space —
+    * byte-identical to `md5(concat_ws(" ", slice(toks, i, n)))`, but
+    * STREAMED into one digest instance (update per token + separator)
+    * with zero intermediate shingle strings. Empty array when fewer
+    * than n tokens, matching TextOps.wordShingles' guard.
+    */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val digest = md.get()
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      digest.reset()
+      var j = i
+      while (j < i + n) {
+        if (j > i) digest.update(0x20.toByte)
+        digest.update(toks(j))
+        j += 1
+      }
+      out(i) = long60(digest.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression (with codegen) for the 60-bit md5 base
+  * hash — the hot scalar of the near-dup digest stage (SURVEY §2.11).
+  * Same value as `conv(substring(md5(s), 1, 15), 16, 10)`; a single
+  * static call per row inside whole-stage codegen, no hex string.
+  */
+case class Md5Long60(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_long60 requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.md5Long60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Long60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 =
+    copy(child = newChild)
+}
+
+/** Native shingle-hash expression: `shingle_hash60(toks, n)` maps a
+  * token array to the 60-bit md5 of every n-token window (space-
+  * joined), replacing the transform+slice+concat_ws+md5 composition —
+  * the measured hot spot of the near-dup digest stage was the
+  * per-shingle string materialization, not the md5 itself. One static
+  * call per row inside whole-stage codegen; the digest streams over
+  * token bytes with no intermediate shingle strings.
+  */
+case class ShingleHash60(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash60 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** Session wiring for the engine's native functions. Call once per
+  * SparkSession (Verify/Bench/tests do); queries reach the functions
+  * via `call_function("md5_long60", col)` /
+  * `call_function("shingle_hash60", toks, lit(n))`.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "md5_long60", exprs => Md5Long60(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "shingle_hash60", {
+        case Seq(toks, Literal(n: Int, IntegerType)) => ShingleHash60(toks, n)
+        case other => throw new IllegalArgumentException(
+          s"shingle_hash60(toks, <int literal>) — got $other")
+      }, "built-in")
+  }
+}

@@ -67,9 +67,9 @@ object TextQueries {
   // family) -> 4 bands x 2 rows -> bucket join on band key ->
   // exact-Jaccard confirm >= 0.5.
   def q31(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = withNearCopies(tbl(spark, dir, "documents"))
-      .withColumn("sh",
-        array_distinct(hashShingles(wordShinglesRaw(toks, 5))))
+      .withColumn("sh", hashedShingles(toks, 5))
       .filter(size(col("sh")) > 0)
     // persisted: the band self-join and the shingle-set fetch below
     // each re-read this (see TextOps.jaccardPairs for the rationale);
@@ -152,12 +152,14 @@ object TextQueries {
   // ---- q32: 16-bit SimHash signatures ----
   // Staged: the token md5 pass lands in a named column evaluated once
   // per row; the 16 bit-vote aggregates then scan the small int array.
-  def q32(spark: SparkSession, dir: String): DataFrame =
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     tbl(spark, dir, "documents")
       .select(col("doc_id"), tokenHashes16(toks).as("__tv"))
       .select(col("doc_id"),
         simHash16FromHashes(col("__tv")).cast("int").as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   val q32Sql: String = {
     val nib = (p: Int) =>
@@ -397,9 +399,9 @@ object TextQueries {
   // hash mod 100, 80/10/10. Pure column arithmetic, reshuffles nothing
   // — at 100 TB the split is a free projection on every scan.
   def q46(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(
-      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 100).as("bucket")
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = (call_function("md5_long60",
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket")
     tbl(spark, dir, "documents")
       .select(col("doc_id"), bucket)
       .withColumn("split",

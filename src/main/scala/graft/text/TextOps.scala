@@ -59,10 +59,29 @@ object TextOps {
     * signature rows are cheap affine transforms of this array — 8x
     * less hashing than k independent digests, the standard single-hash
     * MinHash construction.
+    *
+    * Uses the native [[graft.functions.Md5Long60]] expression (same
+    * value as `conv(substring(md5(s),1,15),16,10)`, computed from the
+    * digest bytes without the 32-char hex round-trip — this is the
+    * hottest scalar of the dedup pipelines). The session must have
+    * [[graft.functions.GraftFunctions.register]] applied; the query
+    * entry points and jaccardPairs do this.
     */
   def hashShingles(shingles: Column): Column =
     transform(shingles,
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP)
+      s => call_function("md5_long60", s) % MinHashP)
+
+  /** Distinct hashed n-gram shingles straight from the token array —
+    * the fused form of `array_distinct(hashShingles(wordShinglesRaw))`
+    * built on the native `shingle_hash60` expression: the digest
+    * streams over token bytes, no intermediate shingle strings are
+    * materialized (the measured hot spot of the digest stage). Values
+    * identical to the composed form.
+    */
+  def hashedShingles(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      call_function("shingle_hash60", toks, lit(n)),
+      h => h % MinHashP))
 
   /** MinHash signature over a pre-hashed shingle array: row i is
     * min((a_i * h + b_i) mod P) — engine-portable integer arithmetic.
@@ -123,7 +142,8 @@ object TextOps {
     * expression would recompute the md5 pass 16x per row.
     */
   def tokenHashes16(toks: Column): Column =
-    transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+    transform(toks,
+      t => shiftright(call_function("md5_long60", t), 44).cast("int"))
 
   /** 16-bit SimHash from a pre-staged token-hash array: each bit votes
     * +1/-1 per token; signature bit = 1 iff the vote sum is positive.
@@ -166,6 +186,7 @@ object TextOps {
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
       shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // Persist the hashed-shingle table: the self-join below reads it
     // twice, and without a barrier each side would re-run the whole
     // tokenize/shingle/md5 pipeline (measured 2x cost). A few bytes
@@ -177,8 +198,7 @@ object TextOps {
     // result, or checkpoint to storage instead.
     val sh = docs
       .select(col("doc_id"),
-        array_distinct(hashShingles(wordShinglesRaw(tokens(col("text")), shingleN)))
-          .as("sh"))
+        hashedShingles(tokens(col("text")), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .persist()
     // Eager barrier: the consumers below sit in SIBLING stages of one

@@ -14,6 +14,7 @@ object DebugPerf {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -61,7 +62,7 @@ object DebugPerf {
     val sh5 = docs.select(col("doc_id"), wordShingles(t, 5).as("sh"))
     time("shingle5")(sh5.select(sum(size(col("sh")))).collect())
     val hashed = docs.select(col("doc_id"),
-      array_distinct(hashShingles(wordShingles(t, 5))).as("sh"))
+      hashedShingles(t, 5).as("sh"))
     time("shingle5+hash")(hashed.select(sum(size(col("sh")))).collect())
     val inv = hashed.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
@@ -80,7 +81,7 @@ object DebugPerf {
         concat_ws(" ", slice(tokens(col("text")), lit(1),
           size(tokens(col("text"))) - 3)).as("text")))
     val sh31 = near.withColumn("sh",
-      array_distinct(hashShingles(wordShingles(tokens(col("text")), 5))))
+      hashedShingles(tokens(col("text")), 5))
       .filter(size(col("sh")) > 0)
     val sig = sh31.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*).persist()

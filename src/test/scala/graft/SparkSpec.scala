@@ -15,6 +15,7 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -32,6 +32,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(shingleRow("A  B\tc", 2) == Seq("a b", "b c")) // lower + ws split
   }
 
+  test("md5_long60: native expression matches the conv/substring composition") {
+    import spark.implicits._
+    val df = Seq("alpha beta", "x", "", "日本語 text", "a b c d e f g")
+      .toDF("s")
+    val rows = df.select(
+      call_function("md5_long60", col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("hashedShingles: fused native form matches the composed pipeline") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b c d e", // exactly n tokens
+      "too short", // under n -> empty
+      "dup dup dup dup dup dup dup" // shingle repeats -> distinct
+    ).toDF("text")
+    val t = tokens(col("text"))
+    val rows = df.select(
+      hashedShingles(t, 5).as("fused"),
+      array_distinct(hashShingles(wordShinglesRaw(t, 5))).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("minHash: deterministic, within [0, P), monotone under containment") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps over the lazy dog again and again")
