@@ -129,15 +129,41 @@ case class ShingleHash60(child: Expression, n: Int)
   * `call_function("shingle_hash60", toks, lit(n))`.
   */
 object GraftFunctions {
+  private val shingleBuilder: Seq[Expression] => Expression = {
+    case Seq(toks, Literal(n: Int, IntegerType)) => ShingleHash60(toks, n)
+    case other => throw new IllegalArgumentException(
+      s"shingle_hash60(toks, <int literal>) — got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
       "md5_long60", exprs => Md5Long60(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
-      "shingle_hash60", {
+      "shingle_hash60", shingleBuilder, "built-in")
+  }
+}
+
+/** Standard extension hook: users of the library outside our own
+  * mains get the native functions with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), the idiomatic
+  * SparkSessionExtensions injection path.
+  */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (exprs: Seq[Expression]) => exprs match {
         case Seq(toks, Literal(n: Int, IntegerType)) => ShingleHash60(toks, n)
         case other => throw new IllegalArgumentException(
           s"shingle_hash60(toks, <int literal>) — got $other")
-      }, "built-in")
+      }))
   }
 }
