@@ -245,17 +245,25 @@ object TextOps {
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = bidir.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    labels.count()
-    var changed = 1L
+    // Convergence via the label SUM: per-node labels are non-increasing
+    // (min over self ∪ neighbors), so the sum strictly decreases until
+    // the fixpoint — one aggregate action per round (which also
+    // materializes the persist), no separate changed-row join.
+    // decimal(38,0) so the sum is exact at any id domain / node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    var converged = false
+    while (!converged && iters < maxIters) {
       val msgs = bidir.join(labels, bidir("id_a") === labels("id"))
         .select(col("id_b").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      next.count()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iters += 1
