@@ -59,6 +59,32 @@ class TextOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 
+  test("native hashes == composed forms on a seeded random-unicode sweep") {
+    import spark.implicits._
+    // ASCII words, accents, CJK, emoji (surrogate pairs), punctuation —
+    // anything whose UTF-8 encoding could diverge between the byte
+    // path and the hex path
+    val alphabets = Array("abcdefgh", "é漢字日本語", "😀🎉", "x1!,.-")
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.fill(200) {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      Seq.fill(rnd.between(0, 12))(
+        Seq.fill(rnd.between(1, 6))(a(rnd.nextInt(a.length))).mkString
+      ).mkString(" ")
+    }
+    val t = tokens(col("text"))
+    val rows = texts.toDF("text").select(
+      hashedShingles(t, 3).as("fusedSh"),
+      array_distinct(hashShingles(wordShinglesRaw(t, 3))).as("composedSh"),
+      call_function("md5_long60", col("text")).as("nativeH"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("composedH"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+  }
+
   test("minHash: deterministic, within [0, P), monotone under containment") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps over the lazy dog again and again")
