@@ -787,6 +787,43 @@ object Relational {
       |         ((c_custkey * 7) % 300) - 150 + 0.5e0) AS pos
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---- q48: bucketed co-located join (the "repartition()/bucketing
+  //      for co-located joins" scale tool) ----
+  // Both fact tables are written bucketed+sorted on the join key, so
+  // the sort-merge join runs with NO shuffle on either side (PlanSpec
+  // asserts it): at 100 TB this is the difference between joining in
+  // place and re-shuffling the biggest tables in the warehouse on
+  // every query. Values identical to the plain join, so the DuckDB
+  // oracle is the unbucketed equivalent.
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bkt_").toString
+    tbl(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_orders_bkt")
+    tbl(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_lineitem_bkt")
+    // merge hint: at small SF Spark would broadcast the orders side;
+    // the point here is the bucket co-location, so force the
+    // sort-merge strategy the tables are laid out for
+    spark.table("graft_orders_bkt").hint("merge")
+      .join(spark.table("graft_lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -812,7 +849,8 @@ object Relational {
     "q17_worklist_anti" -> (q17 _),
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _),
-    "q45_latlon_format" -> (q45 _)
+    "q45_latlon_format" -> (q45 _),
+    "q48_bucketed_join" -> (q48 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -839,6 +877,7 @@ object Relational {
     "q17_worklist_anti" -> q17Sql,
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql,
-    "q45_latlon_format" -> q45Sql
+    "q45_latlon_format" -> q45Sql,
+    "q48_bucketed_join" -> q48Sql
   )
 }

@@ -65,6 +65,16 @@ class PlanSpec extends AnyFunSuite {
       "l_quantity:double,l_returnflag:string,l_shipdate:timest"))
   }
 
+  test("q48 bucketed join is shuffle-free on both fact sides") {
+    val p = plan(Relational.q48(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    // the only exchanges allowed are the post-join aggregate and the
+    // final orderBy — the bucketed scan sides must NOT reshuffle
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"bucketed join reshuffles a fact table:\n$p")
+  }
+
   test("flagship approach pipeline has exactly one shuffle") {
     val p = plan(ApproachQueries.q20(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -
