@@ -42,7 +42,9 @@ object HashUtil {
     * byte-identical to `md5(concat_ws(" ", slice(toks, i, n)))`, but
     * STREAMED into one digest instance (update per token + separator)
     * with zero intermediate shingle strings. Empty array when fewer
-    * than n tokens, matching TextOps.wordShingles' guard.
+    * than n tokens, matching TextOps.wordShingles' guard. Tokens must
+    * be non-null (split() output always is); a null element fails fast
+    * rather than silently diverging from concat_ws's null-skipping.
     */
   def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()

@@ -238,7 +238,7 @@ object TextOps {
     * counter; labels/edges stay distributed. Input must have id_a <
     * id_b columns; output is (id, label) for every node of the graph.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b")).persist()
     edges.count() // eager barrier: consumed by every iteration
     val bidir = edges.union(
@@ -269,6 +269,13 @@ object TextOps {
       iters += 1
     }
     edges.unpersist()
+    // no silent caps: partially-propagated labels are WRONG component
+    // ids — fail loudly rather than hand back a truncated fixpoint
+    // (maxIters bounds component DIAMETER; dup clusters are shallow,
+    // so hitting it means the input is not a near-dup graph)
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters")
     labels
   }
 

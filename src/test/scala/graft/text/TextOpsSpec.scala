@@ -175,6 +175,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters: long chain converges; bounded iterations fail loudly") {
+    import spark.implicits._
+    // path graph 1-2-...-8: min label needs diameter rounds to travel
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = dedupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+    // an iteration bound below the diameter must throw, not return
+    // partially-propagated labels
+    intercept[IllegalStateException] {
+      dedupClusters(chain, maxIters = 2)
+    }
+  }
+
   test("simHash16: 16-bit range, identical texts collide, determinism") {
     import spark.implicits._
     val df = Seq("spark rows columns", "spark rows columns", "zz yy xx ww")
