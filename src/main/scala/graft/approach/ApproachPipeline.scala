@@ -106,6 +106,54 @@ object ApproachPipeline {
       }
   }
 
+  // NOT private: encoder codegen instantiates it from generated code
+  case class TypedSampleTh(s: FlightSample, th: Option[Thresholds])
+
+  /** Thresholds as a broadcast *dimension table* instead of a driver
+    * Map — the form matching the reference's `exceedance_thresholds`
+    * DB read (FlightAnalysis.py:20,71-82): `thresholds` is a
+    * DataFrame of (aircraft_type, <the 14 [[Thresholds]] columns>),
+    * joined onto the type dimension and shipped with each flight's
+    * samples as a struct column. LEFT joins throughout: a flight with
+    * no type row, or a type with no thresholds row, is analyzed with
+    * `default`, never dropped. At many aircraft types this scales
+    * where a driver Map would not (the dimension stays distributed
+    * until the broadcast, and Catalyst prunes unused columns).
+    */
+  def detectApproachesPerAircraft(
+      samples: Dataset[FlightSample],
+      airports: Array[Airport],
+      types: DataFrame, // (flight, aircraft_type)
+      thresholds: DataFrame, // (aircraft_type, <Thresholds columns>)
+      default: Thresholds
+  ): Dataset[Approach] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val bAirports = spark.sparkContext.broadcast(airports)
+    val thFields = implicitly[org.apache.spark.sql.Encoder[Thresholds]]
+      .schema.fieldNames
+    // dim ⋈ dim first (both small), then one broadcast join onto the
+    // fact: each sample row carries its flight's thresholds struct
+    val flightTh = types
+      .join(broadcast(thresholds), Seq("aircraft_type"), "inner")
+      .select(col("flight"),
+        struct(thFields.map(col).toIndexedSeq: _*).as("th"))
+    samples
+      .join(broadcast(flightTh), Seq("flight"), "left")
+      .select(struct(samples.columns.map(col).toIndexedSeq: _*).as("s"),
+        col("th"))
+      .as[TypedSampleTh]
+      .repartition(col("s.flight"))
+      .sortWithinPartitions(col("s.flight"), col("s.time"))
+      .mapPartitions { it =>
+        val index = new AirportIndex(bAirports.value)
+        groupedRuns(it)(_.s.flight).flatMap { case (fid, data) =>
+          val th = data.head.th.getOrElse(default)
+          new ApproachDetector(index, th).detect(fid, data.map(_.s))
+        }
+      }
+  }
+
   /** Lazily groups a sorted iterator into (key, run) pairs without
     * reading past each run's end until it is consumed.
     */

@@ -212,12 +212,19 @@ object ApproachQueries {
       .withColumn("aircraft_type",
         element_at(array(lit("C172"), lit("PA28"), lit("SR20"), lit("BE36")),
           (col("flight") % 4 + 1).cast("int")))
-    val th = Map(
-      "PA28" -> graft.model.Thresholds(approachMaxIas = 85),
-      "SR20" -> graft.model.Thresholds(approachMinVsi = -1300))
+    // thresholds as a broadcast dimension TABLE (the reference's
+    // exceedance_thresholds read) — the Map overload remains for
+    // driver-side configs; this is the at-scale form
+    import spark.implicits._
+    val thDim = Seq(
+      ("PA28", graft.model.Thresholds(approachMaxIas = 85)),
+      ("SR20", graft.model.Thresholds(approachMinVsi = -1300)))
+      .toDF("aircraft_type", "th")
+      .select(col("aircraft_type"), col("th.*"))
     ApproachPipeline.approachesTable(
       ApproachPipeline.detectApproachesPerAircraft(
-        samples, Dims.syntheticAirports(), types, th))
+        samples, Dims.syntheticAirports(), types, thDim,
+        graft.model.Thresholds()))
       .select(
         col("flight_id"),
         col("unstable"),
@@ -260,6 +267,7 @@ object ApproachQueries {
     // 100 TB table; here it just multiplies tiny files and write jobs)
     graft.sinks.Sinks.mergeApproachesTable(batch1, out, buckets = 8)
     graft.sinks.Sinks.mergeApproachesTable(batch2, out, buckets = 8)
+    all.unpersist() // both merge writes are done; result reads `out`
     spark.read.parquet(out)
       .select(col("flight_id"), col("approach_id"), col("airport_id"),
         col("landing_type"), col("unstable"))

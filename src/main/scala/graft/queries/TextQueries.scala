@@ -179,6 +179,47 @@ object TextQueries {
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q49: 64-bit SimHash (production width, 4 x 16-bit limbs) ----
+  // Closes the "16-bit for oracle tractability" caveat on q32: the
+  // production signature is 64 bits, built from four independent
+  // salted 16-bit limbs and emitted as 16 hex chars (limb 3 high) —
+  // composed identically in both engines, so the full width is
+  // hash-checked.
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    TextOps.withSimHash64(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")),
+      col("text"), "simhash64")
+      .select(col("doc_id"), col("simhash64"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String = {
+    def nib(e: String, p: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1)"
+    def tv(j: Int) = {
+      val e = s"'sh$j:' || tok"
+      s"${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)}"
+    }
+    def limb(j: Int) = (0 until 16).map { b =>
+      s"CASE WHEN sum(CASE WHEN (tv$j >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), v AS (
+       |  SELECT doc_id, ${tv(0)} AS tv0, ${tv(1)} AS tv1,
+       |    ${tv(2)} AS tv2, ${tv(3)} AS tv3
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, ${limb(0)} AS l0, ${limb(1)} AS l1,
+       |    ${limb(2)} AS l2, ${limb(3)} AS l3
+       |  FROM v GROUP BY doc_id
+       |)
+       |SELECT doc_id, printf('%04x%04x%04x%04x', l3, l2, l1, l0) AS simhash64
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q33: n-gram-Jaccard near-dup via inverted shingle index ----
   def q33(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(withNearCopies(tbl(spark, dir, "documents")), 0.5)
@@ -353,6 +394,8 @@ object TextQueries {
     // count over tf — deriving df from tf instead of a second
     // distinct+aggregate over the raw exploded tokens halves the
     // shuffled volume; tf is the persisted barrier both consumers read
+    // (lifecycle: released by the caller once the lazy result is
+    // consumed — the harness's clearCache; see TextOps.jaccardPairs)
     val tok = docs
       .select(col("doc_id"), size(toks).as("doc_len"),
         explode(toks).as("term"))
@@ -458,6 +501,7 @@ object TextQueries {
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
     "q33_jaccard_pairs" -> (q33 _),
+    "q49_simhash64" -> (q49 _),
     "q34_langid" -> (q34 _),
     "q35_quality" -> (q35 _),
     "q36_tokens" -> (q36 _),
@@ -472,6 +516,7 @@ object TextQueries {
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q33_jaccard_pairs" -> q33Sql,
+    "q49_simhash64" -> q49Sql,
     "q34_langid" -> q34Sql,
     "q35_quality" -> q35Sql,
     "q36_tokens" -> q36Sql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,24 +98,46 @@ object VectorQueries {
 
   // ---- q42: LSH-bucketed cosine near-dup with planted positives ----
   // Every 25th vector gets a perturbed twin (+0.05 on dim 1) at
-  // vec_id + 1000000; candidates = same SRP bucket (equi join),
-  // confirmed at cosine >= 0.99. Never an all-pairs join.
+  // vec_id + 1000000; candidates = same SRP bucket (equi join, with
+  // the shared hot-bucket cap), confirmed at cosine >= 0.99. Never an
+  // all-pairs join. The bucketed table is persisted and eagerly
+  // materialized before the self-join — the two join sides are
+  // sibling stages of one job and would otherwise each recompute the
+  // union + bucket pipeline (lifecycle: the harness clears the cache
+  // between queries; long-lived callers use annNearDupPairs and own
+  // the unpersist).
   def q42(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
     val planted = base.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
-    val all = base.union(planted)
-      .withColumn("bucket", srpBucket(col("v"), signs))
-    val pairs = all.as("a")
-      .join(all.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+    annNearDupPairs(base.union(planted), signs)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SRP-bucketed cosine near-dup pairs over `(vec_id, v)` rows:
+    * bucket on `planes.length` signed random projections, pair within
+    * buckets (hot-bucket-capped), confirm at `minCosE6`. Plane count
+    * is the scale knob: expected pair count grows as n^2 / 2^planes,
+    * so planes must track log2(n) — or band multiple SRP tables — to
+    * hold candidates linear in n; `maxBucket` bounds the damage of
+    * any single degenerate bucket regardless. Returns
+    * (id_a, id_b, cos_e6); the bucketed input stays persisted until
+    * the caller releases it (`spark.catalog.clearCache()` or
+    * unpersist via the plan's InMemoryRelation).
+    */
+  def annNearDupPairs(vecs: DataFrame, planes: Seq[Seq[Double]],
+      minCosE6: Long = 990000L, maxBucket: Long = 100000L): DataFrame = {
+    val all = vecs
+      .withColumn("bucket", srpBucket(col("v"), planes))
+      .persist()
+    all.count() // eager barrier: fill the cache before the sides race
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(all, "vec_id", "bucket", maxBucket)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(cosine(col("a.v"), col("b.v")) * 1e6).cast("long").as("cos_e6"))
-    pairs.filter(col("cos_e6") >= 990000L)
-      .orderBy(col("id_a"), col("id_b"))
+      .filter(col("cos_e6") >= minCosE6)
   }
 
   val q42Sql: String = {
@@ -152,31 +174,81 @@ object VectorQueries {
   // all-pairs scan — at scale, candidates/query ~ n/centroids *
   // nprobe. Scores ranked on rounded e6 ints so both engines break
   // ties identically.
+  //
+  // Assignment is a MAP-ONLY scan: an IVF codebook is a driver-side
+  // dimension (nlist entries, not data-scaled — FAISS holds it in
+  // every worker), so it is collected once and embedded as a single
+  // array literal; each row folds over it and keeps the argmax
+  // centroid. Zero joins, zero shuffles, no n x n_centroids row
+  // explosion — the previous crossJoin + row_number window shuffled
+  // exactly that, 64-double vectors included, through one
+  // exchange+sort. The only remaining data shuffle is the final
+  // per-query rank window over the probed candidates.
   def q43(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = all.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        round(cosine(col("v"), col("cv")) * 1e6).cast("long").as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cid"))
+    // codebook (cid, cv, |cv|) ascending cid: the folds' strict >
+    // keeps the FIRST max, reproducing the oracle's (ccos DESC, cid
+    // ASC) row_number order; norms are the identical sequential fold
+    // as the oracle's sqrt(list_sum(...)), so scores are bit-equal.
+    val cents: Seq[(Long, Seq[Double], Double)] =
+      all.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Double](1)
+          (r.getLong(0), cv, math.sqrt(seqDot(cv, cv)))
+        }
+    val centLit = typedLit(cents)
+    // rounded-e6 cosine of the row vector v against codebook entry c,
+    // |v| staged once per row in the fold's zero as acc.nv
+    def ccosE6(v: Column, acc: Column, c: Column): Column =
+      round((dot(v, c.getField("_2"))
+        / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
+    // argmax centroid id of v over the codebook
+    def bestCid(v: Column): Column =
+      aggregate(
+        centLit,
+        struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
+          sqrt(dot(v, v)).as("nv")),
+        (acc, c) => {
+          val ccos = ccosE6(v, acc, c)
+          when(ccos > acc.getField("ccos"),
+            struct(ccos.as("ccos"), c.getField("_1").as("cid"),
+              acc.getField("nv").as("nv")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cid"))
+    // top-2 centroid ids of v (the probe lists), same tie order
+    def probeCids(v: Column): Column =
+      aggregate(
+        centLit,
+        struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
+          lit(Long.MinValue).as("c2cos"), lit(-2L).as("c2cid"),
+          sqrt(dot(v, v)).as("nv")),
+        (acc, c) => {
+          val ccos = ccosE6(v, acc, c)
+          val nv = acc.getField("nv")
+          when(ccos > acc.getField("c1cos"),
+            struct(ccos.as("c1cos"), c.getField("_1").as("c1cid"),
+              acc.getField("c1cos").as("c2cos"),
+              acc.getField("c1cid").as("c2cid"), nv.as("nv")))
+            .when(ccos > acc.getField("c2cos"),
+              struct(acc.getField("c1cos").as("c1cos"),
+                acc.getField("c1cid").as("c1cid"),
+                ccos.as("c2cos"), c.getField("_1").as("c2cid"), nv.as("nv")))
+            .otherwise(acc)
+        },
+        acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
+    val assign = all.select(col("vec_id"), col("v"),
+      bestCid(col("v")).as("cid"))
     val probes = all.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cid"),
-        round(cosine(col("qv"), col("cv")) * 1e6).cast("long").as("qcos"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("query_id"), col("qv"), col("cid"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probeCids(col("v"))).as("cid"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
-    probes.join(assign, Seq("cid"))
+    // probes are 2 rows per query — broadcast them so the big assign
+    // side streams through a map-side hash join, never shuffling
+    assign.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")) * 1e6).cast("long").as("cos_e6"))

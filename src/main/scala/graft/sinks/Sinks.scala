@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.storage.StorageLevel
 
 import graft.model.Approach
 
@@ -41,9 +42,10 @@ object Sinks {
     * 100 TB posture: dynamic partition overwrite rewrites ONLY the
     * flight buckets the batch touches; the existing-table read is
     * partition-pruned to those buckets, and the survivor set (old rows
-    * of touched buckets minus batch keys) is localCheckpoint'ed to cut
-    * lineage from the files being replaced — bounded by touched-bucket
-    * size, not table size. The anti join broadcasts the batch's key
+    * of touched buckets minus batch keys) is eagerly materialized on a
+    * persisted RDD — released after the write — to cut lineage from
+    * the files being replaced; bounded by touched-bucket size, not
+    * table size. The anti join broadcasts the batch's key
     * projection (two small columns). On a lakehouse deployment a table
     * format's MERGE INTO (Delta/Iceberg) replaces this file dance; the
     * semantics here are identical.
@@ -75,10 +77,25 @@ object Sinks {
       val survivors = existing.join(
         broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
         Seq("flight_id", "approach_id"), "left_anti")
-      survivors.localCheckpoint(true).unionByName(newRows)
-        .repartition(col("flight_bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("flight_bucket").parquet(path)
+      // Materialize the survivor rows BEFORE the overwrite removes the
+      // files they were read from, on a persisted RDD we own: eager
+      // count() fills the blocks now, and the finally releases them
+      // after the write. (The previous localCheckpoint(true) here
+      // leaked its blocks for the JVM lifetime — catalog.clearCache()
+      // does not free RDD-level persists — and lossy local checkpoints
+      // are the wrong primitive on a real cluster anyway; a table
+      // format's MERGE INTO is the production form, see the note
+      // above.) MEMORY_AND_DISK: blocks spill rather than drop, so the
+      // write never recomputes from the deleted source files.
+      val survRdd = survivors.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        survRdd.count()
+        spark.createDataFrame(survRdd, survivors.schema)
+          .unionByName(newRows)
+          .repartition(col("flight_bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("flight_bucket").parquet(path)
+      } finally survRdd.unpersist(blocking = false)
     } finally {
       prevMode match {
         case Some(m) =>

@@ -120,21 +120,11 @@ object TextOps {
     * one extra aggregate + semi join on the 16-byte band keys.
     */
   def lshCandidatePairs(banded: DataFrame,
-      maxBucket: Long = 100000L): DataFrame = {
-    // Hot-set shape: aggregate to the OVER-cap buckets only (tiny by
-    // definition — at most n/maxBucket keys) and broadcast-anti-join
-    // them away, so the banded table itself is never shuffled for the
-    // cap. The aggregate shuffles only 16-byte keys with map-side
-    // partial counts.
-    val hot = banded.groupBy(col("bk")).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket).select(col("bk"))
-    val small = banded.join(broadcast(hot), Seq("bk"), "left_anti")
-    small.as("a")
-      .join(small.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      maxBucket: Long = 100000L): DataFrame =
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(banded, "doc_id", "bk", maxBucket)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-  }
 
   /** 16-bit token hash array: first 4 hex chars of each token's md5.
     * Stage this as a NAMED column before [[simHash16FromHashes]] — the
@@ -164,6 +154,39 @@ object TextOps {
     */
   def simHash16(toks: Column): Column =
     simHash16FromHashes(tokenHashes16(toks))
+
+  /** 16-bit token hashes for limb `limb` of the 64-bit SimHash: an
+    * independent hash family per limb via a salt prefix on the md5
+    * input (top 16 of the 60 digest bits, as [[tokenHashes16]]).
+    */
+  def tokenHashes16Limb(toks: Column, limb: Int): Column =
+    transform(toks,
+      t => shiftright(call_function("md5_long60",
+        concat(lit(s"sh$limb:"), t)), 44).cast("int"))
+
+  /** Production-width 64-bit SimHash, as a 16-hex-char string: four
+    * independent 16-bit limbs (salted hash families, limb 3 high),
+    * each the bit-vote signature of [[simHash16FromHashes]]. Staged
+    * like [[withLanguageId]]: one named token-hash column per limb,
+    * so each limb's md5 pass runs exactly once per row. Emitted as
+    * hex, not BIGINT — composing limb3 << 48 overflows checked
+    * signed-64 arithmetic (DuckDB errors), and the hex form is
+    * portable across engines bit-for-bit. `df` must contain
+    * `textCol`; the session needs
+    * [[graft.functions.GraftFunctions.register]].
+    */
+  def withSimHash64(df: DataFrame, textCol: Column, out: String): DataFrame = {
+    val tk = tokens(textCol)
+    val tvNames = (0 until 4).map(j => s"__tv$j")
+    val staged = df.select(
+      col("*") +: (0 until 4).map(j =>
+        tokenHashes16Limb(tk, j).as(s"__tv$j")): _*)
+    val limbs = (0 until 4).map(j => simHash16FromHashes(col(s"__tv$j")))
+    staged
+      .withColumn(out,
+        concat(limbs.reverse.map(l => format_string("%04x", l)): _*))
+      .drop(tvNames: _*)
+  }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -237,14 +260,44 @@ object TextOps {
     * driver-side loop holds only the iteration count and a changed
     * counter; labels/edges stay distributed. Input must have id_a <
     * id_b columns; output is (id, label) for every node of the graph.
+    * The returned DataFrame is persisted (the loop's last round) —
+    * the caller owns the unpersist once consumed (the query harness
+    * clears the cache between queries).
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // dev-only stage timing (GRAFT_CC_DEBUG=1): per-round cost is the
+    // tuning signal — driver-loop overhead vs data volume
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def timed[T](name: String)(f: => T): T =
+      if (!debug) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[cc] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        r
+      }
     val edges = pairs.select(col("id_a"), col("id_b")).persist()
-    edges.count() // eager barrier: consumed by every iteration
-    val bidir = edges.union(
-      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = bidir.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    timed("edges")(edges.count()) // eager barrier: the union branches below race otherwise
+    // Bidirectional edges PLUS one self-loop per node, co-partitioned
+    // on the join key ONCE and persisted. Two effects per round:
+    //   1. the join reuses bidir's id_a partitioning and labels'
+    //      groupBy(id) partitioning — no exchange on either join side,
+    //      so each round shuffles only the narrow (id, label) message
+    //      table for its min-aggregate, never the edge list again;
+    //   2. the self-loop delivers each node's OWN label through the
+    //      same join, replacing the labels-∪-messages union — which
+    //      both destroyed the partitioning info and referenced the
+    //      labels plan twice per round, doubling the logical plan
+    //      every iteration (exponential analyze/optimize cost, the
+    //      dominant cost of the r3 form at shallow graphs). With one
+    //      reference per round the plan grows linearly; deployments
+    //      on deep graphs should additionally checkpoint labels every
+    //      ~10 rounds to re-truncate lineage.
+    val nodes = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+    val bidir = edges
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
+      .repartition(col("id_a"))
+      .persist()
     // Convergence via the label SUM: per-node labels are non-increasing
     // (min over self ∪ neighbors), so the sum strictly decreases until
     // the fixpoint — one aggregate action per round (which also
@@ -253,29 +306,40 @@ object TextOps {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // One job materializes bidir AND seeds the convergence sum: the
+    // self-loop rows are exactly the node set, so the initial label
+    // sum (label = own id) is the id sum over id_a = id_b — no
+    // separate action on labels, which round 0's join materializes.
+    var prevSum = timed("bidir+sum0")(
+      bidir.agg(coalesce(sum(when(col("id_a") === col("id_b"), col("id_a"))
+        .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .collect().head.getDecimal(0))
+    edges.unpersist()
+    var labels = nodes.withColumn("label", col("id")).persist()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val msgs = bidir.join(labels, bidir("id_a") === labels("id"))
+      val next = bidir.join(labels, bidir("id_a") === labels("id"))
         .select(col("id_b").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      val nextSum = labelSum(next)
+      val nextSum = timed(s"round $iters")(labelSum(next))
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()
       labels = next
       iters += 1
     }
-    edges.unpersist()
+    bidir.unpersist()
     // no silent caps: partially-propagated labels are WRONG component
     // ids — fail loudly rather than hand back a truncated fixpoint
     // (maxIters bounds component DIAMETER; dup clusters are shallow,
     // so hitting it means the input is not a near-dup graph)
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge within $maxIters rounds — " +
-        "component diameter exceeds the bound; raise maxIters")
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters rounds — " +
+          "component diameter exceeds the bound; raise maxIters")
+    }
     labels
   }
 

@@ -10,8 +10,9 @@ import graft.text.TextOps._
 object DebugPerf {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -21,11 +22,24 @@ object DebugPerf {
       println(f"[debug] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // usage: runMain graft.tools.DebugPerf <sfDir> one <query> — time
+    // one registered query 3x in the bench's session shape
+    // (SPARK_GRAFT_CPUS threads + shuffle partitions)
+    if (args.length > 2 && args(1) == "one") {
+      val fn = graft.SparkEntry.queries(args(2))
+      (1 to 3).foreach { i =>
+        time(s"${args(2)} run$i")(fn(spark, dir).count())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     // usage: runMain graft.tools.DebugPerf <sfDir> rel — time the
     // relational hot spots twice (1st run = codegen + exec, 2nd = exec)
     if (args.length > 1 && args(1) == "rel") {
-      Seq("q16_geodesy", "q03_join3_topk", "q13_setops", "q43_ivf_ann",
-        "q39_merge_sink").foreach { name =>
+      Seq("q34_langid", "q39_merge_sink", "q40_cosine_topk",
+        "q41_srp_buckets", "q42_ann_neardup", "q43_ivf_ann",
+        "q47_dedup_clusters", "q48_bucketed_join").foreach { name =>
         val fn = graft.SparkEntry.queries(name)
         time(s"$name run1")(fn(spark, dir).count())
         spark.catalog.clearCache()

@@ -28,6 +28,18 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Driver-side twin of [[dot]]: the identical FP op sequence
+    * (multiply, then left-fold add from 0.0), so norms precomputed on
+    * the driver — e.g. an IVF codebook's — are bit-equal to the
+    * in-plan and oracle (`list_sum`) forms.
+    */
+  def seqDot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

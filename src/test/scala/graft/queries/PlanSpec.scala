@@ -38,6 +38,19 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
 
+  test("q43 IVF assignment is map-only: no cross join, bounded exchanges") {
+    val p = plan(VectorQueries.q43(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"q43 materializes a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q43 falls back to a nested-loop join:\n$p")
+    // centroid assignment must add NO shuffle (broadcast-argmax fold);
+    // the only exchanges allowed are the rank window + final orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q43 assignment shuffles:\n$p")
+  }
+
   test("q40 brute-force baseline broadcasts the small query side") {
     // the deliberate exception: scoring every (query, vector) pair is
     // the baseline's job — but the big side must NOT shuffle, so the

@@ -198,4 +198,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hs(0) == hs(1))
     assert(hs.forall(h => h >= 0 && h < 65536))
   }
+
+  test("withSimHash64: hex shape, limb composition, salted independence") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps"),
+      (2L, "der schnelle braune fuchs")).toDF("doc_id", "text")
+    val got = TextOps.withSimHash64(df, col("text"), "sim")
+      .select(col("doc_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.values.forall(_.matches("[0-9a-f]{16}")))
+    // composition: the string is the four salted 16-bit limbs, high
+    // limb (salt 3) first
+    val limbs = df.select(col("doc_id") +: (0 until 4).map(j =>
+        simHash16FromHashes(tokenHashes16Limb(tokens(col("text")), j))
+          .as(s"l$j")): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        f"${r.getInt(4)}%04x${r.getInt(3)}%04x${r.getInt(2)}%04x${r.getInt(1)}%04x")
+      .toMap
+    assert(got == limbs)
+    // the salts give genuinely independent limb families: within one
+    // doc the four limbs are not all equal
+    assert(got(1L).grouped(4).toSet.size > 1)
+  }
 }
