@@ -184,66 +184,85 @@ object VectorQueries {
   // exactly that, 64-double vectors included, through one
   // exchange+sort. The only remaining data shuffle is the final
   // per-query rank window over the probed candidates.
-  def q43(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    // codebook (cid, cv, |cv|) ascending cid: the folds' strict >
-    // keeps the FIRST max, reproducing the oracle's (ccos DESC, cid
-    // ASC) row_number order; norms are the identical sequential fold
-    // as the oracle's sqrt(list_sum(...)), so scores are bit-equal.
-    val cents: Seq[(Long, Seq[Double], Double)] =
+  /** The IVF codebook as a driver-side dimension: every 31st vector,
+    * as (cid, cv, |cv|) ascending cid — the folds' strict > keeps the
+    * FIRST max, reproducing the oracle's (ccos DESC, cid ASC)
+    * row_number order; norms are the identical sequential fold as the
+    * oracle's sqrt(list_sum(...)), so scores are bit-equal.
+    */
+  private def codebook(all: DataFrame): Column =
+    typedLit(
       all.filter(col("vec_id") % 31 === 0)
         .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
         .collect().toSeq
         .map { r =>
           val cv = r.getSeq[Double](1)
           (r.getLong(0), cv, math.sqrt(seqDot(cv, cv)))
-        }
-    val centLit = typedLit(cents)
-    // rounded-e6 cosine of the row vector v against codebook entry c,
-    // |v| staged once per row in the fold's zero as acc.nv
-    def ccosE6(v: Column, acc: Column, c: Column): Column =
-      round((dot(v, c.getField("_2"))
-        / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
-    // argmax centroid id of v over the codebook
-    def bestCid(v: Column): Column =
-      aggregate(
-        centLit,
-        struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
-          sqrt(dot(v, v)).as("nv")),
-        (acc, c) => {
-          val ccos = ccosE6(v, acc, c)
-          when(ccos > acc.getField("ccos"),
-            struct(ccos.as("ccos"), c.getField("_1").as("cid"),
-              acc.getField("nv").as("nv")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("cid"))
-    // top-2 centroid ids of v (the probe lists), same tie order
-    def probeCids(v: Column): Column =
-      aggregate(
-        centLit,
-        struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
-          lit(Long.MinValue).as("c2cos"), lit(-2L).as("c2cid"),
-          sqrt(dot(v, v)).as("nv")),
-        (acc, c) => {
-          val ccos = ccosE6(v, acc, c)
-          val nv = acc.getField("nv")
-          when(ccos > acc.getField("c1cos"),
-            struct(ccos.as("c1cos"), c.getField("_1").as("c1cid"),
-              acc.getField("c1cos").as("c2cos"),
-              acc.getField("c1cid").as("c2cid"), nv.as("nv")))
-            .when(ccos > acc.getField("c2cos"),
-              struct(acc.getField("c1cos").as("c1cos"),
-                acc.getField("c1cid").as("c1cid"),
-                ccos.as("c2cos"), c.getField("_1").as("c2cid"), nv.as("nv")))
-            .otherwise(acc)
-        },
-        acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
-    val assign = all.select(col("vec_id"), col("v"),
-      bestCid(col("v")).as("cid"))
+        })
+
+  /** Rounded-e6 cosine of the row vector v against codebook entry c,
+    * |v| staged once per row in the fold's zero as acc.nv.
+    */
+  private def ccosE6(v: Column, acc: Column, c: Column): Column =
+    round((dot(v, c.getField("_2"))
+      / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
+
+  /** Argmax centroid id of v over the codebook — the map-only IVF
+    * assignment expression (zero joins/shuffles).
+    */
+  private def bestCid(centLit: Column, v: Column): Column =
+    aggregate(
+      centLit,
+      struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
+        sqrt(dot(v, v)).as("nv")),
+      (acc, c) => {
+        val ccos = ccosE6(v, acc, c)
+        when(ccos > acc.getField("ccos"),
+          struct(ccos.as("ccos"), c.getField("_1").as("cid"),
+            acc.getField("nv").as("nv")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  /** Top-2 centroid ids of v (the probe lists), same tie order. */
+  private def probeCids(centLit: Column, v: Column): Column =
+    aggregate(
+      centLit,
+      struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
+        lit(Long.MinValue).as("c2cos"), lit(-2L).as("c2cid"),
+        sqrt(dot(v, v)).as("nv")),
+      (acc, c) => {
+        val ccos = ccosE6(v, acc, c)
+        val nv = acc.getField("nv")
+        when(ccos > acc.getField("c1cos"),
+          struct(ccos.as("c1cos"), c.getField("_1").as("c1cid"),
+            acc.getField("c1cos").as("c2cos"),
+            acc.getField("c1cid").as("c2cid"), nv.as("nv")))
+          .when(ccos > acc.getField("c2cos"),
+            struct(acc.getField("c1cos").as("c1cos"),
+              acc.getField("c1cid").as("c1cid"),
+              ccos.as("c2cos"), c.getField("_1").as("c2cid"), nv.as("nv")))
+          .otherwise(acc)
+      },
+      acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
+
+  /** Map-only IVF assignment table (vec_id, v, cid). coalesce makes
+    * cid NON-NULLABLE (it never is: the fold's zero is non-null), so
+    * an inner join on cid infers no IsNotNull(cid) pushdown filter —
+    * which would re-evaluate the whole codebook fold a second time
+    * per row in the pre-join Filter.
+    */
+  private def assignToCodebook(all: DataFrame, centLit: Column): DataFrame =
+    all.select(col("vec_id"), col("v"),
+      coalesce(bestCid(centLit, col("v")), lit(-1L)).as("cid"))
+
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val centLit = codebook(all)
+    val assign = assignToCodebook(all, centLit)
     val probes = all.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(probeCids(col("v"))).as("cid"))
+        explode(probeCids(centLit, col("v"))).as("cid"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     // probes are 2 rows per query — broadcast them so the big assign
@@ -290,17 +309,64 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q52: one k-means (Lloyd) refinement step of the IVF codebook ----
+  // Codebook TRAINING, the other half of an IVF index build: assign
+  // every vector to its max-cosine centroid (the same map-only
+  // broadcast-argmax fold as q43 — no shuffle), then recompute each
+  // centroid as the dimension-wise mean of its assigned vectors.
+  // Emitted as exact integer e6 sums + member counts per (centroid,
+  // dimension): a double AVG depends on cross-row summation order
+  // under a shuffle, integer sums do not, so the refinement step is
+  // hash-checkable cross-engine (the mean is sum_e6 / n / 1e6). At
+  // scale this is one map-only pass + one (cid, dim)-keyed aggregate
+  // with map-side partial sums — iterate for full Lloyd training.
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val centLit = codebook(all)
+    assignToCodebook(all, centLit)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1e6).cast("long")).as("sum_e6"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  val q52Sql: String = {
+    def cosE6(a: String, b: String) =
+      s"CAST(round(1000000.0 * (${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))), 0) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+       |), assign AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1
+       |), d AS (
+       |  SELECT cid, i - 1 AS dim,
+       |    CAST(round(v[i] * 1000000, 0) AS BIGINT) AS xe
+       |  FROM assign, unnest(range(1, len(v) + 1)) AS t(i)
+       |)
+       |SELECT cid, dim, count(*) AS n, CAST(sum(xe) AS BIGINT) AS sum_e6
+       |FROM d GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
     "q42_ann_neardup" -> (q42 _),
-    "q43_ivf_ann" -> (q43 _)
+    "q43_ivf_ann" -> (q43 _),
+    "q52_kmeans_step" -> (q52 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q41_srp_buckets" -> q41Sql,
     "q42_ann_neardup" -> q42Sql,
-    "q43_ivf_ann" -> q43Sql
+    "q43_ivf_ann" -> q43Sql,
+    "q52_kmeans_step" -> q52Sql
   )
 }

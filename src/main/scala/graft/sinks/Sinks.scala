@@ -125,6 +125,32 @@ object Sinks {
   def consoleStream(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").outputMode("append")
 
+  /** S6+S7 coupled commit. The reference runs the approaches upsert
+    * and the per-flight done-flag update inside ONE DB transaction
+    * (FlightAnalysis.py:432-437); parquet has no cross-table
+    * transaction, so this helper provides the same effective
+    * guarantee by WRITE ORDER plus idempotence:
+    *
+    *   1. the approaches batch is merged first ([[mergeApproachesTable]]);
+    *   2. the done flags are written only after that merge is durable.
+    *
+    * A crash between the two leaves the flights still PENDING (flag
+    * unset), so the work-list re-runs them — and the re-run's merge
+    * is a per-key upsert of identical rows, converging to the same
+    * table. Net: at-least-once execution, exactly-once table state —
+    * the same end state the reference's transaction gives, without
+    * claiming atomic visibility (readers can observe merged approaches
+    * for a flight whose flag is not yet set; the reverse, a flagged
+    * flight with missing approaches, cannot happen). On a lakehouse,
+    * a multi-table transaction (or one Delta/Iceberg commit over both
+    * tables) replaces this ordering contract.
+    */
+  def commitFlightAnalysis(batch: DataFrame, flights: DataFrame,
+      approachesPath: String, flagsPath: String, buckets: Int = 64): Unit = {
+    mergeApproachesTable(batch, approachesPath, buckets)
+    writeAnalysisFlags(flights, flagsPath)
+  }
+
   /** S7: the processed-flag table (flight_id, approach_analysis=1).
     * Derived from the *input* flight set, not the approaches output —
     * a flight with zero approaches is still done (py:56-57 runs the

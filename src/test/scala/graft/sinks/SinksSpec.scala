@@ -71,6 +71,33 @@ class SinksSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("commitFlightAnalysis: flags follow the merge; replay converges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Files.createTempDirectory("commit").toString
+    val (apPath, flagPath) = (s"$base/approaches", s"$base/flags")
+    val flights = FlightGen.trace(spark.range(3).toDF("flight"))
+      .as[graft.model.FlightSample].toDF()
+    val batch = ApproachPipeline.approachesTable(
+      ApproachPipeline.detectApproaches(
+        flights.as[graft.model.FlightSample], Dims.syntheticAirports()))
+    Sinks.commitFlightAnalysis(batch, flights, apPath, flagPath, buckets = 4)
+    val aps = spark.read.parquet(apPath)
+      .select("flight_id").collect().map(_.getLong(0)).toSet
+    val flags = spark.read.parquet(flagPath)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(aps == Set(0L, 1L, 2L))
+    assert(flags == Map(0L -> 1, 1L -> 1, 2L -> 1))
+    // crash-replay contract: a flight whose flag write was lost gets
+    // re-run; the repeated commit upserts identical rows and the end
+    // state is unchanged (at-least-once run, exactly-once state)
+    Sinks.commitFlightAnalysis(batch, flights, apPath, flagPath, buckets = 4)
+    val aps2 = spark.read.parquet(apPath)
+      .select("flight_id", "approach_id", "landing_type").collect().toSet
+    assert(aps2.map(_.getLong(0)) == Set(0L, 1L, 2L))
+    assert(spark.read.parquet(flagPath).count() == 3)
+  }
+
   test("flightValidity: zero/NULL positions invalid, any usable sample valid") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
