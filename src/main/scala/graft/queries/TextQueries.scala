@@ -390,25 +390,27 @@ object TextQueries {
   // docs, rounded e6. ln is libm on both engines -> identical doubles.
   def q38(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    // tf rows are unique per (doc, term), so document frequency is a
-    // count over tf — deriving df from tf instead of a second
-    // distinct+aggregate over the raw exploded tokens halves the
-    // shuffled volume; tf is the persisted barrier both consumers read
-    // (lifecycle: released by the caller once the lazy result is
-    // consumed — the harness's clearCache; see TextOps.jaccardPairs)
     val tok = docs
       .select(col("doc_id"), size(toks).as("doc_len"),
         explode(toks).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("doc_len"), col("term"))
+    // The scored slice (doc_id < 20) is tiny, but idf needs the
+    // corpus-wide document frequency — so tf and df deliberately read
+    // tok at DIFFERENT widths: tf's filter pushes down to the parquet
+    // scan (explodes ~20 docs), while df runs one full-corpus
+    // count_distinct (two-phase: map-side partial distinct on
+    // (term, doc_id), then one shuffle of the survivors). No persist,
+    // no eager barrier, one job — the r3 form cached the full-corpus
+    // tf table only to aggregate it straight down to df.
+    val tf = tok.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("occ"))
-      .persist()
-    tf.count() // eager barrier — see TextOps.jaccardPairs
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df_ = tok.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
     // corpus size as a broadcast 1-row scalar aggregate — folded into
     // the plan (one job), no driver-side count round-trip
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    tf.join(df_, "term")
-      .filter(col("doc_id") < 20)
+    // broadcast the ~20-doc tf side; df_ (full vocabulary) streams
+    broadcast(tf).join(df_, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("occ").cast("long").as("occ"),
         col("df").cast("long").as("df"),

@@ -315,7 +315,15 @@ object TextOps {
         .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
         .collect().head.getDecimal(0))
     edges.unpersist()
-    var labels = nodes.withColumn("label", col("id")).persist()
+    // Seed labels from bidir's OWN self-loop rows, not from `edges`:
+    // edges is unpersisted by now, so a labels plan rooted at it would
+    // recompute the entire upstream pairs pipeline when round 0 first
+    // materializes the persist. The self-loops are exactly the node
+    // set, already cached and hash-partitioned on id_a — and project
+    // aliasing preserves that partitioning, so round 0's join reads
+    // both sides exchange-free from cache.
+    var labels = bidir.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
