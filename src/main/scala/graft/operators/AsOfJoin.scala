@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: every left row picks up the payload of the
+  * LATEST right row with the same key whose time is <= the left row's
+  * time — the standard enrichment shape for "state as of this event"
+  * (latest config change, latest quote before a trade, latest
+  * threshold revision before a flight).
+  *
+  * Spark has no native as-of operator; the scalable composition is
+  * NOT a join at all but tag-union + running window:
+  *
+  *   1. union the two sides, right rows tagged 0 / left rows tagged 1;
+  *   2. one hash shuffle on the key, sort within partitions by
+  *      (time, tag, payload);
+  *   3. running `last(payload, ignoreNulls)` over the sorted stream —
+  *      every left row reads the most recent right payload at or
+  *      before its time;
+  *   4. keep the left rows.
+  *
+  * 100 TB posture: exactly ONE shuffle of left+right (no join, no
+  * broadcast, no per-row probing); the window is a single sorted scan
+  * per key group. Skew is bounded by the hottest key's row count —
+  * the same bound a sorted merge as-of join would have. This beats
+  * the non-equi-join formulation (`left JOIN right ON key AND r.time
+  * <= l.time` + argmax), which Spark can only plan as a broadcast
+  * nested loop or a cross-product-per-key.
+  */
+object AsOfJoin {
+
+  /** Left rows enriched with struct column `out` = the payload of the
+    * latest right row (same `key`, `right.time <= left.time`), or NULL
+    * if no such row. Both inputs must carry `key` and `time` columns
+    * (same names); `payload` names right-side columns.
+    *
+    * Tie rule: a right row AT the left row's exact time is visible
+    * (<=, right-before-left at equal time); among right rows tied on
+    * (key, time) the one with the greatest payload struct wins — pass
+    * a unique leading payload column (an id) for determinism.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+      time: String, payload: Seq[String], out: String = "asof"): DataFrame = {
+    val rightU = right
+      .select(key.map(col) ++ Seq(col(time),
+        struct(payload.map(col): _*).as(out)): _*)
+      .withColumn("__side", lit(0))
+    val u = left.withColumn("__side", lit(1))
+      .unionByName(rightU, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc, col(out).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

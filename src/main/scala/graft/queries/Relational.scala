@@ -860,6 +860,43 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q53: as-of (temporal) join (§2.5 — the one join shape the
+  //      reference's DB reads imply but Spark lacks natively) ----
+  // Every event enriched with the latest earlier "mark" (event_id %
+  // 10 == 0) of the same user — [[graft.operators.AsOfJoin]]'s
+  // tag-union + running-window composition, one shuffle, no join.
+  // Timestamps compare as RAW NANOSECOND longs in both engines: the
+  // µs-truncated Spark timestamp would tie two ns-distinct instants
+  // that DuckDB (native ns) still orders, flipping which mark is
+  // "latest". The oracle is a semantically independent formulation
+  // (per-event correlated argmax, not a window), so the operator's
+  // semantics — not just its algebra — are what's cross-checked.
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val marks = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id").as("mark_id"))
+    graft.operators.AsOfJoin
+      .asofJoin(ev, marks, Seq("user_id"), "ts", Seq("mark_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof.mark_id").as("mark_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val q53Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+      |), marks AS (
+      |  SELECT user_id, tns, event_id AS mark_id FROM ev
+      |  WHERE event_id % 10 = 0
+      |)
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT m.mark_id FROM marks m
+      |   WHERE m.user_id = e.user_id AND m.tns <= e.tns
+      |   ORDER BY m.tns DESC, m.mark_id DESC LIMIT 1) AS mark_id
+      |FROM ev e ORDER BY e.event_id""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -886,7 +923,8 @@ object Relational {
     "q18_aircraft_join" -> (q18 _),
     "q19_nulldrop" -> (q19 _),
     "q45_latlon_format" -> (q45 _),
-    "q48_bucketed_join" -> (q48 _)
+    "q48_bucketed_join" -> (q48 _),
+    "q53_asof_join" -> (q53 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -914,6 +952,7 @@ object Relational {
     "q18_aircraft_join" -> q18Sql,
     "q19_nulldrop" -> q19Sql,
     "q45_latlon_format" -> q45Sql,
-    "q48_bucketed_join" -> q48Sql
+    "q48_bucketed_join" -> q48Sql,
+    "q53_asof_join" -> q53Sql
   )
 }

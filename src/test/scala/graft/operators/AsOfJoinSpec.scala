@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def run(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", Seq("mark_id"))
+      .select(col("event_id"), col("asof.mark_id"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+  }
+
+  test("picks the latest right row at or before each left time, per key") {
+    // user 1 marks at t=10 (m100) and t=20 (m101)
+    val marks = Seq((100L, 1L, 10L), (101L, 1L, 20L))
+    val events = Seq(
+      (1L, 1L, 5L), // before any mark -> null
+      (2L, 1L, 10L), // exactly at mark time -> visible (<=)
+      (3L, 1L, 15L), // between marks -> m100
+      (4L, 1L, 25L), // after both -> m101
+      (5L, 2L, 30L)) // other key, no marks -> null
+    assert(run(events, marks) == Map(
+      1L -> None, 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(101L), 5L -> None))
+  }
+
+  test("ties on (key, time) among right rows resolve to the greatest payload") {
+    val marks = Seq((100L, 1L, 10L), (107L, 1L, 10L), (103L, 1L, 10L))
+    val events = Seq((1L, 1L, 10L), (2L, 1L, 50L))
+    assert(run(events, marks) == Map(1L -> Some(107L), 2L -> Some(107L)))
+  }
+
+  test("plans as one shuffle and zero joins") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
+      .toDF("event_id", "user_id", "ts")
+    val r = (1 to 20).map(i => (i.toLong, i.toLong % 7, i.toLong * 3))
+      .toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    val plan = AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", Seq("mark_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+}
