@@ -897,6 +897,49 @@ object Relational {
       |   ORDER BY m.tns DESC, m.mark_id DESC LIMIT 1) AS mark_id
       |FROM ev e ORDER BY e.event_id""".stripMargin
 
+  // ---- q54: range (interval) join (§2.3's other missing join shape) ----
+  // Sparse 10-minute windows anchored at "mark" events (event_id %
+  // 97 == 0); every window aggregates the same user's events with
+  // ts in [start, end). The join keeps an EQUI key (user_id) with the
+  // range as a residual predicate, so Spark plans a hash join — never
+  // a nested loop (PlanSpec-asserted). Windows here are a sparse
+  // dimension and broadcast; at fact-sized windows the same plan
+  // degrades gracefully to a sort-merge join on user_id with the
+  // range filter applied on the merged stream. Timestamps compare as
+  // raw nanosecond longs in both engines (see q53). Every mark is
+  // itself inside its own window, so the inner join drops nothing.
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = tbl(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val win = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("mark_id"), col("user_id").as("w_user"),
+        col("ts").as("w_start"),
+        (col("ts") + lit(600000000000L)).as("w_end"))
+    ev.join(broadcast(win),
+        ev("user_id") === col("w_user") &&
+          ev("ts") >= col("w_start") && ev("ts") < col("w_end"))
+      .groupBy(col("mark_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(e6(col("value"))).as("sum_value_e6"))
+      .orderBy(col("mark_id"))
+  }
+
+  val q54Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tns, value FROM events
+      |), w AS (
+      |  SELECT event_id AS mark_id, user_id AS w_user, tns AS w_start,
+      |    tns + 600000000000 AS w_end
+      |  FROM ev WHERE event_id % 97 = 0
+      |)
+      |SELECT w.mark_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value*1000000, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_e6
+      |FROM ev e JOIN w ON e.user_id = w.w_user
+      |  AND e.tns >= w.w_start AND e.tns < w.w_end
+      |GROUP BY w.mark_id ORDER BY w.mark_id""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -924,7 +967,8 @@ object Relational {
     "q19_nulldrop" -> (q19 _),
     "q45_latlon_format" -> (q45 _),
     "q48_bucketed_join" -> (q48 _),
-    "q53_asof_join" -> (q53 _)
+    "q53_asof_join" -> (q53 _),
+    "q54_range_join" -> (q54 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -953,6 +997,7 @@ object Relational {
     "q19_nulldrop" -> q19Sql,
     "q45_latlon_format" -> q45Sql,
     "q48_bucketed_join" -> q48Sql,
-    "q53_asof_join" -> q53Sql
+    "q53_asof_join" -> q53Sql,
+    "q54_range_join" -> q54Sql
   )
 }

@@ -64,6 +64,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Relational.q04(spark, dir)).contains("BroadcastHashJoin"))
   }
 
+  test("q54 range join keeps its equi key: hash join, never a nested loop") {
+    val p = plan(Relational.q54(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected hash join on user_id:\n$p")
+    assertNoAllPairs(Relational.q54(spark, dir), "q54")
+  }
+
   test("q05 big-big join is a sort-merge join") {
     assert(plan(Relational.q05(spark, dir)).contains("SortMergeJoin"))
   }
