@@ -45,6 +45,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * range join (Relational.q54): every left event pairs with the
+    * right-stream rows of the same user whose event time falls in
+    * [l.ts - lookbackSeconds, l.ts]. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, which
+    * is exactly what Structured Streaming needs to evict join state:
+    * a buffered right row is dropped once the left watermark passes
+    * r.ts + lookback, so state is bounded by rate x lookback per
+    * key, never unbounded. Inputs must expose (user_id, ts) plus
+    * disjoint payload columns; `delayThreshold` is each side's
+    * allowed lateness.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lookbackSeconds: Long, delayThreshold: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", delayThreshold).alias("l")
+    val r = right.withWatermark("ts", delayThreshold).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+              |r.ts >= l.ts - INTERVAL $lookbackSeconds SECONDS AND
+              |r.ts <= l.ts""".stripMargin))
+  }
+
   /** One user session: closed after `gapSeconds` of event-time
     * silence (twin of the batch gaps-and-islands in Relational.q11).
     */

@@ -48,6 +48,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: pairs events with in-range marks of the same user only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long)]
+    val left = lIn.toDF().toDF("user_id", "ts", "event_id")
+    val right = rIn.toDF().toDF("user_id", "ts", "mark_id")
+    val joined = EventStreams
+      .intervalJoin(left, right, lookbackSeconds = 600)
+      .selectExpr("event_id", "mark_id")
+    val q = joined.writeStream
+      .format("memory").queryName("ivj").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // marks: user 1 at t=10min (m1), t=40min (m2); user 2 at t=12min (m3)
+      rIn.addData((1L, ts(10), 1L), (1L, ts(40), 2L), (2L, ts(12), 3L))
+      // events: user 1 at t=15 (within 10min of m1), t=50 and t=48
+      // (within of m2), user 1 at t=25 (m1 is 15min back -> no pair),
+      // user 2 at t=13 (pairs m3 only — not user 1's m1)
+      lIn.addData((1L, ts(15), 100L), (1L, ts(50), 101L), (1L, ts(48), 102L),
+        (1L, ts(25), 103L), (2L, ts(13), 104L))
+      q.processAllAvailable()
+      val out = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((100L, 1L), (101L, 2L), (102L, 2L), (104L, 3L)))
+    } finally q.stop()
+  }
+
   test("dedupDocuments: first doc per digest survives, in-watermark dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
