@@ -274,8 +274,18 @@ object TextOps {
         println(f"[cc] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
         r
       }
-    val edges = pairs.select(col("id_a"), col("id_b")).persist()
-    timed("edges")(edges.count()) // eager barrier: the union branches below race otherwise
+    // `edges` stays LAZY: the five references below (two bidir
+    // branches, two nodes branches, the self-loops) all share the
+    // pairs subplan's top aggregate exchange, so ReuseExchange
+    // computes the expensive explode/join shuffle once and only the
+    // cheap post-exchange agg+filter replays per reference — no
+    // persist barrier, no extra job (r5; measured equal-or-faster
+    // than the persisted form and one action shorter). This is safe
+    // ONLY because the pairs pipeline ends in an aggregate; a
+    // narrow-plan input would race its siblings and recompute (the
+    // `sh` table inside jaccardPairs is exactly that case and keeps
+    // its barrier).
+    val edges = pairs.select(col("id_a"), col("id_b"))
     // Bidirectional edges PLUS one self-loop per node, co-partitioned
     // on the join key ONCE and persisted. Two effects per round:
     //   1. the join reuses bidir's id_a partitioning and labels'
@@ -298,39 +308,42 @@ object TextOps {
       .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
       .repartition(col("id_a"))
       .persist()
+    // Seed labels from bidir's OWN self-loop rows, not from `edges`
+    // (which is unpersisted once the loop starts — a labels plan
+    // rooted at it would recompute the entire upstream pairs pipeline
+    // when first materialized). The self-loops are exactly the node
+    // set, hash-partitioned on id_a — and project aliasing preserves
+    // that partitioning, so each round's join is exchange-free on
+    // both sides.
+    var labels = bidir.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
     // Convergence via the label SUM: per-node labels are non-increasing
     // (min over self ∪ neighbors), so the sum strictly decreases until
     // the fixpoint — one aggregate action per round (which also
     // materializes the persist), no separate changed-row join.
     // decimal(38,0) so the sum is exact at any id domain / node count.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
-    // One job materializes bidir AND seeds the convergence sum: the
-    // self-loop rows are exactly the node set, so the initial label
-    // sum (label = own id) is the id sum over id_a = id_b — no
-    // separate action on labels, which round 0's join materializes.
-    var prevSum = timed("bidir+sum0")(
-      bidir.agg(coalesce(sum(when(col("id_a") === col("id_b"), col("id_a"))
-        .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
-        .collect().head.getDecimal(0))
-    edges.unpersist()
-    // Seed labels from bidir's OWN self-loop rows, not from `edges`:
-    // edges is unpersisted by now, so a labels plan rooted at it would
-    // recompute the entire upstream pairs pipeline when round 0 first
-    // materializes the persist. The self-loops are exactly the node
-    // set, already cached and hash-partitioned on id_a — and project
-    // aliasing preserves that partitioning, so round 0's join reads
-    // both sides exchange-free from cache.
-    var labels = bidir.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
+    // Round 0's aggregate ALSO returns sum(id): `next` has exactly one
+    // row per node, so that is the seed label sum (seed label = own
+    // id) — no separate job to materialize bidir/labels first. The
+    // only cost of skipping that warm-up action is that round 0's
+    // sibling scans of the not-yet-cached bidir share its shuffle via
+    // exchange reuse, duplicating just the cache fill of tiny (id,id)
+    // rows.
+    var prevSum: java.math.BigDecimal = null
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val next = bidir.join(labels, bidir("id_a") === labels("id"))
         .select(col("id_b").as("id"), col("label"))
         .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      val nextSum = timed(s"round $iters")(labelSum(next))
+      val sums = timed(s"round $iters")(
+        next.agg(
+          coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)),
+          coalesce(sum(col("id").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO))).collect().head)
+      val nextSum = sums.getDecimal(0)
+      if (iters == 0) prevSum = sums.getDecimal(1)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()
