@@ -43,6 +43,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run(events, marks) == Map(1L -> Some(107L), 2L -> Some(107L)))
   }
 
+  test("random sweep matches the brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    // small key/time domains force heavy collisions: equal-time ties,
+    // multiple marks per instant, keys with no marks at all
+    for (_ <- 1 to 5) {
+      val events = Seq.fill(60)(
+        (rnd.nextLong(1000), rnd.nextLong(4), rnd.nextLong(20)))
+        .zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) }
+      val marks = Seq.fill(15)(
+        (100L + rnd.nextLong(100), rnd.nextLong(4), rnd.nextLong(20)))
+      val expected = events.map { case (id, u, t) =>
+        val cand = marks.filter(m => m._2 == u && m._3 <= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.maxBy(m => (m._3, m._1))._1))
+      }.toMap
+      assert(run(events, marks) == expected)
+    }
+  }
+
   test("plans as one shuffle and zero joins") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
