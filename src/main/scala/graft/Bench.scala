@@ -22,30 +22,38 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // fixed name order: stable warm-up attribution across rounds
-    def runPass(): Seq[(String, Double)] =
+    // ok=false marks a pass where the query threw: its (short) abort
+    // duration must never win the min over a successful run's time
+    def runPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         spark.catalog.clearCache() // drop per-query persisted intermediates
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     // Contention robustness: per-query time at sf0.1 carries ±50%
-    // shared-VM noise (one observed spike: 4x on untouched queries).
-    // Best-of-N is the standard answer: run the suite again and keep
-    // each query's minimum — the min estimates the code's cost, the
-    // spread is the environment's. The extra pass is skipped when
-    // pass 1 itself ran badly contended (> 150 s), so a slow machine
-    // pays at most one pass over the r4 wall time.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // shared-VM noise, and same-commit spikes of 4-10x on untouched
+    // queries have been observed twice (SCALE.md "Measurement
+    // hygiene"). Best-of-N is the standard answer: run the suite
+    // again and keep each query's minimum over SUCCESSFUL runs — the
+    // min estimates the code's cost, the spread is the environment's.
+    // The extra pass is skipped only when pass 1 ran pathologically
+    // (> 200 s — the quiet total is ~36 s, so that is deep contention
+    // already), bounding worst-case wall time.
+    val passes = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt).getOrElse(2))
     var best = runPass()
     var ran = 1
-    while (ran < passes && best.map(_._2).sum < 150.0) {
-      best = best.zip(runPass()).map { case ((n, a), (m, b)) =>
-        require(n == m); n -> math.min(a, b)
+    while (ran < passes && best.map(_._2).sum < 200.0) {
+      best = best.zip(runPass()).map { case ((n, a, aOk), (m, b, bOk)) =>
+        require(n == m)
+        if (aOk == bOk) (n, math.min(a, b), aOk)
+        else if (aOk) (n, a, true) else (n, b, true)
       }
       ran += 1
     }
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = best.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = best.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ran}""")

@@ -43,7 +43,15 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
       time: String, payload: Seq[String], out: String = "asof"): DataFrame = {
+    // loud, not corrupting: a left column named `out` would be fused
+    // with the right payloads by the running last() below
+    require(!left.columns.contains(out) && !left.columns.contains("__side"),
+      s"left input must not already contain a '$out' or '__side' column")
     val rightU = right
+      // SQL as-of semantics: a NULL right time satisfies no `<= t`
+      // predicate — drop such rows rather than letting nulls-first
+      // ordering make their payload visible to every left row
+      .filter(col(time).isNotNull)
       .select(key.map(col) ++ Seq(col(time),
         struct(payload.map(col): _*).as(out)): _*)
       .withColumn("__side", lit(0))

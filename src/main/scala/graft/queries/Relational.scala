@@ -42,6 +42,18 @@ object Relational {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** The events table with `ts` kept as the RAW nanosecond long.
+    * For operators whose semantics hinge on time ORDERING (as-of,
+    * range joins): the µs truncation above ties ns-distinct instants,
+    * and which of two "simultaneous" rows counts as later then
+    * diverges from an engine that keeps ns. DuckDB twin:
+    * `epoch_ns(ts)`.
+    */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+  }
+
   /** 2-decimal money double -> exact integer cents. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
@@ -872,8 +884,7 @@ object Relational {
   // (per-event correlated argmax, not a window), so the operator's
   // semantics — not just its algebra — are what's cross-checked.
   def q53(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = tbl(spark, dir, "events")
+    val ev = eventsNs(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
     val marks = ev.filter(col("event_id") % 10 === 0)
       .select(col("user_id"), col("ts"), col("event_id").as("mark_id"))
@@ -902,21 +913,22 @@ object Relational {
   // 97 == 0); every window aggregates the same user's events with
   // ts in [start, end). The join keeps an EQUI key (user_id) with the
   // range as a residual predicate, so Spark plans a hash join — never
-  // a nested loop (PlanSpec-asserted). Windows here are a sparse
-  // dimension and broadcast; at fact-sized windows the same plan
-  // degrades gracefully to a sort-merge join on user_id with the
-  // range filter applied on the merged stream. Timestamps compare as
-  // raw nanosecond longs in both engines (see q53). Every mark is
-  // itself inside its own window, so the inner join drops nothing.
+  // a nested loop (PlanSpec-asserted). NO broadcast hint: the window
+  // side grows with the fact (~1% of events), so a forced broadcast
+  // would hit the driver/8 GB broadcast wall at scale — Spark's size
+  // estimate picks broadcast while the side is small and degrades to
+  // a sort-merge join on user_id (range filter on the merged stream)
+  // when it isn't. Timestamps compare as raw nanosecond longs in both
+  // engines (see q53). Every mark is itself inside its own window, so
+  // the inner join drops nothing.
   def q54(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = tbl(spark, dir, "events")
+    val ev = eventsNs(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val win = ev.filter(col("event_id") % 97 === 0)
       .select(col("event_id").as("mark_id"), col("user_id").as("w_user"),
         col("ts").as("w_start"),
         (col("ts") + lit(600000000000L)).as("w_end"))
-    ev.join(broadcast(win),
+    ev.join(win,
         ev("user_id") === col("w_user") &&
           ev("ts") >= col("w_start") && ev("ts") < col("w_end"))
       .groupBy(col("mark_id"))

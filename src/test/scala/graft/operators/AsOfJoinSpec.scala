@@ -62,6 +62,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL right time is never visible (SQL `<= t` semantics)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L), (2L, 1L, 2L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, Option.empty[Long], 100L), (1L, Some(3L), 101L))
+      .toDF("user_id", "ts", "mark_id")
+    val out = AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", Seq("mark_id"))
+      .select(col("event_id"), col("asof.mark_id"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    // event at t=5 sees only the t=3 mark; event at t=2 sees nothing —
+    // in neither case does the null-time mark's payload leak through
+    assert(out == Map(1L -> Some(101L), 2L -> None))
+  }
+
+  test("rejects a left input already carrying the output column") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("asof", "user_id", "ts")
+    val r = Seq((1L, 3L, 101L)).toDF("user_id", "ts", "mark_id")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", Seq("mark_id"))
+    }
+  }
+
   test("plans as one shuffle and zero joins") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
