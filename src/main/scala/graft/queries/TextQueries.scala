@@ -71,15 +71,17 @@ object TextQueries {
     val docs = withNearCopies(tbl(spark, dir, "documents"))
       .withColumn("sh", hashedShingles(toks, 5))
       .filter(size(col("sh")) > 0)
-    // persisted: the band self-join and the shingle-set fetch below
-    // each re-read this (see TextOps.jaccardPairs for the rationale);
-    // eagerly materialized, or the sibling stages of the first job
-    // race to compute it and the md5 digest pass runs 2-3x (measured:
-    // 27 s -> ~10 s for the whole query at sf0.1)
+    // shuffle-barriered: the band self-join and the shingle-set fetch
+    // below each re-read this, and sibling branches of one job would
+    // otherwise race to re-run the md5 digest pass 2-3x (measured:
+    // 27 s -> ~10 s at sf0.1 when the barrier landed). A repartition
+    // replaces the r3-r4 persist+count: the shuffle map stage runs
+    // exactly once per job and every branch reads its output — same
+    // guarantee, no extra action, no cache lifecycle (see
+    // TextOps.jaccardPairs).
     val sig = docs.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
-      .persist()
-    sig.count()
+      .repartition(col("doc_id"))
     // band join carries ids only — the ~250-element shingle arrays
     // would otherwise be exploded 4x and shuffled with every band row.
     // lshCandidatePairs adds the hot-bucket cap (default never binds

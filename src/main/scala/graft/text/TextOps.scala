@@ -210,26 +210,23 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
       shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // Persist the hashed-shingle table: the self-join below reads it
-    // twice, and without a barrier each side would re-run the whole
-    // tokenize/shingle/md5 pipeline (measured 2x cost). A few bytes
-    // per shingle — at 100 TB this is the digest table a production
-    // dedup pipeline checkpoints before pairing. Lifecycle note: the
-    // cached table lives until the caller clears it (the driver
-    // harness calls spark.catalog.clearCache() between queries);
-    // long-lived applications should unpersist after consuming the
-    // result, or checkpoint to storage instead.
+    // Shuffle-barrier the hashed-shingle table: the consumers below
+    // sit in SIBLING branches of one job, and without a barrier each
+    // branch re-runs the whole tokenize/shingle/md5 pipeline
+    // (measured 2x the digest cost; r3-r4 used persist + eager
+    // count() for this). A repartition does the same job with no
+    // extra action and no cache lifecycle: a shuffle map stage is
+    // computed exactly ONCE per job — every downstream branch reads
+    // the same shuffle output, so the digest pass cannot be
+    // duplicated, while only cheap post-shuffle projections replay
+    // per branch. Partitioning by doc_id also pre-aligns the table
+    // for the per-pair aggregate. At 100 TB this boundary is where a
+    // production pipeline checkpoints the digest table to storage.
     val sh = docs
       .select(col("doc_id"),
         hashedShingles(tokens(col("text")), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .persist()
-    // Eager barrier: the consumers below sit in SIBLING stages of one
-    // job, which race to compute uncached partitions — each racer runs
-    // the full tokenize/md5 pipeline before the cache wins (measured
-    // ~2x the digest cost). One count() fills the cache first; at
-    // warehouse scale this is where the digest table is checkpointed.
-    sh.count()
+      .repartition(col("doc_id"))
     val inv = sh
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val rare = inv.groupBy("s").count().filter(col("count") <= maxDf).select("s")
