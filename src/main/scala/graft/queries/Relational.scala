@@ -952,6 +952,40 @@ object Relational {
       |  AND e.tns >= w.w_start AND e.tns < w.w_end
       |GROUP BY w.mark_id ORDER BY w.mark_id""".stripMargin
 
+  // ---- q55: pivot (long->wide reshape; §2.6 companion to q08/q27) ----
+  // Order revenue (integer cents) per status x priority, priorities
+  // pivoted to columns. The pivot values are ENUMERATED, not
+  // discovered: `.pivot(col)` without values runs an extra
+  // distinct-collect job and caps at
+  // spark.sql.pivotMaxValues (10k) — at 100 TB the discovery pass is
+  // a full scan spent learning five constants. With explicit values
+  // Catalyst plans two stacked hash aggregates — a pre-aggregate on
+  // (status, priority) whose map-side partials collapse each scan
+  // partition to <= 15 rows before its shuffle, then a `pivotfirst`
+  // reshape on status — so both exchanges carry group-count rows, not
+  // data. Semantically identical to the CASE-WHEN conditional sums
+  // the oracle spells out; combos with no orders stay NULL in both
+  // engines.
+  def q55(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(cents(col("o_totalprice"))))
+      .orderBy(col("o_orderstatus"))
+
+  val q55Sql: String = {
+    val cols = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW").map { p =>
+      s"""  CAST(sum(CASE WHEN o_orderpriority = '$p'
+         |    THEN CAST(round(o_totalprice*100, 0) AS BIGINT) END) AS BIGINT)
+         |    AS "$p"""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT o_orderstatus,
+       |$cols
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -980,7 +1014,8 @@ object Relational {
     "q45_latlon_format" -> (q45 _),
     "q48_bucketed_join" -> (q48 _),
     "q53_asof_join" -> (q53 _),
-    "q54_range_join" -> (q54 _)
+    "q54_range_join" -> (q54 _),
+    "q55_pivot" -> (q55 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1010,6 +1045,7 @@ object Relational {
     "q45_latlon_format" -> q45Sql,
     "q48_bucketed_join" -> q48Sql,
     "q53_asof_join" -> q53Sql,
-    "q54_range_join" -> q54Sql
+    "q54_range_join" -> q54Sql,
+    "q55_pivot" -> q55Sql
   )
 }

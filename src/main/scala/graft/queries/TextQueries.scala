@@ -497,6 +497,126 @@ object TextQueries {
       |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // ---- q56: vocabulary build (top-k terms by collection frequency) ----
+  // The tokenizer-training precursor: corpus-wide term counts with
+  // document frequency, top 100 by (tf desc, term asc) — a total
+  // order, so the cut is deterministic in both engines. Scale shape:
+  // explode -> two-phase hash aggregate (map-side partial combine
+  // collapses each partition's term stream before the single shuffle
+  // on term; df rides the same aggregate as a partial count-distinct
+  // over doc_id) -> TakeOrderedAndProject, so the driver receives 100
+  // rows, never the vocabulary. At 100 TB the only wide exchange is
+  // the combined (term, partial-tf, partial-doc-set) table — the
+  // standard vocab-build plan.
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(100)
+
+  val q56Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |)
+      |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM t GROUP BY term
+      |ORDER BY tf DESC, term LIMIT 100""".stripMargin
+
+  // ---- q57: deterministic stratified sampling (data mixing) ----
+  // The corpus-mixing primitive: per-language keep rates (en 80%,
+  // de/fr/es 50%, zh 25%) applied via a salted content-id hash, so
+  // membership is a pure projection + filter — reproducible across
+  // runs/engines, leakage-safe (same salt family as q46's split, a
+  // different salt string), and at 100 TB a zero-shuffle scan whose
+  // filter cuts I/O before any downstream op. Emits the bucket so
+  // the oracle checks the hash arithmetic, not just the decision.
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bucket = (call_function("md5_long60",
+      concat(lit("mix:"), col("doc_id").cast("string"))) % 10000)
+    val rate = when(col("lang") === "en", 8000L)
+      .when(col("lang").isin("de", "fr", "es"), 5000L)
+      .otherwise(2500L)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        rate.as("rate_e4"))
+      .filter(col("bucket") < col("rate_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String = {
+    val b = md5IntSql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, CAST($b % 10000 AS BIGINT) AS bucket,
+       |  CAST(CASE WHEN lang = 'en' THEN 8000
+       |            WHEN lang IN ('de','fr','es') THEN 5000
+       |            ELSE 2500 END AS BIGINT) AS rate_e4
+       |FROM documents
+       |WHERE $b % 10000 < CASE WHEN lang = 'en' THEN 8000
+       |                        WHEN lang IN ('de','fr','es') THEN 5000
+       |                        ELSE 2500 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q58: sequence packing (concatenate-and-cut, budget 2048) ----
+  // The pretraining batch-prep step: within each train/valid/test
+  // split (q46's hash split), documents are concatenated in doc_id
+  // order and cut every 2048 BPE tokens (q36's regex tokenizer);
+  // each doc reports the context-window bin of its first token and
+  // the offset inside it. Docs straddle bins by design — that is how
+  // GPT-style pretraining packs. Scale shape: ONE shuffle
+  // (repartition by split for the window), then a running-sum window
+  // per split; the 3-partition skew of a split-keyed window at 100 TB
+  // is real, so production would key the window by (split, shard)
+  // with shard = bucket-hash — noted here, omitted so the oracle
+  // stays a 3-partition window both engines compute identically.
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val split = {
+      val b = call_function("md5_long60",
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    }
+    val nTok = size(expr(
+      "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), split.as("split"), nTok.as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        expr("cum_before DIV 2048").as("bin"),
+        (col("cum_before") % 2048).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String = {
+    val b = md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $b % 100 < 80 THEN 'train'
+       |         WHEN $b % 100 < 90 THEN 'valid'
+       |         ELSE 'test' END AS split,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS cum_before
+       |  FROM d
+       |)
+       |SELECT doc_id, split, n_tokens,
+       |  cum_before // 2048 AS bin, cum_before % 2048 AS bin_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -509,7 +629,10 @@ object TextQueries {
     "q34_langid" -> (q34 _),
     "q35_quality" -> (q35 _),
     "q36_tokens" -> (q36 _),
-    "q37_fingerprint" -> (q37 _)
+    "q37_fingerprint" -> (q37 _),
+    "q56_vocab" -> (q56 _),
+    "q57_mix_sample" -> (q57 _),
+    "q58_seq_pack" -> (q58 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,6 +647,9 @@ object TextQueries {
     "q34_langid" -> q34Sql,
     "q35_quality" -> q35Sql,
     "q36_tokens" -> q36Sql,
-    "q37_fingerprint" -> q37Sql
+    "q37_fingerprint" -> q37Sql,
+    "q56_vocab" -> q56Sql,
+    "q57_mix_sample" -> q57Sql,
+    "q58_seq_pack" -> q58Sql
   )
 }

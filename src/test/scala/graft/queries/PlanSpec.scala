@@ -94,6 +94,47 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"bucketed join reshuffles a fact table:\n$p")
   }
 
+  test("q55 pivot with explicit values runs no discovery job") {
+    val df = Relational.q55(spark, dir)
+    val p = plan(df)
+    // enumerated pivot values: pre-aggregate on (status, priority) +
+    // pivotfirst reshape + final orderBy — three exchanges, each
+    // carrying group-count rows after map-side partials, and NO
+    // distinct-collect pass to learn the pivot domain (that pass
+    // would be a 4th exchange plus a separate collect job)
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"pivot adds unexpected shuffles:\n$p")
+    assert(p.contains("pivotfirst"), s"expected a pivot aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Expand"),
+      s"pivot must not expand or cross-join:\n$p")
+  }
+
+  test("q56 vocab top-k is TakeOrderedAndProject, never a full sort") {
+    val p = plan(TextQueries.q56(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the vocabulary:\n$p")
+  }
+
+  test("q57 mix sample is a pure scan: only the output-order exchange") {
+    val p = plan(TextQueries.q57(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // sampling itself is projection + filter on the scan — zero
+    // shuffles; the single allowed exchange is the deterministic
+    // output orderBy (oracle hygiene, not part of the operator)
+    assert(exchanges <= 1, s"hash sampling must not shuffle:\n$p")
+  }
+
+  test("q58 sequence packing shuffles once for the split window") {
+    val p = plan(TextQueries.q58(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // one exchange keys the running-sum window by split; one more is
+    // the final orderBy
+    assert(exchanges <= 2, s"packing adds unexpected shuffles:\n$p")
+  }
+
   test("flagship approach pipeline has exactly one shuffle") {
     val p = plan(ApproachQueries.q20(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -
