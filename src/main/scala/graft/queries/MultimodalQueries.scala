@@ -87,13 +87,41 @@ object MultimodalQueries {
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  // ---- q59: batched decode (mapPartitions worker, typed output) ----
+  // The mapInPandas-equivalent boundary: payloads decoded in 64-item
+  // batches with one codec handle per batch (BatchedDecode), header
+  // parsed from raw bytes in JVM code — a second, independent
+  // implementation of the header layout, so the oracle cross-checks
+  // MultimodalOps' column-expression encode against it bit-for-bit.
+  // The stubbed luminance is md5-of-body % 10000, portable to DuckDB.
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeBatched(mediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q59Sql: String = {
+    // first 15 md5 hex digits of `text` as a BIGINT (Horner), % 10000
+    val h = (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1)")
+      .reduce((acc, n) => s"($acc * 16 + $n)")
+    s"""SELECT doc_id AS media_id, doc_id % 3 AS kind,
+       |  64 + doc_id % 64 AS width, 48 + doc_id % 48 AS height,
+       |  1 + doc_id % 30 AS n_frames,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
+       |  CAST($h % 10000 AS BIGINT) AS luma_e4
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_roundtrip" -> (q50 _),
-    "q51_frame_features" -> (q51 _)
+    "q51_frame_features" -> (q51 _),
+    "q59_batched_decode" -> (q59 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q50_media_roundtrip" -> q50Sql,
-    "q51_frame_features" -> q51Sql
+    "q51_frame_features" -> q51Sql,
+    "q59_batched_decode" -> q59Sql
   )
 }

@@ -49,6 +49,37 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("batched decode agrees with the column-expression header parse") {
+    import spark.implicits._
+    val media = MultimodalOps.mediaFromDocuments(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val decoded = BatchedDecode.decodeBatched(media, batchSize = 7)
+    // independent implementations of the same header layout must agree
+    val viaColumns = media
+      .withColumn("meta", decodeMeta(col("payload")))
+      .select(col("media_id").cast("long").as("media_id"),
+        col("meta.kind").as("kind"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+        col("meta.body_bytes").as("body_bytes"))
+    val mismatches = decoded.toDF()
+      .drop("luma_e4")
+      .except(viaColumns)
+    assert(mismatches.isEmpty, "batched decode diverges from decodeMeta")
+    assert(decoded.count() == media.count(), "batched decode dropped rows")
+    // a batch size that doesn't divide the partition row count must
+    // still decode every row (the trailing short batch)
+    assert(BatchedDecode.decodeBatched(media, batchSize = 1000).count() ==
+      media.count())
+  }
+
+  test("batched decode drops payloads that fail the magic check") {
+    import spark.implicits._
+    val bad = Seq((1L, "XXnot-a-media-file"), (2L, "G"))
+      .toDF("media_id", "s")
+      .select(col("media_id"), encode(col("s"), "UTF-8").as("payload"))
+    assert(BatchedDecode.decodeBatched(bad).count() == 0)
+  }
+
   test("resizeMeta scales the long edge to maxDim, keeps small images") {
     import spark.implicits._
     val meta = struct(lit(2L).as("kind"), lit(640L).as("width"),
