@@ -125,6 +125,24 @@ object Sinks {
   def consoleStream(df: DataFrame): DataStreamWriter[Row] =
     df.writeStream.format("console").outputMode("append")
 
+  /** S6 streaming twin: continuous per-key upsert. Each micro-batch
+    * runs the SAME merge as the batch path (foreachBatch →
+    * [[mergeApproachesTable]]), so a streamed detector feeds the
+    * identical bucketed table an incremental batch job would.
+    * Structured Streaming replays a micro-batch after a crash
+    * (at-least-once), and the merge is a per-key upsert of
+    * deterministic rows — idempotent — so the table converges to
+    * exactly-once state, the same argument (and the same lakehouse
+    * MERGE INTO upgrade path) as [[commitFlightAnalysis]].
+    */
+  def mergeStream(approaches: DataFrame, path: String,
+      buckets: Int = 64): DataStreamWriter[Row] =
+    approaches.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        mergeApproachesTable(batch, path, buckets); ()
+      }
+
   /** S6+S7 coupled commit. The reference runs the approaches upsert
     * and the per-flight done-flag update inside ONE DB transaction
     * (FlightAnalysis.py:432-437); parquet has no cross-table

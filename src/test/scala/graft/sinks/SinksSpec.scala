@@ -113,6 +113,31 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("mergeStream: streamed micro-batches upsert like the batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("mergestream").toString + "/approaches"
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Int)]
+    val q = Sinks.mergeStream(
+      in.toDF().toDF("flight_id", "approach_id", "unstable"),
+      out, buckets = 4).start()
+    try {
+      // micro-batch 1: flights 0,2 with a sentinel value
+      in.addData((0L, 1L, 9), (2L, 1L, 9))
+      q.processAllAvailable()
+      // micro-batch 2: flight 0 updated, flight 3 inserted
+      in.addData((0L, 1L, 1), (3L, 1L, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 1, 2L -> 9, 3L -> 1),
+      "stream merge must upsert overlap keys and keep non-matched rows")
+  }
+
   test("printApproaches: console sink renders without throwing (S8)") {
     import spark.implicits._
     Sinks.printApproaches(Seq((1L, "AP01")).toDF("flight_id", "airport_id"), 5)
