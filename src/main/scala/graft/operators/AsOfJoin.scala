@@ -64,4 +64,29 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__side")
   }
+
+  /** [[asofJoin]] with a maximum lookback: a right row older than
+    * `left.time - tolerance` does NOT match (the standard bounded
+    * as-of — a quote from last week shouldn't enrich today's trade).
+    * `time` must be a numeric column (e.g. the raw-nanosecond
+    * convention); `tolerance` is in the same units, inclusive
+    * (`right.time >= left.time - tolerance` matches).
+    *
+    * Same single-shuffle plan: the right time rides inside the payload
+    * struct through the running window, and staleness is a post-window
+    * projection — no extra exchange, no join. The matched right time
+    * survives as `out.<time>` (callers usually want the match's age).
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      key: Seq[String], time: String, payload: Seq[String],
+      tolerance: Long, out: String = "asof"): DataFrame = {
+    require(!payload.contains(time),
+      s"payload must not name the time column '$time' (it is added)")
+    val enriched = asofJoin(left, right, key, time, payload :+ time, out)
+    // tolerance check against the time the window carried along; the
+    // payload-struct tie rule is unchanged because the appended time
+    // field only orders rows already tied on every payload column
+    enriched.withColumn(out,
+      when(col(s"$out.$time") >= col(time) - lit(tolerance), col(out)))
+  }
 }

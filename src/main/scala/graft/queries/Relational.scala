@@ -952,6 +952,49 @@ object Relational {
       |  AND e.tns >= w.w_start AND e.tns < w.w_end
       |GROUP BY w.mark_id ORDER BY w.mark_id""".stripMargin
 
+  // ---- q60: bounded as-of join (tolerance / max lookback) ----
+  // q53's enrichment with the standard staleness bound: a mark older
+  // than 24 h (in raw ns) does not match — the "don't enrich today's
+  // trade with last week's quote" rule. Same single-shuffle no-join
+  // plan (the right time rides inside the payload struct; staleness
+  // is a post-window projection). The matched mark's own timestamp is
+  // part of the checked output, so the oracle verifies WHICH row
+  // matched, not just that one did. The LATERAL argmax oracle bounds
+  // the candidate the same way — note it never falls back to an older
+  // in-tolerance mark once the latest is stale (as-of semantics).
+  // The emitted match time is µs (DIV 1000): DuckDB's epoch_ns on
+  // this parquet µs-truncates, so ns would differ in the last 3
+  // digits; match SELECTION still compares at each engine's native
+  // precision (ties within 1 µs don't occur in the fixture).
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val marks = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id").as("mark_id"))
+    graft.operators.AsOfJoin
+      .asofJoinTolerance(ev, marks, Seq("user_id"), "ts",
+        Seq("mark_id"), 86400000000000L)
+      .select(col("event_id"), col("user_id"),
+        col("asof.mark_id").as("mark_id"),
+        expr("asof.ts DIV 1000").as("mark_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q60Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+      |), marks AS (
+      |  SELECT user_id, tns, event_id AS mark_id FROM ev
+      |  WHERE event_id % 10 = 0
+      |)
+      |SELECT e.event_id, e.user_id, m.mark_id, m.tns // 1000 AS mark_ts_us
+      |FROM ev e LEFT JOIN LATERAL (
+      |  SELECT mark_id, tns FROM marks m
+      |  WHERE m.user_id = e.user_id AND m.tns <= e.tns
+      |    AND m.tns >= e.tns - 86400000000000
+      |  ORDER BY m.tns DESC, m.mark_id DESC LIMIT 1) m ON TRUE
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- q55: pivot (long->wide reshape; §2.6 companion to q08/q27) ----
   // Order revenue (integer cents) per status x priority, priorities
   // pivoted to columns. The pivot values are ENUMERATED, not
@@ -1015,7 +1058,8 @@ object Relational {
     "q48_bucketed_join" -> (q48 _),
     "q53_asof_join" -> (q53 _),
     "q54_range_join" -> (q54 _),
-    "q55_pivot" -> (q55 _)
+    "q55_pivot" -> (q55 _),
+    "q60_asof_tolerance" -> (q60 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1046,6 +1090,7 @@ object Relational {
     "q48_bucketed_join" -> q48Sql,
     "q53_asof_join" -> q53Sql,
     "q54_range_join" -> q54Sql,
-    "q55_pivot" -> q55Sql
+    "q55_pivot" -> q55Sql,
+    "q60_asof_tolerance" -> q60Sql
   )
 }

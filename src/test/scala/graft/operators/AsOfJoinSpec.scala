@@ -62,6 +62,72 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def runTol(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)], tol: Long): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    AsOfJoin.asofJoinTolerance(l, r, Seq("user_id"), "ts", Seq("mark_id"), tol)
+      .select(col("event_id"), col("asof.mark_id"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+  }
+
+  test("tolerance: stale matches null out, the boundary is inclusive") {
+    val marks = Seq((100L, 1L, 10L))
+    val events = Seq(
+      (1L, 1L, 10L), // age 0 -> match
+      (2L, 1L, 15L), // age 5 = tolerance -> match (inclusive)
+      (3L, 1L, 16L), // age 6 > tolerance -> stale
+      (4L, 1L, 9L)) // before the mark -> no match at all
+    assert(runTol(events, marks, 5L) == Map(
+      1L -> Some(100L), 2L -> Some(100L), 3L -> None, 4L -> None))
+  }
+
+  test("tolerance: only the LATEST match counts — a stale latest hides older marks") {
+    // mark at t=10 and t=20; event at t=40 with tolerance 25: the
+    // latest mark (t=20, age 20) is in tolerance; with tolerance 15
+    // it is stale — and the t=10 mark must NOT resurface (as-of picks
+    // the latest, then bounds it; it never falls back to older rows)
+    val marks = Seq((100L, 1L, 10L), (101L, 1L, 20L))
+    val events = Seq((1L, 1L, 40L))
+    assert(runTol(events, marks, 25L) == Map(1L -> Some(101L)))
+    assert(runTol(events, marks, 15L) == Map(1L -> None))
+  }
+
+  test("tolerance random sweep matches the brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    for (tol <- Seq(0L, 3L, 8L)) {
+      val events = Seq.fill(60)(
+        (rnd.nextLong(1000), rnd.nextLong(4), rnd.nextLong(20)))
+        .zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) }
+      val marks = Seq.fill(15)(
+        (100L + rnd.nextLong(100), rnd.nextLong(4), rnd.nextLong(20)))
+      val expected = events.map { case (id, u, t) =>
+        val cand = marks.filter(m => m._2 == u && m._3 <= t)
+        id -> (if (cand.isEmpty) None
+               else {
+                 val best = cand.maxBy(m => (m._3, m._1))
+                 if (t - best._3 <= tol) Some(best._1) else None
+               })
+      }.toMap
+      assert(runTol(events, marks, tol) == expected, s"tol=$tol")
+    }
+  }
+
+  test("tolerance rejects a payload that names the time column") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, 3L, 101L)).toDF("user_id", "ts", "mark_id")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asofJoinTolerance(l, r, Seq("user_id"), "ts",
+        Seq("mark_id", "ts"), 5L)
+    }
+  }
+
   test("a NULL right time is never visible (SQL `<= t` semantics)") {
     import spark.implicits._
     val l = Seq((1L, 1L, 5L), (2L, 1L, 2L)).toDF("event_id", "user_id", "ts")
