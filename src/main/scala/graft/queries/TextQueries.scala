@@ -277,12 +277,19 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
-  val q34Sql: String = {
-    val hits = langProfiles.map { case (lang, ws) =>
-      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS ${lang}_hits"
-    }.mkString(",\n    ")
+  /** SQL projection list of per-language profile-hit counts over a
+    * `toks` column (shared by the q34 and q61 oracles).
+    */
+  private val langHitsSql: String = langProfiles.map { case (lang, ws) =>
+    s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS ${lang}_hits"
+  }.mkString(",\n    ")
+
+  /** SQL CASE computing the predicted language from the hit columns —
+    * first max in lexicographic lang order (matches
+    * TextOps.languageId).
+    */
+  private val langPredCaseSql: String = {
     val langs = langProfiles.map(_._1)
-    // first max in lexicographic lang order (matches TextOps.languageId)
     val pred = langs.map { l =>
       val later = langs.filter(_ > l)
       val geLater =
@@ -294,21 +301,24 @@ object TextQueries {
         .mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString("\n      ")
+    s"""CASE WHEN greatest(${langs.map(_ + "_hits").mkString(",")}) = 0 THEN 'und'
+       |      $pred
+       |      END""".stripMargin
+  }
+
+  val q34Sql: String =
     s"""WITH s AS (
        |  SELECT lang,
-       |    $hits
+       |    $langHitsSql
        |  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
        |        FROM documents)
        |), p AS (
        |  SELECT lang,
-       |    CASE WHEN greatest(${langs.map(_ + "_hits").mkString(",")}) = 0 THEN 'und'
-       |      $pred
-       |      END AS predicted
+       |    $langPredCaseSql AS predicted
        |  FROM s
        |)
        |SELECT lang, predicted, count(*) AS n
        |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
-  }
 
   // ---- q35: quality scoring (length / token / stopword metrics) ----
   def q35(spark: SparkSession, dir: String): DataFrame = {
@@ -617,6 +627,91 @@ object TextQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q61: end-to-end corpus curation (the composed pipeline) ----
+  // What a training-data user actually runs: language-ID + quality
+  // score + exact-dedup keeper + train/valid/test split in ONE query,
+  // emitting a keep/drop decision with the first failing rule as the
+  // reason (priority: dup > lang > quality — the cheap-to-recheck
+  // rules first, matching how curation pipelines report drops).
+  // Planted exact copies (q30's fixture) make the dup branch provably
+  // fire. Scale shape: language/quality/split are projections on the
+  // scan; the ONLY wide work is exact-dedup's digest shuffle (groupBy
+  // md5 + join back on the 16-byte digest, never raw text) — i.e. the
+  // composition adds nothing beyond its most expensive member.
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = withExactCopies(tbl(spark, dir, "documents"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = langHits(toks, langProfiles.toMap.apply("en")).cast("long")
+    val quality = least(lit(10000L),
+      floor(sumLen * 100 / nTok) * 10 + floor(stopHits * 10000 / nTok))
+      .cast("long")
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val splitB = (call_function("md5_long60",
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+    TextOps.withLanguageId(docs, col("text"), "lang_pred")
+      .withColumn("quality_e4", quality)
+      .withColumn("h", md5(col("text")))
+      .join(keepers, "h")
+      .withColumn("split",
+        when(splitB < 80, "train").when(splitB < 90, "valid")
+          .otherwise("test"))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keeper"), "dup")
+          .when(col("lang_pred") === "und", "lang")
+          .when(col("quality_e4") < 5000, "quality"))
+      .select(col("doc_id"), col("lang_pred"), col("quality_e4"),
+        col("keeper"), col("split"), col("reason"),
+        col("reason").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String = {
+    val b = md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH docs AS (
+       |  $exactCopiesSql
+       |), t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM docs
+       |), p AS (
+       |  SELECT doc_id, lang_pred, quality_e4 FROM (
+       |    SELECT doc_id,
+       |      $langPredCaseSql AS lang_pred,
+       |      least(10000, (sum_len * 100 // n_tokens) * 10
+       |        + stop_hits * 10000 // n_tokens) AS quality_e4
+       |    FROM (SELECT doc_id,
+       |            $langHitsSql,
+       |            CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+       |              AS sum_len,
+       |            len(toks) AS n_tokens,
+       |            len(list_filter(toks,
+       |              t -> t IN ('the','a','of','and','is','to','in')))
+       |              AS stop_hits
+       |          FROM t))
+       |), k AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS keeper
+       |  FROM docs GROUP BY text
+       |), j AS (
+       |  SELECT d.doc_id, p.lang_pred, p.quality_e4, k.keeper,
+       |    CASE WHEN $b % 100 < 80 THEN 'train'
+       |         WHEN $b % 100 < 90 THEN 'valid'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN d.doc_id != k.keeper THEN 'dup'
+       |         WHEN p.lang_pred = 'und' THEN 'lang'
+       |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason
+       |  FROM docs d
+       |  JOIN p USING (doc_id)
+       |  JOIN k ON md5(d.text) = k.h
+       |)
+       |SELECT doc_id, lang_pred, quality_e4, keeper, split, reason,
+       |  reason IS NULL AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -632,7 +727,8 @@ object TextQueries {
     "q37_fingerprint" -> (q37 _),
     "q56_vocab" -> (q56 _),
     "q57_mix_sample" -> (q57 _),
-    "q58_seq_pack" -> (q58 _)
+    "q58_seq_pack" -> (q58 _),
+    "q61_curation" -> (q61 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -650,6 +746,7 @@ object TextQueries {
     "q37_fingerprint" -> q37Sql,
     "q56_vocab" -> q56Sql,
     "q57_mix_sample" -> q57Sql,
-    "q58_seq_pack" -> q58Sql
+    "q58_seq_pack" -> q58Sql,
+    "q61_curation" -> q61Sql
   )
 }
