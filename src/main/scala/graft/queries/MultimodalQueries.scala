@@ -101,10 +101,9 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
 
   val q59Sql: String = {
-    // first 15 md5 hex digits of `text` as a BIGINT (Horner), % 10000
-    val h = (1 to 15).map(p =>
-      s"(strpos('0123456789abcdef', substr(md5(text), $p, 1)) - 1)")
-      .reduce((acc, n) => s"($acc * 16 + $n)")
+    // first 15 md5 hex digits of `text` as a BIGINT (shared Horner
+    // helper — the same decoding every md5_long60 oracle uses), % 10000
+    val h = TextQueries.md5IntSql("text")
     s"""SELECT doc_id AS media_id, doc_id % 3 AS kind,
        |  64 + doc_id % 64 AS width, 48 + doc_id % 48 AS height,
        |  1 + doc_id % 30 AS n_frames,

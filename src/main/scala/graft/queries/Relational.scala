@@ -954,45 +954,50 @@ object Relational {
 
   // ---- q60: bounded as-of join (tolerance / max lookback) ----
   // q53's enrichment with the standard staleness bound: a mark older
-  // than 24 h (in raw ns) does not match — the "don't enrich today's
-  // trade with last week's quote" rule. Same single-shuffle no-join
-  // plan (the right time rides inside the payload struct; staleness
-  // is a post-window projection). The matched mark's own timestamp is
-  // part of the checked output, so the oracle verifies WHICH row
-  // matched, not just that one did. The LATERAL argmax oracle bounds
-  // the candidate the same way — note it never falls back to an older
-  // in-tolerance mark once the latest is stale (as-of semantics).
-  // The emitted match time is µs (DIV 1000): DuckDB's epoch_ns on
-  // this parquet µs-truncates, so ns would differ in the last 3
-  // digits; match SELECTION still compares at each engine's native
-  // precision (ties within 1 µs don't occur in the fixture).
+  // than 24 h does not match — the "don't enrich today's trade with
+  // last week's quote" rule. Same single-shuffle no-join plan (the
+  // right time rides inside the payload struct; staleness is a
+  // post-window projection). The matched mark's own time is part of
+  // the checked output, so the oracle verifies WHICH row matched,
+  // not just that one did. The oracle's filter-then-argmax LATERAL
+  // is provably equivalent to the operator's argmax-then-bound: with
+  // a lookback bound an older candidate is strictly more stale, so a
+  // stale latest implies every candidate is stale.
+  // BOTH engines compare µs-truncated time (ts DIV 1000 here,
+  // epoch_us there): DuckDB reads this parquet's ns timestamps at µs
+  // precision, so an ns-side comparison would classify ages within
+  // 1 µs of the bound differently — truncating both inputs makes the
+  // gate robust to any fixture, not just one with no near-boundary
+  // ages. (q53 stays the ns-exact showcase; its oracle checks match
+  // identity only, never an engine-computed time value.)
   def q60(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsNs(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"))
     val marks = ev.filter(col("event_id") % 10 === 0)
-      .select(col("user_id"), col("ts"), col("event_id").as("mark_id"))
+      .select(col("user_id"), col("ts_us"), col("event_id").as("mark_id"))
     graft.operators.AsOfJoin
-      .asofJoinTolerance(ev, marks, Seq("user_id"), "ts",
-        Seq("mark_id"), 86400000000000L)
+      .asofJoinTolerance(ev, marks, Seq("user_id"), "ts_us",
+        Seq("mark_id"), 86400000000L)
       .select(col("event_id"), col("user_id"),
         col("asof.mark_id").as("mark_id"),
-        expr("asof.ts DIV 1000").as("mark_ts_us"))
+        col("asof.ts_us").as("mark_ts_us"))
       .orderBy(col("event_id"))
   }
 
   val q60Sql: String =
     """WITH ev AS (
-      |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
       |), marks AS (
-      |  SELECT user_id, tns, event_id AS mark_id FROM ev
+      |  SELECT user_id, tus, event_id AS mark_id FROM ev
       |  WHERE event_id % 10 = 0
       |)
-      |SELECT e.event_id, e.user_id, m.mark_id, m.tns // 1000 AS mark_ts_us
+      |SELECT e.event_id, e.user_id, m.mark_id, m.tus AS mark_ts_us
       |FROM ev e LEFT JOIN LATERAL (
-      |  SELECT mark_id, tns FROM marks m
-      |  WHERE m.user_id = e.user_id AND m.tns <= e.tns
-      |    AND m.tns >= e.tns - 86400000000000
-      |  ORDER BY m.tns DESC, m.mark_id DESC LIMIT 1) m ON TRUE
+      |  SELECT mark_id, tus FROM marks m
+      |  WHERE m.user_id = e.user_id AND m.tus <= e.tus
+      |    AND m.tus >= e.tus - 86400000000
+      |  ORDER BY m.tus DESC, m.mark_id DESC LIMIT 1) m ON TRUE
       |ORDER BY e.event_id""".stripMargin
 
   // ---- q55: pivot (long->wide reshape; §2.6 companion to q08/q27) ----

@@ -24,6 +24,59 @@ object TextQueries {
 
   private val toks = tokens(col("text"))
 
+  /** DuckDB: first 15 md5 hex digits of `e` as a BIGINT (Horner).
+    * Shared across every oracle that decodes `md5_long60` output
+    * (split/mix/shingle/decode queries) — one copy, one semantics.
+    */
+  private[queries] def md5IntSql(e: String): String = {
+    val h = (1 to 15).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1)")
+    h.reduce((acc, n) => s"($acc * 16 + $n)")
+  }
+
+  /** The salted split bucket (md5_long60("split:"+doc_id) % 100) and
+    * its train/valid/test label — ONE definition each, shared by
+    * q46/q58/q61 (and mirrored by [[splitBucketSql]]/[[splitCaseSql]]
+    * on the oracle side): the leakage-safety story depends on every
+    * query cutting the corpus at the same 80/90 boundary with the
+    * same salt, so the cut must not be re-spelled per query.
+    */
+  private def splitBucket(spark: SparkSession): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("md5_long60",
+      concat(lit("split:"), col("doc_id").cast("string"))) % 100
+  }
+
+  private def splitLabel(spark: SparkSession): Column = {
+    val b = splitBucket(spark)
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  }
+
+  private val splitBucketSql: String =
+    s"${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+
+  private val splitCaseSql: String =
+    s"""CASE WHEN $splitBucketSql < 80 THEN 'train'
+       |       WHEN $splitBucketSql < 90 THEN 'valid'
+       |       ELSE 'test' END""".stripMargin
+
+  /** q35's quality score over a `toks` array — shared by q35/q61;
+    * [[qualityE4Sql]] is the oracle twin over (sum_len, n_tokens,
+    * stop_hits) columns.
+    */
+  private def qualityE4Col: Column = {
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopHits = langHits(toks, langProfiles.toMap.apply("en")).cast("long")
+    least(lit(10000L),
+      floor(sumLen * 100 / nTok) * 10 + floor(stopHits * 10000 / nTok))
+      .cast("long")
+  }
+
+  private val qualityE4Sql: String =
+    "least(10000, (sum_len * 100 // n_tokens) * 10 + stop_hits * 10000 // n_tokens)"
+
+
   /** documents ∪ planted exact copies of every 10th doc. */
   private def withExactCopies(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
@@ -100,13 +153,6 @@ object TextQueries {
       .select(col("id_a"), col("id_b"),
         round(col("jac") * 10000).cast("long").as("jaccard_e4"))
       .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** DuckDB: first 15 md5 hex digits of `e` as a BIGINT (Horner). */
-  private def md5IntSql(e: String): String = {
-    val h = (1 to 15).map(p =>
-      s"(strpos('0123456789abcdef', substr(md5($e), $p, 1)) - 1)")
-    h.reduce((acc, n) => s"($acc * 16 + $n)")
   }
 
   private def mhSql(i: Int) =
@@ -332,16 +378,14 @@ object TextQueries {
         nTok.as("n_tokens"),
         floor(sumLen * 100 / nTok).cast("long").as("avg_tok_len_e2"),
         floor(stopHits * 10000 / nTok).cast("long").as("stop_ratio_e4"),
-        least(lit(10000L),
-          floor(sumLen * 100 / nTok) * 10 + floor(stopHits * 10000 / nTok))
-          .cast("long").as("quality_e4"))
+        qualityE4Col.as("quality_e4"))
       .orderBy(col("doc_id"))
   }
 
   val q35Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, length(text) AS n_chars,
-      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |    string_split_regex(lower(trim(text)), '\\s+') AS toks
       |  FROM documents
       |), m AS (
       |  SELECT doc_id, n_chars,
@@ -354,8 +398,7 @@ object TextQueries {
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
       |  sum_len * 100 // n_tokens AS avg_tok_len_e2,
       |  stop_hits * 10000 // n_tokens AS stop_ratio_e4,
-      |  least(10000, (sum_len * 100 // n_tokens) * 10
-      |    + stop_hits * 10000 // n_tokens) AS quality_e4
+      |  $qualityE4Sql AS quality_e4
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---- q36: token counting (whitespace + BPE-ish regex) ----
@@ -455,25 +498,16 @@ object TextQueries {
   // The standard leakage-safe corpus split: bucket = salted content-id
   // hash mod 100, 80/10/10. Pure column arithmetic, reshuffles nothing
   // — at 100 TB the split is a free projection on every scan.
-  def q46(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val bucket = (call_function("md5_long60",
-      concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("bucket")
+  def q46(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
-      .select(col("doc_id"), bucket)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test"))
+      .select(col("doc_id"), splitBucket(spark).as("bucket"),
+        splitLabel(spark).as("split"))
       .orderBy(col("doc_id"))
-  }
 
   val q46Sql: String =
     s"""SELECT doc_id,
-      |  CAST(${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket,
-      |  CASE WHEN ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-      |       WHEN ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
-      |       ELSE 'test' END AS split
+      |  CAST($splitBucketSql AS BIGINT) AS bucket,
+      |  $splitCaseSql AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- q47: near-dup cluster resolution (connected components) ----
@@ -584,12 +618,7 @@ object TextQueries {
   // with shard = bucket-hash — noted here, omitted so the oracle
   // stays a 3-partition window both engines compute identically.
   def q58(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val split = {
-      val b = call_function("md5_long60",
-        concat(lit("split:"), col("doc_id").cast("string"))) % 100
-      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-    }
+    val split = splitLabel(spark)
     val nTok = size(expr(
       "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
       .cast("long")
@@ -606,12 +635,9 @@ object TextQueries {
   }
 
   val q58Sql: String = {
-    val b = md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")
     s"""WITH d AS (
        |  SELECT doc_id,
-       |    CASE WHEN $b % 100 < 80 THEN 'train'
-       |         WHEN $b % 100 < 90 THEN 'valid'
-       |         ELSE 'test' END AS split,
+       |    $splitCaseSql AS split,
        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
        |      AS n_tokens
        |  FROM documents
@@ -639,26 +665,15 @@ object TextQueries {
   // md5 + join back on the 16-byte digest, never raw text) — i.e. the
   // composition adds nothing beyond its most expensive member.
   def q61(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val docs = withExactCopies(tbl(spark, dir, "documents"))
-    val nTok = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val stopHits = langHits(toks, langProfiles.toMap.apply("en")).cast("long")
-    val quality = least(lit(10000L),
-      floor(sumLen * 100 / nTok) * 10 + floor(stopHits * 10000 / nTok))
-      .cast("long")
     val keepers = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
-    val splitB = (call_function("md5_long60",
-      concat(lit("split:"), col("doc_id").cast("string"))) % 100)
     TextOps.withLanguageId(docs, col("text"), "lang_pred")
-      .withColumn("quality_e4", quality)
+      .withColumn("quality_e4", qualityE4Col)
       .withColumn("h", md5(col("text")))
       .join(keepers, "h")
-      .withColumn("split",
-        when(splitB < 80, "train").when(splitB < 90, "valid")
-          .otherwise("test"))
+      .withColumn("split", splitLabel(spark))
       .withColumn("reason",
         when(col("doc_id") =!= col("keeper"), "dup")
           .when(col("lang_pred") === "und", "lang")
@@ -670,7 +685,6 @@ object TextQueries {
   }
 
   val q61Sql: String = {
-    val b = md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")
     s"""WITH docs AS (
        |  $exactCopiesSql
        |), t AS (
@@ -681,8 +695,7 @@ object TextQueries {
        |  SELECT doc_id, lang_pred, quality_e4 FROM (
        |    SELECT doc_id,
        |      $langPredCaseSql AS lang_pred,
-       |      least(10000, (sum_len * 100 // n_tokens) * 10
-       |        + stop_hits * 10000 // n_tokens) AS quality_e4
+       |      $qualityE4Sql AS quality_e4
        |    FROM (SELECT doc_id,
        |            $langHitsSql,
        |            CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
@@ -697,9 +710,7 @@ object TextQueries {
        |  FROM docs GROUP BY text
        |), j AS (
        |  SELECT d.doc_id, p.lang_pred, p.quality_e4, k.keeper,
-       |    CASE WHEN $b % 100 < 80 THEN 'train'
-       |         WHEN $b % 100 < 90 THEN 'valid'
-       |         ELSE 'test' END AS split,
+       |    $splitCaseSql AS split,
        |    CASE WHEN d.doc_id != k.keeper THEN 'dup'
        |         WHEN p.lang_pred = 'und' THEN 'lang'
        |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason

@@ -131,9 +131,15 @@ object Sinks {
     * identical bucketed table an incremental batch job would.
     * Structured Streaming replays a micro-batch after a crash
     * (at-least-once), and the merge is a per-key upsert of
-    * deterministic rows — idempotent — so the table converges to
-    * exactly-once state, the same argument (and the same lakehouse
-    * MERGE INTO upgrade path) as [[commitFlightAnalysis]].
+    * deterministic rows — idempotent — so replayed BATCHES converge
+    * to the same table state. The remaining hole is the merge's own
+    * commit: the dynamic-partition overwrite of plain parquet is not
+    * atomic, so a crash in the middle of the file swap can lose
+    * survivor rows of the touched buckets, and a replay re-merges
+    * only the batch's keys. Production deployments close this with
+    * an atomic table format (Delta/Iceberg MERGE INTO), the same
+    * upgrade path noted on [[mergeApproachesTable]] — idempotency
+    * covers replay-after-commit, not crash-during-commit.
     */
   def mergeStream(approaches: DataFrame, path: String,
       buckets: Int = 64): DataStreamWriter[Row] =

@@ -87,11 +87,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       1L -> Some(100L), 2L -> Some(100L), 3L -> None, 4L -> None))
   }
 
-  test("tolerance: only the LATEST match counts — a stale latest hides older marks") {
-    // mark at t=10 and t=20; event at t=40 with tolerance 25: the
-    // latest mark (t=20, age 20) is in tolerance; with tolerance 15
-    // it is stale — and the t=10 mark must NOT resurface (as-of picks
-    // the latest, then bounds it; it never falls back to older rows)
+  test("tolerance: the bound applies to the latest match") {
+    // mark at t=10 and t=20; event at t=40: with tolerance 25 the
+    // latest mark (t=20, age 20) matches; with tolerance 15 nothing
+    // does. (Argmax-then-bound and filter-then-argmax are provably
+    // the same here — an older candidate is strictly more stale, so
+    // a stale latest implies every candidate is stale; no test can
+    // distinguish the two formulations, and the oracle uses the
+    // filter-first form for exactly that reason.)
     val marks = Seq((100L, 1L, 10L), (101L, 1L, 20L))
     val events = Seq((1L, 1L, 40L))
     assert(runTol(events, marks, 25L) == Map(1L -> Some(101L)))
