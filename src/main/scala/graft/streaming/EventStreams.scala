@@ -67,6 +67,22 @@ object EventStreams {
               |r.ts <= l.ts""".stripMargin))
   }
 
+  /** Stream-static enrichment join: a streaming fact against a batch
+    * dimension — the streaming twin of the batch broadcast dim join
+    * (Relational.q04/q18; the reference's per-flight aircraft-type
+    * lookup, main.py:28,83-84, is exactly this shape run
+    * continuously). No watermark is needed: Spark re-plans the static
+    * side per micro-batch and keeps NO join state (the stream side
+    * never buffers), so this is stateless and scales like the batch
+    * broadcast join — the dimension broadcasts when small, and a
+    * changed dimension table is picked up on the next micro-batch.
+    * `how` = "inner" or "left_outer" (left = keep facts with no dim
+    * row, the reference's behavior for unknown aircraft).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: Seq[String],
+      how: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), key, how)
+
   /** One user session: closed after `gapSeconds` of event-time
     * silence (twin of the batch gaps-and-islands in Relational.q11).
     */

@@ -76,6 +76,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichStream: stream-static dim join is stateless and left-keeps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val dim = Seq((1L, "C172"), (2L, "PA28")).toDF("aircraft_id", "type")
+    val enriched = EventStreams.enrichStream(
+      in.toDF().toDF("flight_id", "aircraft_id"), dim, Seq("aircraft_id"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enr").outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData((10L, 1L), (11L, 2L), (12L, 99L)) // 99 has no dim row
+      q.processAllAvailable()
+      val out = spark.table("enr")
+        .select("flight_id", "type").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(10L -> Some("C172"), 11L -> Some("PA28"),
+        12L -> None), "left join must keep unmatched facts with NULL dim")
+    } finally q.stop()
+  }
+
   test("dedupDocuments: first doc per digest survives, in-watermark dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
