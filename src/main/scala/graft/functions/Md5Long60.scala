@@ -143,6 +143,8 @@ object GraftFunctions {
       "md5_long60", exprs => Md5Long60(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "shingle_hash60", shingleBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "dot_f64", exprs => DotF64(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -167,5 +169,8 @@ class GraftExtensions
         case other => throw new IllegalArgumentException(
           s"shingle_hash60(toks, <int literal>) — got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
   }
 }

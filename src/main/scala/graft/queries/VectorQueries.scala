@@ -22,9 +22,14 @@ object VectorQueries {
   private val signs = srpSigns(Planes, Dim)
 
   /** The embeddings as (vec_id, v: array<double>). */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    // every vector query funnels through here: registering the native
+    // dot_f64 at the source keeps each query self-contained (no
+    // execution-order dependency on another query having registered)
+    graft.functions.GraftFunctions.register(spark)
     tbl(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  }
 
   /** DuckDB: double-cast list of the embedding column `e`. */
   private def vSql(e: String) =

@@ -24,8 +24,20 @@ object VectorOps {
   /** `array<float>` -> `array<double>` (exact widening). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd expression ([[graft.functions.DotF64]]; requires
+    * `GraftFunctions.register`, which every query/main does). Same FP
+    * op sequence as [[dotHof]]/[[seqDot]]/DuckDB `list_sum`:
+    * bit-identical results (spec-asserted), ~an order of magnitude
+    * less per-row overhead than the interpreted HOF fold.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dot_f64", a, b)
+
+  /** The built-in higher-order-function form of [[dot]] — kept as the
+    * registration-free fallback and as the cross-check the DotF64Spec
+    * compares bit-for-bit against the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Driver-side twin of [[dot]]: the identical FP op sequence
