@@ -208,7 +208,13 @@ object ApproachQueries {
   def q28(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{element_at, array}
     val samples = FlightGen.flights(spark, dir)
-    val types = samples.select(col("flight")).distinct()
+    // type dim from the flight ID SOURCE (events user list), not from
+    // samples.distinct(): a distinct over the generated trace would
+    // re-explode every per-second sample only to collapse back to the
+    // ids it started from — ~0.5 s of pure waste at sf0.1, and at
+    // 100 TB a full second scan of the fact table
+    val types = Relational.events(spark, dir)
+      .select(col("user_id").as("flight")).distinct()
       .withColumn("aircraft_type",
         element_at(array(lit("C172"), lit("PA28"), lit("SR20"), lit("BE36")),
           (col("flight") % 4 + 1).cast("int")))
