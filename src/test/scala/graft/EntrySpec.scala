@@ -16,6 +16,32 @@ class EntrySpec extends AnyFunSuite {
     assert(df.columns.length == 18)
   }
 
+  test("every query analyzes in a FRESH session (self-contained)") {
+    // each query must set up everything it needs (function
+    // registration, nanosAsLong, bucketed-table prep) — round 3's
+    // q17 only worked because an alphabetically earlier query had
+    // already set a session conf. newSession() gives a clean conf +
+    // function registry on the shared context; .schema forces
+    // analysis, which is where missing confs/functions surface.
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val fresh = spark.newSession()
+      val schema = fn(fresh, dir).schema
+      assert(schema.nonEmpty, s"$name produced an empty schema")
+    }
+  }
+
+  test("no oracle embeds an interpolated null fragment") {
+    // a Scala object val that references a LATER-declared val
+    // interpolates "null" silently (bit q35's oracle once) — any
+    // literal null in an oracle is that bug, not intended SQL
+    val bare = "(?i)(?<!is )\\bnull as\\b".r // `IS NULL AS x` is fine
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(bare.findFirstIn(sql).isEmpty && !sql.contains("$"),
+        s"$name oracle looks mis-interpolated:\n$sql")
+    }
+  }
+
   test("query registry: oracle coverage and key hygiene") {
     val qs = SparkEntry.queries
     val os = SparkEntry.oracleSql
