@@ -53,6 +53,11 @@ object Sinks {
   def mergeApproachesTable(batch: DataFrame, path: String,
       buckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // upsert of nothing is a no-op — and materially so: an empty
+    // FIRST batch would otherwise create a file-less table dir that
+    // the next merge's read cannot infer a schema from (streaming
+    // micro-batches before the first emission hit exactly this)
+    if (batch.isEmpty) return
     val newRows = batch
       .withColumn("flight_bucket",
         pmod(col("flight_id"), lit(buckets)).cast("int"))

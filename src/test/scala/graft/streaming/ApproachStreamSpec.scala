@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -57,6 +59,56 @@ class ApproachStreamSpec extends AnyFunSuite {
       assert(a.airport_id == "AP04" && a.approach_start == 424 &&
         a.approach_end == 479 && a.landing_type == "stop-and-go" &&
         a.unstable == 0)
+    } finally q.stop()
+  }
+
+  test("streamed detector feeds the incremental upsert sink end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val out = java.nio.file.Files
+      .createTempDirectory("streamsink").toString + "/approaches"
+    val base = 86400000L
+    val samples: Seq[FlightSample] = FlightGen
+      .trace(spark.range(3, 4).toDF("flight"))
+      .as[FlightSample].collect().sortBy(_.time).toSeq
+    def at(s: FlightSample, offMs: Long = 0L) =
+      TimedSample(new Timestamp(base + offMs + s.time * 1000), s)
+    val probe = samples.head.copy(flight = 999L)
+
+    val in = MemoryStream[TimedSample]
+    val approaches = detectApproaches(in.toDS(), Dims.syntheticAirports(),
+      gapSeconds = 60, watermark = "2 minutes")
+      .drop("unstable_intervals")
+    val q = graft.sinks.Sinks.mergeStream(approaches, out, buckets = 4)
+      .start()
+    try {
+      // micro-batches BEFORE the first emission: the sink must treat
+      // them as no-ops (not create a schema-less table dir)
+      in.addData(samples.map(s => at(s)): _*)
+      q.processAllAvailable()
+      // watermark pushes -> flight 3 times out, emits, merges
+      in.addData(at(probe, 3600L * 1000))
+      q.processAllAvailable()
+      in.addData(at(probe, 7200L * 1000))
+      q.processAllAvailable()
+      val first = spark.read.parquet(out)
+        .filter(col("flight_id") === 3L).collect()
+      assert(first.length == 1, "emitted approach must land in the table")
+      // re-stream the same flight later (state was dropped at
+      // timeout): the re-emission carries the same (flight_id,
+      // approach_id) key, so the merge must REPLACE, not append
+      in.addData(samples.map(s => at(s, 10800L * 1000)): _*)
+      q.processAllAvailable()
+      in.addData(at(probe, 14400L * 1000))
+      q.processAllAvailable()
+      in.addData(at(probe, 18000L * 1000))
+      q.processAllAvailable()
+      val again = spark.read.parquet(out)
+        .filter(col("flight_id") === 3L)
+        .select("flight_id", "approach_id", "landing_type").collect()
+      assert(again.length == 1, s"upsert must not duplicate: $again")
+      assert(again.head.getString(2) == "stop-and-go")
     } finally q.stop()
   }
 }
