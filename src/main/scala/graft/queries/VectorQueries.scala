@@ -43,13 +43,20 @@ object VectorQueries {
   // Queries = every 100th vector, broadcast against the full table;
   // the fact side stays partitioned (no shuffle of the big side).
   def q40(spark: SparkSession, dir: String): DataFrame = {
+    // norms computed ONCE per row before the pair join (the composed
+    // cosine() would re-fold sqrt(dot(x,x)) per PAIR — n x q times);
+    // sqrt-then-multiply-then-divide is the identical FP sequence, so
+    // scores are bit-equal to the composed form and the oracle
     val all = vecs(spark, dir)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val queries = all.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq"))
     val scored = all.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")) * 1e6).cast("long").as("cos_e6"))
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
+          .cast("long").as("cos_e6"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -134,14 +141,19 @@ object VectorQueries {
     */
   def annNearDupPairs(vecs: DataFrame, planes: Seq[Seq[Double]],
       minCosE6: Long = 990000L, maxBucket: Long = 100000L): DataFrame = {
+    // the cached bucket table also carries each vector's norm: the
+    // confirm step then folds one dot per PAIR instead of three
+    // (same FP sequence as the composed cosine -> bit-equal scores)
     val all = vecs
       .withColumn("bucket", srpBucket(col("v"), planes))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
       .persist()
     all.count() // eager barrier: fill the cache before the sides race
     graft.operators.Buckets
       .cappedSelfJoinPairs(all, "vec_id", "bucket", maxBucket)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")) * 1e6).cast("long").as("cos_e6"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")) * 1e6)
+          .cast("long").as("cos_e6"))
       .filter(col("cos_e6") >= minCosE6)
   }
 
