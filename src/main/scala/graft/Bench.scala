@@ -53,10 +53,16 @@ object Bench {
       }
       ran += 1
     }
-    val qs = best.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // a query that threw in EVERY pass must not masquerade as a fast
+    // success: report it as -1 (and name it in "failed") instead of
+    // letting its abort duration deflate the total
+    val qs = best.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = best.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$ran}""")
+    val failed = best.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = best.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":$ran}""")
     spark.stop()
   }
 }

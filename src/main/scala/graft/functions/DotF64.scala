@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `acc = acc + a(i)*b(i)`, left to right from 0.0 — the EXACT FP op
   * sequence of `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` and of
   * DuckDB's `list_sum` over the product list (both verified
-  * bit-identical), so swapping the HOF form for this one changes no
-  * oracle-checked value. Mismatched lengths fail loud: in this
-  * engine every embedding column is fixed-dim, so a mismatch is a
-  * pipeline bug, not data.
+  * bit-identical ON NULL-FREE ARRAYS — the only shape an embedding
+  * column has), so swapping the HOF form for this one changes no
+  * oracle-checked value. Mismatched lengths and null ELEMENTS fail
+  * loud: in this engine every embedding column is fixed-dim and
+  * null-free, so either is a pipeline bug, not data. (The HOF fold
+  * would propagate NULL for a null element; silently reading it as
+  * 0.0 — what a bare getDouble does — is the one divergence this
+  * guard closes.)
   */
 object VecUtil {
   def dotF64(a: ArrayData, b: ArrayData): Double = {
@@ -22,7 +26,12 @@ object VecUtil {
       s"dot_f64: length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_f64: null element at index $i — embedding arrays must be null-free")
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
     acc
   }
 }

@@ -137,14 +137,27 @@ object GraftFunctions {
       s"shingle_hash60(toks, <int literal>) — got $other")
   }
 
+  private val md5Builder: Seq[Expression] => Expression = {
+    case Seq(s) => Md5Long60(s)
+    case other => throw new IllegalArgumentException(
+      s"md5_long60(<string>) takes exactly one argument — got ${other.length}")
+  }
+
+  private val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotF64(a, b)
+    case other => throw new IllegalArgumentException(
+      s"dot_f64(<array<double>>, <array<double>>) takes exactly two " +
+        s"arguments — got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
-      "md5_long60", exprs => Md5Long60(exprs.head), "built-in")
+      "md5_long60", md5Builder, "built-in")
     registry.createOrReplaceTempFunction(
       "shingle_hash60", shingleBuilder, "built-in")
     registry.createOrReplaceTempFunction(
-      "dot_f64", exprs => DotF64(exprs(0), exprs(1)), "built-in")
+      "dot_f64", dotBuilder, "built-in")
   }
 }
 
@@ -161,7 +174,11 @@ class GraftExtensions
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     ext.injectFunction((FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
-      (exprs: Seq[Expression]) => Md5Long60(exprs.head)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => Md5Long60(s)
+        case other => throw new IllegalArgumentException(
+          s"md5_long60(<string>) takes exactly one argument — got ${other.length}")
+      }))
     ext.injectFunction((FunctionIdentifier("shingle_hash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
       (exprs: Seq[Expression]) => exprs match {
@@ -171,6 +188,11 @@ class GraftExtensions
       }))
     ext.injectFunction((FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => DotF64(a, b)
+        case other => throw new IllegalArgumentException(
+          s"dot_f64(<array<double>>, <array<double>>) takes exactly two " +
+            s"arguments — got ${other.length}")
+      }))
   }
 }

@@ -35,9 +35,13 @@ class EntrySpec extends AnyFunSuite {
     // a Scala object val that references a LATER-declared val
     // interpolates "null" silently (bit q35's oracle once) — any
     // literal null in an oracle is that bug, not intended SQL
-    val bare = "(?i)(?<!is )\\bnull as\\b".r // `IS NULL AS x` is fine
+    // (`IS NULL AS x` / `IS NOT NULL AS x` are legitimate projections)
+    val bare = "(?i)(?<!is )(?<!not )\\bnull as\\b".r
+    // a leftover `${...}` / `$ident` means an interpolator prefix was
+    // dropped; a bare `$` in a regex or quoted literal is fine
+    val interp = "\\$\\{|\\$[A-Za-z_]".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(bare.findFirstIn(sql).isEmpty && !sql.contains("$"),
+      assert(bare.findFirstIn(sql).isEmpty && interp.findFirstIn(sql).isEmpty,
         s"$name oracle looks mis-interpolated:\n$sql")
     }
   }

@@ -58,6 +58,31 @@ class DotF64Spec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
   }
 
+  test("dot_f64 fails loud on a null array ELEMENT (never reads it as 0.0)") {
+    // the HOF fold would propagate NULL here; silently treating the
+    // slot as 0.0 is the divergence the guard closes
+    import spark.implicits._
+    val df = Seq((Seq(Option(1.0), Option.empty[Double]), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null element")), s"got: ${msgs(e)}")
+  }
+
+  test("dot_f64 builder rejects wrong arity with a clear error") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0)).toDF("a")
+    val e = intercept[Exception] {
+      df.select(call_function("dot_f64", col("a"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exactly two")), s"got: ${msgs(e)}")
+  }
+
   test("dot_f64 is null on a null input array") {
     import spark.implicits._
     val df = Seq((Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
