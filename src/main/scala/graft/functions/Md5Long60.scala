@@ -150,6 +150,12 @@ object GraftFunctions {
         s"arguments — got ${other.length}")
   }
 
+  private val topkBuilder: Seq[Expression] => Expression = {
+    case Seq(score, id, Literal(k: Int, IntegerType)) => TopKByScore(score, id, k)
+    case other => throw new IllegalArgumentException(
+      s"topk_by_score(score, id, <int literal k>) — got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -158,6 +164,8 @@ object GraftFunctions {
       "shingle_hash60", shingleBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "dot_f64", dotBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "topk_by_score", topkBuilder, "built-in")
   }
 }
 
@@ -193,6 +201,14 @@ class GraftExtensions
         case other => throw new IllegalArgumentException(
           s"dot_f64(<array<double>>, <array<double>>) takes exactly two " +
             s"arguments — got ${other.length}")
+      }))
+    ext.injectFunction((FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(score, id, Literal(k: Int, IntegerType)) =>
+          TopKByScore(score, id, k)
+        case other => throw new IllegalArgumentException(
+          s"topk_by_score(score, id, <int literal k>) — got $other")
       }))
   }
 }

@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{IvfBestCid, IvfCodebook, IvfProbe2}
 import graft.vector.VectorOps._
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
@@ -42,6 +44,14 @@ object VectorQueries {
   // ---- q40: brute-force cosine top-3 per query vector ----
   // Queries = every 100th vector, broadcast against the full table;
   // the fact side stays partitioned (no shuffle of the big side).
+  // Scoring every (query, vector) pair is this baseline's JOB — but
+  // the rank stage must not be quadratic too: the top-3 comes from
+  // the native bounded `topk_by_score` partial aggregate
+  // ([[graft.functions.TopKByScore]]), so each task keeps a 3-slot
+  // buffer per query and the exchange carries at most 3 rows per
+  // (task, query) — the previous `row_number` window shuffled and
+  // sorted ALL n x q scored rows. Same rows out (PlanSpec pins the
+  // window-free plan; the oracle still ranks with row_number).
   def q40(spark: SparkSession, dir: String): DataFrame = {
     // norms computed ONCE per row before the pair join (the composed
     // cosine() would re-fold sqrt(dot(x,x)) per PAIR — n x q times);
@@ -57,11 +67,12 @@ object VectorQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
           .cast("long").as("cos_e6"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_e6"))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos_e6"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -194,22 +205,66 @@ object VectorQueries {
   //
   // Assignment is a MAP-ONLY scan: an IVF codebook is a driver-side
   // dimension (nlist entries, not data-scaled — FAISS holds it in
-  // every worker), so it is collected once and embedded as a single
-  // array literal; each row folds over it and keeps the argmax
-  // centroid. Zero joins, zero shuffles, no n x n_centroids row
-  // explosion — the previous crossJoin + row_number window shuffled
-  // exactly that, 64-double vectors included, through one
-  // exchange+sort. The only remaining data shuffle is the final
+  // every worker), collected once and shipped as a Spark BROADCAST
+  // VARIABLE read by the native `ivf_best_cid`/`ivf_probe2`
+  // expressions ([[graft.functions.IvfCodebook]]). Zero joins, zero
+  // shuffles, no n x n_centroids row explosion — and, unlike the
+  // previous `typedLit` array literal, nothing for the analyzer or
+  // codegen to chew at production nlist (a 65k x 64-double literal is
+  // ~33 M constants in the expression tree; the broadcast handle is
+  // O(1) in the plan — IvfCodebookSpec pins plan build < 1 s at
+  // nlist 4096). The only remaining data shuffle is the final
   // per-query rank window over the probed candidates.
-  /** The IVF codebook as a driver-side dimension: every 31st vector,
-    * as (cid, cv, |cv|) ascending cid — the folds' strict > keeps the
-    * FIRST max, reproducing the oracle's (ccos DESC, cid ASC)
-    * row_number order; norms are the identical sequential fold as the
-    * oracle's sqrt(list_sum(...)), so scores are bit-equal.
+
+  /** Build and broadcast the IVF codebook: every `every`-th vector,
+    * as (cid, cv, |cv|) ascending cid. The expressions' strict >
+    * keeps the FIRST max, reproducing the oracle's (ccos DESC, cid
+    * ASC) row_number order; norms are the identical sequential fold
+    * as the oracle's sqrt(list_sum(...)), so scores are bit-equal.
     */
-  private def codebook(all: DataFrame): Column =
+  private[graft] def codebookBc(all: DataFrame,
+      every: Int = 31): Broadcast[IvfCodebook] = {
+    val rows = all.filter(col("vec_id") % every === 0)
+      .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .collect()
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    all.sparkSession.sparkContext.broadcast(IvfCodebook(
+      rows.map(_.getLong(0)),
+      cvs,
+      cvs.map(cv => math.sqrt(seqDot(cv, cv)))))
+  }
+
+  /** Session wiring for the codebook expressions: builders CLOSE OVER
+    * the broadcast handle (an expression argument can only be a plan
+    * literal — the exact transport being avoided). Re-registration per
+    * query build keeps every query self-contained in a fresh session;
+    * resolution happens at analysis, so an already-built DataFrame
+    * keeps its own codebook when a later query re-registers.
+    */
+  private[graft] def registerIvf(spark: SparkSession,
+      bc: Broadcast[IvfCodebook]): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("ivf_best_cid", {
+      case Seq(v) => IvfBestCid(v, bc)
+      case other => throw new IllegalArgumentException(
+        s"ivf_best_cid(<array<double>>) takes exactly one argument — " +
+          s"got ${other.length}")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("ivf_probe2", {
+      case Seq(v) => IvfProbe2(v, bc)
+      case other => throw new IllegalArgumentException(
+        s"ivf_probe2(<array<double>>) takes exactly one argument — " +
+          s"got ${other.length}")
+    }, "built-in")
+  }
+
+  /** The `typedLit` plan-literal form of the codebook — retained ONLY
+    * as the bit-equality twin for IvfCodebookSpec (the fold columns
+    * below read it); production paths use [[codebookBc]].
+    */
+  private[graft] def codebookLit(all: DataFrame, every: Int = 31): Column =
     typedLit(
-      all.filter(col("vec_id") % 31 === 0)
+      all.filter(col("vec_id") % every === 0)
         .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
         .collect().toSeq
         .map { r =>
@@ -224,10 +279,10 @@ object VectorQueries {
     round((dot(v, c.getField("_2"))
       / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
 
-  /** Argmax centroid id of v over the codebook — the map-only IVF
-    * assignment expression (zero joins/shuffles).
+  /** Fold-form argmax centroid id over the LITERAL codebook — the
+    * IvfCodebookSpec twin of the native `ivf_best_cid` expression.
     */
-  private def bestCid(centLit: Column, v: Column): Column =
+  private[graft] def foldBestCid(centLit: Column, v: Column): Column =
     aggregate(
       centLit,
       struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
@@ -241,8 +296,10 @@ object VectorQueries {
       },
       acc => acc.getField("cid"))
 
-  /** Top-2 centroid ids of v (the probe lists), same tie order. */
-  private def probeCids(centLit: Column, v: Column): Column =
+  /** Fold-form top-2 centroid ids over the LITERAL codebook — the
+    * IvfCodebookSpec twin of the native `ivf_probe2` expression.
+    */
+  private[graft] def foldProbeCids(centLit: Column, v: Column): Column =
     aggregate(
       centLit,
       struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
@@ -264,22 +321,23 @@ object VectorQueries {
       acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
 
   /** Map-only IVF assignment table (vec_id, v, cid). coalesce makes
-    * cid NON-NULLABLE (it never is: the fold's zero is non-null), so
-    * an inner join on cid infers no IsNotNull(cid) pushdown filter —
-    * which would re-evaluate the whole codebook fold a second time
-    * per row in the pre-join Filter.
+    * cid NON-NULLABLE (it never is: the argmax always yields a cid),
+    * so an inner join on cid infers no IsNotNull(cid) pushdown filter
+    * — which would re-evaluate the whole codebook scan a second time
+    * per row in the pre-join Filter. Session must have [[registerIvf]]
+    * applied.
     */
-  private def assignToCodebook(all: DataFrame, centLit: Column): DataFrame =
+  private def assignToCodebook(all: DataFrame): DataFrame =
     all.select(col("vec_id"), col("v"),
-      coalesce(bestCid(centLit, col("v")), lit(-1L)).as("cid"))
+      coalesce(call_function("ivf_best_cid", col("v")), lit(-1L)).as("cid"))
 
   def q43(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val centLit = codebook(all)
-    val assign = assignToCodebook(all, centLit)
+    registerIvf(spark, codebookBc(all))
+    val assign = assignToCodebook(all)
     val probes = all.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(probeCids(centLit, col("v"))).as("cid"))
+        explode(call_function("ivf_probe2", col("v"))).as("cid"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("neighbor_id"))
     // probes are 2 rows per query — broadcast them so the big assign
@@ -339,8 +397,8 @@ object VectorQueries {
   // with map-side partial sums — iterate for full Lloyd training.
   def q52(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val centLit = codebook(all)
-    assignToCodebook(all, centLit)
+    registerIvf(spark, codebookBc(all))
+    assignToCodebook(all)
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),

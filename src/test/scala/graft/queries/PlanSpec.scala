@@ -60,6 +60,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q40 rank stage is a bounded partial top-k, never a window over n x q rows") {
+    val p = plan(VectorQueries.q40(spark, dir))
+    // the full scored table must not travel through an exchange+sort:
+    // the topk_by_score partial aggregate runs map-side, so the only
+    // exchanges are the k-row-per-query aggregate shuffle + orderBy
+    assert(!p.contains("Window"), s"q40 ranks through a window again:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the typed top-k aggregate:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"top-k aggregate lost its partial (map-side) phase:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q40 shuffles more than agg + orderBy:\n$p")
+  }
+
   test("q04 dimension join is a broadcast hash join") {
     assert(plan(Relational.q04(spark, dir)).contains("BroadcastHashJoin"))
   }
