@@ -1,10 +1,9 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.storage.StorageLevel
 
 import graft.model.Approach
 
@@ -39,14 +38,27 @@ object Sinks {
     * approach ids a re-run no longer produces also survive — exactly
     * the reference's upsert (it never deletes).
     *
-    * 100 TB posture: dynamic partition overwrite rewrites ONLY the
-    * flight buckets the batch touches; the existing-table read is
-    * partition-pruned to those buckets, and the survivor set (old rows
-    * of touched buckets minus batch keys) is eagerly materialized on a
-    * persisted RDD — released after the write — to cut lineage from
-    * the files being replaced; bounded by touched-bucket size, not
-    * table size. The anti join broadcasts the batch's key
-    * projection (two small columns). On a lakehouse deployment a table
+    * 100 TB posture: only the flight buckets the batch touches are
+    * rewritten; the existing-table read is partition-pruned to those
+    * buckets and the anti join broadcasts the batch's key projection
+    * (two small columns).
+    *
+    * CRASH SAFETY (the reference got this from MySQL's transaction,
+    * py:432-437): the merged buckets are STAGED in a sibling dir while
+    * the live table stays untouched — the write's input files are
+    * never its output files, so no mid-write state can corrupt or
+    * recompute-from-deleted anything — then promoted bucket-by-bucket
+    * with atomic renames through a backup dir. A crash at ANY point
+    * leaves each bucket wholly old or wholly new, never half-written:
+    *   - during staging: live table untouched; stale staging is
+    *     discarded by the next merge's recovery;
+    *   - during promotion: replaced buckets are PARKED in the backup
+    *     dir, not deleted — [[recoverInterruptedMerge]] (run at every
+    *     merge start) restores any bucket missing from the live table,
+    *     so survivor rows are never lost; deleting the backup is the
+    *     commit point.
+    * A replayed merge after recovery upserts the same keys again and
+    * converges (idempotent). On a lakehouse deployment a table
     * format's MERGE INTO (Delta/Iceberg) replaces this file dance; the
     * semantics here are identical.
     */
@@ -58,57 +70,103 @@ object Sinks {
     // the next merge's read cannot infer a schema from (streaming
     // micro-batches before the first emission hit exactly this)
     if (batch.isEmpty) return
-    val newRows = batch
-      .withColumn("flight_bucket",
-        pmod(col("flight_id"), lit(buckets)).cast("int"))
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedMerge(fs, path)
     if (!fs.exists(new Path(path))) {
-      newRows.repartition(col("flight_bucket"))
+      batch.withColumn("flight_bucket",
+          pmod(col("flight_id"), lit(buckets)).cast("int"))
+        .repartition(col("flight_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("flight_bucket").parquet(path)
       return
     }
-    val prevMode =
-      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // bucket ids only — at most `buckets` small values on the driver
-      val touched = newRows.select(col("flight_bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val existing = spark.read.parquet(path)
-        .filter(col("flight_bucket").isin(touched: _*))
-        .withColumn("flight_bucket", col("flight_bucket").cast("int"))
-      val survivors = existing.join(
-        broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
-        Seq("flight_id", "approach_id"), "left_anti")
-      // Materialize the survivor rows BEFORE the overwrite removes the
-      // files they were read from, on a persisted RDD we own: eager
-      // count() fills the blocks now, and the finally releases them
-      // after the write. (The previous localCheckpoint(true) here
-      // leaked its blocks for the JVM lifetime — catalog.clearCache()
-      // does not free RDD-level persists — and lossy local checkpoints
-      // are the wrong primitive on a real cluster anyway; a table
-      // format's MERGE INTO is the production form, see the note
-      // above.) MEMORY_AND_DISK: blocks spill rather than drop, so the
-      // write never recomputes from the deleted source files.
-      val survRdd = survivors.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        survRdd.count()
-        spark.createDataFrame(survRdd, survivors.schema)
-          .unionByName(newRows)
-          .repartition(col("flight_bucket"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("flight_bucket").parquet(path)
-      } finally survRdd.unpersist(blocking = false)
-    } finally {
-      prevMode match {
-        case Some(m) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    val touched = stageMerge(batch, path, buckets)
+    promoteStaged(fs, path, touched)
+  }
+
+  private def stagingPath(path: String) = new Path(path + ".__staging")
+  private def backupPath(path: String) = new Path(path + ".__backup")
+  private def bucketDir(b: Int) = s"flight_bucket=$b"
+
+  /** Phase 1 of the merge commit: compute survivors ∪ batch for the
+    * touched buckets and write them to the staging sibling dir. The
+    * live table is only READ here — staging failure leaves it exactly
+    * as it was. Returns the touched bucket ids (at most `buckets`
+    * small ints on the driver).
+    */
+  private[sinks] def stageMerge(batch: DataFrame, path: String,
+      buckets: Int): Seq[Int] = {
+    val spark = batch.sparkSession
+    val newRows = batch
+      .withColumn("flight_bucket",
+        pmod(col("flight_id"), lit(buckets)).cast("int"))
+    val touched = newRows.select(col("flight_bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col("flight_bucket").isin(touched: _*))
+      .withColumn("flight_bucket", col("flight_bucket").cast("int"))
+    val survivors = existing.join(
+      broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
+      Seq("flight_id", "approach_id"), "left_anti")
+    survivors.unionByName(newRows)
+      .repartition(col("flight_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("flight_bucket").parquet(stagingPath(path).toString)
+    touched
+  }
+
+  /** Phase 2 of the merge commit: swap the staged bucket dirs into the
+    * live table via atomic renames. Old bucket versions are PARKED in
+    * the backup dir (never deleted before the swap completes); the
+    * backup delete at the end is the commit point. Interrupted at any
+    * rename, [[recoverInterruptedMerge]] restores every parked bucket
+    * the live table is missing — each bucket is always wholly old or
+    * wholly new.
+    */
+  private[sinks] def promoteStaged(fs: FileSystem, path: String,
+      touched: Seq[Int]): Unit = {
+    val staging = stagingPath(path)
+    val backup = backupPath(path)
+    // validate BEFORE parking anything: a missing staged bucket must
+    // abort while the live table is still fully intact
+    touched.foreach { b =>
+      require(fs.exists(new Path(staging, bucketDir(b))),
+        s"staged bucket $b missing under $staging — aborting promote")
     }
+    fs.mkdirs(backup)
+    touched.foreach { b =>
+      val live = new Path(path, bucketDir(b))
+      if (fs.exists(live)) fs.rename(live, new Path(backup, bucketDir(b)))
+    }
+    touched.foreach { b =>
+      fs.rename(new Path(staging, bucketDir(b)), new Path(path, bucketDir(b)))
+    }
+    // the commit point: after this, recovery keeps the new versions
+    fs.delete(backup, true)
+    fs.delete(staging, true)
+  }
+
+  /** Roll back an interrupted merge promotion: every bucket parked in
+    * the backup dir that the live table is missing is restored (the
+    * crash happened between its park and its promote), then the backup
+    * and any stale staging are discarded. Buckets present in BOTH live
+    * and backup keep the live (already promoted) version. Idempotent;
+    * run at the start of every merge, so an interrupted commit heals
+    * on the next attempt and a replayed batch converges.
+    */
+  private[sinks] def recoverInterruptedMerge(fs: FileSystem,
+      path: String): Unit = {
+    val backup = backupPath(path)
+    val staging = stagingPath(path)
+    if (fs.exists(backup)) {
+      fs.listStatus(backup).filter(_.isDirectory).foreach { st =>
+        val live = new Path(path, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(backup, true)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   /** Typed form of [[mergeApproachesTable]]. */
@@ -137,14 +195,12 @@ object Sinks {
     * Structured Streaming replays a micro-batch after a crash
     * (at-least-once), and the merge is a per-key upsert of
     * deterministic rows — idempotent — so replayed BATCHES converge
-    * to the same table state. The remaining hole is the merge's own
-    * commit: the dynamic-partition overwrite of plain parquet is not
-    * atomic, so a crash in the middle of the file swap can lose
-    * survivor rows of the touched buckets, and a replay re-merges
-    * only the batch's keys. Production deployments close this with
-    * an atomic table format (Delta/Iceberg MERGE INTO), the same
-    * upgrade path noted on [[mergeApproachesTable]] — idempotency
-    * covers replay-after-commit, not crash-during-commit.
+    * to the same table state. Crash-DURING-commit is covered by the
+    * merge's staged-write + parked-rename protocol (see
+    * [[mergeApproachesTable]]): survivor rows are never deleted
+    * before the swap completes, and the replayed micro-batch's
+    * recovery step restores any bucket the interrupted promote left
+    * parked.
     */
   def mergeStream(approaches: DataFrame, path: String,
       buckets: Int = 64): DataStreamWriter[Row] =

@@ -71,6 +71,83 @@ class SinksSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("merge commit: crash between stage and promote loses nothing") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("crash1").toString + "/approaches"
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def table() = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // v1: flights 0..3 with sentinel 9, across 2 buckets
+    val v1 = spark.range(4)
+      .select(col("id").as("flight_id"), lit(1L).as("approach_id"),
+        lit(9).as("unstable"))
+    Sinks.mergeApproachesTable(v1, out, buckets = 2)
+    assert(table() == Map(0L -> 9, 1L -> 9, 2L -> 9, 3L -> 9))
+    // batch 2 updates flight 0 and inserts flight 4 (both bucket 0)
+    val batch2 = Seq((0L, 1L, 1), (4L, 1L, 1))
+      .toDF("flight_id", "approach_id", "unstable")
+    // CRASH 1: staging written, promote never started — live untouched
+    Sinks.stageMerge(batch2, out, buckets = 2)
+    assert(table() == Map(0L -> 9, 1L -> 9, 2L -> 9, 3L -> 9),
+      "staging must not touch the live table")
+    // CRASH 2: promote interrupted mid-park — bucket 0 parked in the
+    // backup dir (missing from live), staged version not yet swapped in
+    fs.mkdirs(new Path(out + ".__backup"))
+    assert(fs.rename(new Path(out, "flight_bucket=0"),
+      new Path(out + ".__backup", "flight_bucket=0")))
+    assert(table() == Map(1L -> 9, 3L -> 9), "crash state: bucket 0 gone")
+    // the replayed merge must first RESTORE bucket 0 (no survivor row
+    // lost), then re-run the whole upsert and converge
+    Sinks.mergeApproachesTable(batch2, out, buckets = 2)
+    assert(table() ==
+      Map(0L -> 1, 1L -> 9, 2L -> 9, 3L -> 9, 4L -> 1),
+      "replay after mid-park crash must converge to the full upsert")
+    assert(!fs.exists(new Path(out + ".__backup")) &&
+      !fs.exists(new Path(out + ".__staging")), "recovery must clean up")
+  }
+
+  test("merge commit: crash mid-promote leaves wholly-old/wholly-new buckets; replay converges") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("crash2").toString + "/approaches"
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def table() = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val v1 = spark.range(4)
+      .select(col("id").as("flight_id"), lit(1L).as("approach_id"),
+        lit(9).as("unstable"))
+    Sinks.mergeApproachesTable(v1, out, buckets = 2)
+    // batch touches BOTH buckets: updates flight 0 (b0) + flight 1 (b1)
+    val batch2 = Seq((0L, 1L, 1), (1L, 1L, 1))
+      .toDF("flight_id", "approach_id", "unstable")
+    Sinks.stageMerge(batch2, out, buckets = 2)
+    // simulate: park both buckets, promote ONLY bucket 0, then crash
+    // (backup + staging leftovers, bucket 1 missing from live)
+    val (backup, staging) = (out + ".__backup", out + ".__staging")
+    fs.mkdirs(new Path(backup))
+    Seq(0, 1).foreach { b =>
+      assert(fs.rename(new Path(out, s"flight_bucket=$b"),
+        new Path(backup, s"flight_bucket=$b")))
+    }
+    assert(fs.rename(new Path(staging, "flight_bucket=0"),
+      new Path(out, "flight_bucket=0")))
+    // crash state is still READABLE: bucket 0 wholly new, bucket 1 absent
+    assert(table() == Map(0L -> 1, 2L -> 9))
+    // replay: recovery restores parked bucket 1 (old), keeps promoted
+    // bucket 0 (new), discards staging; the re-merge converges
+    Sinks.mergeApproachesTable(batch2, out, buckets = 2)
+    assert(table() == Map(0L -> 1, 1L -> 1, 2L -> 9, 3L -> 9),
+      "replay after mid-promote crash must converge")
+    assert(!fs.exists(new Path(backup)) && !fs.exists(new Path(staging)))
+  }
+
   test("commitFlightAnalysis: flags follow the merge; replay converges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
