@@ -182,11 +182,24 @@ class TextOpsSpec extends AnyFunSuite {
     val labels = dedupClusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(1L))
-    // an iteration bound below the diameter must throw, not return
-    // partially-propagated labels
+    // an iteration bound the doubling can't beat must throw, not
+    // return partially-propagated labels (reach after 2 rounds is
+    // ~6 hops; node 8 is still unlabelled)
     intercept[IllegalStateException] {
       dedupClusters(chain, maxIters = 2)
     }
+  }
+
+  test("dedupClusters: 1000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial case for plain min-label propagation: a single
+    // path component of diameter 999 would need ~999 rounds; pointer
+    // doubling must close it in well under 25
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = dedupClusters(chain, maxIters = 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L), "every node must reach the min id")
   }
 
   test("simHash16: 16-bit range, identical texts collide, determinism") {
