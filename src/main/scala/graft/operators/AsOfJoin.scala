@@ -65,6 +65,56 @@ object AsOfJoin {
       .drop("__side")
   }
 
+  /** Skew-hardened [[asofJoin]] — identical semantics for workloads
+    * where one key's row count dwarfs the rest (the plain form's
+    * per-partition bound is the hottest key's TOTAL row count, the
+    * same bound a sorted merge as-of has). Left rows are split across
+    * `salts` sub-groups by a deterministic hash of the whole row;
+    * right rows are REPLICATED into every sub-group, so each
+    * (key, salt) window carries all boundary state of its key and
+    * every left row resolves locally — one shuffle, zero joins, no
+    * cross-salt resolve pass. Costs and bounds:
+    *
+    *   - right side travels `salts` times through the exchange — in
+    *     enrichment workloads right (config changes, quotes,
+    *     thresholds) is orders of magnitude smaller than left, which
+    *     is exactly when this trades well;
+    *   - per-partition sort bound drops from `left_k + right_k` to
+    *     `left_k / salts + right_k` for the hottest key k;
+    *   - pick `salts` ~ the hot key's left count over the average
+    *     partition budget; salts=1 degenerates to [[asofJoin]]'s
+    *     exact plan shape.
+    *
+    * Left columns must be hashable by `xxhash64` (no map columns) —
+    * any salt assignment is semantically correct, the hash only fixes
+    * determinism across runs.
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: Seq[String],
+      time: String, payload: Seq[String], salts: Int,
+      out: String = "asof"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!left.columns.contains(out) && !left.columns.contains("__side") &&
+      !left.columns.contains("__salt"),
+      s"left input must not already contain a '$out', '__side' or '__salt' column")
+    val rightU = right
+      .filter(col(time).isNotNull)
+      .select(key.map(col) ++ Seq(col(time),
+        struct(payload.map(col): _*).as(out)): _*)
+      .withColumn("__side", lit(0))
+      // every sub-group sees the full right history of its key
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val leftU = left.withColumn("__side", lit(1))
+      .withColumn("__salt",
+        pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      .unionByName(rightU, allowMissingColumns = true)
+    val w = Window.partitionBy((key.map(col) :+ col("__salt")): _*)
+      .orderBy(col(time).asc, col("__side").asc, col(out).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftU.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__salt")
+  }
+
   /** [[asofJoin]] with a maximum lookback: a right row older than
     * `left.time - tolerance` does NOT match (the standard bounded
     * as-of — a quote from last week shouldn't enrich today's trade).

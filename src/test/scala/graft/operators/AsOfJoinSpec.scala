@@ -155,6 +155,53 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def runSalted(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)], salts: Int): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    AsOfJoin.asofJoinSalted(l, r, Seq("user_id"), "ts", Seq("mark_id"), salts)
+      .select(col("event_id"), col("asof.mark_id"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+  }
+
+  test("salted variant matches the plain as-of on a hot-key distribution") {
+    val rnd = new scala.util.Random(99)
+    // 90% of left rows land on key 0 — the shape the salting exists
+    // for; ties and mark-less keys included
+    val events = (0 until 600).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 0L else 1 + rnd.nextLong(3)
+      (i.toLong, u, rnd.nextLong(50))
+    }
+    val marks = Seq.fill(25)(
+      (100L + rnd.nextLong(100), rnd.nextLong(4), rnd.nextLong(50)))
+    val expected = run(events, marks) // the oracled plain form
+    for (salts <- Seq(1, 4, 16)) {
+      assert(runSalted(events, marks, salts) == expected,
+        s"salted ($salts) diverged from plain as-of")
+    }
+  }
+
+  test("salted variant keeps the no-join single-data-shuffle plan") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
+      .toDF("event_id", "user_id", "ts")
+    val r = (1 to 20).map(i => (i.toLong, i.toLong % 7, i.toLong * 3))
+      .toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    val plan = AsOfJoin
+      .asofJoinSalted(l, r, Seq("user_id"), "ts", Seq("mark_id"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"salted as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("plans as one shuffle and zero joins") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
