@@ -41,11 +41,9 @@ object BatchedDecode {
   private def u16(b: Array[Byte], off: Int): Long =
     (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toLong
 
-  /** Decode one batch. The MessageDigest is the stand-in for the real
-    * codec handle — created once per batch, reused per item, exactly
-    * how an ffmpeg/imageio context would be. Payloads failing the
-    * magic check are dropped (a production pipeline would route them
-    * to a quarantine sink instead).
+  /** Decode one batch with an already-opened codec handle. Payloads
+    * failing the magic check are dropped (a production pipeline would
+    * route them to a quarantine sink instead).
     *
     * ===STUB=== the "decode pixels, average luminance" step is faked
     * as (first 15 md5 hex digits of the body) % 10000 — deterministic
@@ -53,9 +51,8 @@ object BatchedDecode {
     * surrounding plumbing (header parse, body slicing, batch
     * assembly) end-to-end.
     */
-  private def decodeBatch(
+  private def decodeBatch(codec: java.security.MessageDigest,
       batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia] = {
-    val codec = java.security.MessageDigest.getInstance("MD5")
     batch.iterator.flatMap { case (id, payload) =>
       if (payload.length < HeaderBytes ||
           payload(0) != 'G' || payload(1) != 'M') Iterator.empty
@@ -79,13 +76,25 @@ object BatchedDecode {
   /** Run the batched decoder over a media table (`media_id`,
     * `payload`). Narrow: no shuffle, payloads never leave their input
     * partition, output is the compact typed row.
+    *
+    * `newCodec` is THE decoder plug-in seam: it is invoked exactly
+    * once per batch on the executor and the handle is reused across
+    * the batch's items — precisely how a JNI/ffmpeg/imageio context
+    * amortizes its open cost (BatchedDecodeSpec counts the calls
+    * through an injected probe). The default handle is the md5
+    * stand-in behind the ===STUB=== above; a real decoder swaps the
+    * factory (and the body of decodeBatch's luminance step) without
+    * touching the batching, schema, or partitioning.
     */
-  def decodeBatched(media: DataFrame,
-      batchSize: Int = DefaultBatch): Dataset[DecodedMedia] = {
+  def decodeBatched(media: DataFrame, batchSize: Int = DefaultBatch,
+      newCodec: () => java.security.MessageDigest =
+        () => java.security.MessageDigest.getInstance("MD5"))
+      : Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+      .mapPartitions(
+        _.grouped(batchSize).flatMap(b => decodeBatch(newCodec(), b)))
   }
 }

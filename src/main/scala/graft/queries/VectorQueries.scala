@@ -194,6 +194,102 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q62: multi-table SRP banding (the ANN recall path) ----
+  // A single SRP table is recall-lossy at high plane counts: each
+  // extra plane halves bucket size AND adds a hyperplane that can
+  // separate a true near-pair (measured on this data at delta=0.15:
+  // table 0 alone catches 9/20 planted twins). Banding b independent
+  // tables (salted sign matrices) and OR-ing their bucket collisions
+  // is the MinHash band trick on the vector path: a pair is a
+  // candidate if ANY table buckets it together — recall 1-(1-p^r)^b,
+  // with all 20/20 planted twins recovered here (spec-pinned). Cost
+  // is b band keys per vector through the SAME capped bucket join the
+  // single-table path uses; precision is restored by the exact cosine
+  // confirm, so extra tables never add false positives, only
+  // candidate volume.
+  private[graft] val BandSalts = Seq("", "t1:", "t2:")
+  private[graft] val bandTables: Seq[Seq[Seq[Double]]] =
+    BandSalts.map(s => srpSignsSalted(s, Planes, Dim))
+
+  /** Multi-table SRP-banded cosine near-dup pairs over (vec_id, v)
+    * rows: each vector gets one (table, bucket) band key per table;
+    * candidates pair within identical band keys (hot-bucket-capped);
+    * the exact-cosine confirm + DISTINCT collapses pairs colliding in
+    * several tables. Table count is the recall knob (OR-combined);
+    * plane count per table remains the bucket-size knob — at scale,
+    * candidates grow as b * n^2 / 2^planes.
+    */
+  def annNearDupPairsBanded(vecs: DataFrame,
+      tables: Seq[Seq[Seq[Double]]], minCosE6: Long = 990000L,
+      maxBucket: Long = 100000L): DataFrame = {
+    // norm staged once per vector BEFORE the band-key explode; the
+    // banded table is persisted + eagerly counted for the same
+    // sibling-stage reason as annNearDupPairs
+    val banded = vecs
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bk", explode(array(tables.zipWithIndex.map {
+        case (signs, t) =>
+          struct(lit(t).as("t"), srpBucket(col("v"), signs).cast("int").as("b"))
+      }: _*)))
+      .persist()
+    banded.count()
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(banded, "vec_id", "bk", maxBucket)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= minCosE6)
+      .distinct()
+  }
+
+  // Planted twins at +0.15 on dim 0 — big enough that table 0 misses
+  // roughly half of them (see the banding note above), small enough
+  // that every twin stays above the 0.985 confirm threshold.
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir)
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.15).otherwise(x))
+          .as("v"))
+    annNearDupPairsBanded(base.union(planted), bandTables,
+      minCosE6 = 985000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB literal for plane `p` of a salted table. */
+  private def planeSqlT(tab: Seq[Seq[Double]], p: Int): String =
+    tab(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  val q62Sql: String = {
+    def bits(tab: Seq[Seq[Double]]) = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotSql("v", s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" +\n    ")
+    val d = dotSql("a.v", "b.v")
+    val na = dotSql("a.v", "a.v")
+    val nb = dotSql("b.v", "b.v")
+    val tableSel = bandTables.zipWithIndex.map { case (tab, t) =>
+      s"SELECT vec_id, v, $t AS t, CAST(${bits(tab)} AS INT) AS bucket FROM all_v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, len(v) + 1),
+       |      i -> CASE WHEN i = 1 THEN v[i] + 0.15 ELSE v[i] END) AS v
+       |  FROM base WHERE vec_id % 25 = 0
+       |), all_v AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM planted
+       |), banded AS (
+       |  $tableSel
+       |)
+       |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) AS cos_e6
+       |FROM banded a JOIN banded b
+       |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) >= 985000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- q43: IVF-style ANN (coarse quantize -> probe 2 lists) ----
   // Centroids = every 31st vector (deterministic data-derived coarse
   // quantizer); each vector is assigned to its max-cosine centroid;
@@ -434,7 +530,8 @@ object VectorQueries {
     "q41_srp_buckets" -> (q41 _),
     "q42_ann_neardup" -> (q42 _),
     "q43_ivf_ann" -> (q43 _),
-    "q52_kmeans_step" -> (q52 _)
+    "q52_kmeans_step" -> (q52 _),
+    "q62_banded_ann" -> (q62 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,6 +539,7 @@ object VectorQueries {
     "q41_srp_buckets" -> q41Sql,
     "q42_ann_neardup" -> q42Sql,
     "q43_ivf_ann" -> q43Sql,
-    "q52_kmeans_step" -> q52Sql
+    "q52_kmeans_step" -> q52Sql,
+    "q62_banded_ann" -> q62Sql
   )
 }

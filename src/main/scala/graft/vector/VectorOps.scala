@@ -65,9 +65,18 @@ object VectorOps {
     * both engines embed the same literals.
     */
   def srpSigns(planes: Int, dim: Int): Seq[Seq[Double]] =
+    srpSignsSalted("", planes, dim)
+
+  /** An independent SRP table per salt (md5("<salt>p:i")) — the
+    * multi-table banding family: b tables OR-combined trade b× the
+    * hashing for the recall a single table loses at high plane counts
+    * (the MinHash band trick applied to the vector path). Salt "" is
+    * the original [[srpSigns]] table.
+    */
+  def srpSignsSalted(salt: String, planes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until planes).map { p =>
       (0 until dim).map { i =>
-        if ((Character.digit(md5hex(s"$p:$i").charAt(0), 16) & 1) == 0) 1.0
+        if ((Character.digit(md5hex(s"$salt$p:$i").charAt(0), 16) & 1) == 0) 1.0
         else -1.0
       }
     }

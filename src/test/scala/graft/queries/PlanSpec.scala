@@ -38,6 +38,10 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
 
+  test("q62 banded ANN pair generation is a bucketed equi join") {
+    assertNoAllPairs(VectorQueries.q62(spark, dir), "q62")
+  }
+
   test("q43 IVF assignment is map-only: no cross join, bounded exchanges") {
     val p = plan(VectorQueries.q43(spark, dir))
     assert(!p.contains("CartesianProduct"),

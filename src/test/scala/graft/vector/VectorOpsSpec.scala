@@ -31,6 +31,44 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pos > 150 && pos < 360) // md5 parity should be near-uniform
   }
 
+  test("srpSignsSalted: independent tables per salt, salt '' is srpSigns") {
+    assert(srpSignsSalted("", 8, 64) == srpSigns(8, 64))
+    val t1 = srpSignsSalted("t1:", 8, 64)
+    val t2 = srpSignsSalted("t2:", 8, 64)
+    assert(t1 != srpSigns(8, 64) && t2 != t1)
+    assert(Seq(t1, t2).forall(t =>
+      t.length == 8 && t.flatten.forall(v => v == 1.0 || v == -1.0)))
+  }
+
+  test("multi-table banding recovers planted pairs a single table misses") {
+    import graft.queries.VectorQueries
+    graft.functions.GraftFunctions.register(spark)
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.15).otherwise(x))
+          .as("v"))
+    val all = base.union(planted)
+    def plantedHits(tables: Seq[Seq[Seq[Double]]]): Set[Long] =
+      VectorQueries
+        .annNearDupPairsBanded(all, tables, minCosE6 = 985000L)
+        .filter(col("id_b") === col("id_a") + 1000000)
+        .collect().map(_.getLong(0)).toSet
+    val nPlanted = planted.count()
+    val single = plantedHits(VectorQueries.bandTables.take(1))
+    val banded = plantedHits(VectorQueries.bandTables)
+    spark.catalog.clearCache()
+    // the perturbation is tuned so one table misses a chunk of the
+    // planted twins; the 3-table OR must recover every one of them
+    assert(single.size < nPlanted,
+      s"expected table 0 to miss some twins, caught ${single.size}/$nPlanted")
+    assert(single.subsetOf(banded), "banding must only ADD candidates")
+    assert(banded.size == nPlanted,
+      s"banding caught ${banded.size}/$nPlanted planted twins")
+  }
+
   test("srpBucket: in range, sign-flip of a vector flips every plane") {
     import spark.implicits._
     val signs = srpSigns(8, 4)
