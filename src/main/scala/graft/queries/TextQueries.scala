@@ -723,6 +723,61 @@ object TextQueries {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q63: benchmark decontamination (n-gram overlap probe) ----
+  // The benchmark set = every 50th document (an eval suite is a fixed
+  // small table in production); contaminated training docs are
+  // PLANTED by appending benchmark doc 0's first 12 tokens to every
+  // doc_id % 40 == 1 document (at id + 2000000) — 12 tokens = 8
+  // shared 5-gram shingles, safely above the overlap threshold, so
+  // the detector provably fires alongside any organic overlaps.
+  // Asymmetric by design: thresholds the absolute shared-shingle
+  // count (a leaked benchmark item inside a long page must flag),
+  // not a Jaccard ratio. Scale shape: corpus side rides its scan,
+  // benchmark index broadcast, one count aggregate
+  // (TextOps.contaminationPairs).
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select("doc_id", "text")
+    val excerpt = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ",
+        slice(TextOps.tokens(col("text")), 1, 12)).as("excerpt"))
+    val planted = docs.filter(col("doc_id") % 40 === 1)
+      .crossJoin(broadcast(excerpt))
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("excerpt")).as("text"))
+    TextOps.contaminationPairs(docs.unionByName(planted),
+        isBench = col("doc_id") % 50 === 0, minOverlap = 5L)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val q63Sql: String = {
+    s"""WITH excerpt AS (
+       |  SELECT array_to_string(
+       |    (string_split_regex(lower(trim(text)), '\\s+'))[1:12], ' ') AS ex
+       |  FROM documents WHERE doc_id = 0
+       |), docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' ' || (SELECT ex FROM excerpt)
+       |  FROM documents WHERE doc_id % 40 = 1
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % ${TextOps.MinHashP}))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM docs)
+       |), inv AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |)
+       |SELECT a.doc_id, b.doc_id AS bench_id,
+       |  CAST(count(*) AS BIGINT) AS overlap
+       |FROM (SELECT * FROM inv WHERE doc_id % 50 <> 0) a
+       |JOIN (SELECT * FROM inv WHERE doc_id % 50 = 0) b USING (s)
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY a.doc_id, bench_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -739,7 +794,8 @@ object TextQueries {
     "q56_vocab" -> (q56 _),
     "q57_mix_sample" -> (q57 _),
     "q58_seq_pack" -> (q58 _),
-    "q61_curation" -> (q61 _)
+    "q61_curation" -> (q61 _),
+    "q63_contamination" -> (q63 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +814,7 @@ object TextQueries {
     "q56_vocab" -> q56Sql,
     "q57_mix_sample" -> q57Sql,
     "q58_seq_pack" -> q58Sql,
-    "q61_curation" -> q61Sql
+    "q61_curation" -> q61Sql,
+    "q63_contamination" -> q63Sql
   )
 }

@@ -245,6 +245,43 @@ object TextOps {
         round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
   }
 
+  /** Benchmark-contamination probe — the decontamination step of a
+    * training-data pipeline: flag every training document sharing at
+    * least `minOverlap` distinct word n-gram shingles with any
+    * document of the benchmark (eval) set, so leaked test items can
+    * be dropped before training. This is the standard n-gram overlap
+    * check; unlike near-dup Jaccard it is ASYMMETRIC (a 100-word
+    * benchmark item buried in a 10k-word page must still flag) so it
+    * thresholds the absolute shared-shingle count, not a ratio.
+    *
+    * 100 TB posture: the corpus side streams through its scan exploded
+    * to (doc_id, 8-byte digest); the benchmark index is exploded and
+    * BROADCAST — an eval suite is small by definition (and fixed), so
+    * the join is map-side and the corpus never shuffles; the only
+    * exchange is the per-(doc, bench) count aggregate with map-side
+    * partials. `docs` must carry doc_id/text; `isBench` marks the
+    * benchmark rows.
+    */
+  def contaminationPairs(docs: DataFrame, isBench: Column,
+      shingleN: Int = 5, minOverlap: Long = 5L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      hashedShingles(tokens(col("text")), shingleN).as("sh"),
+      isBench.as("is_bench"))
+    val inv = sh.select(col("doc_id"), col("is_bench"),
+      explode(col("sh")).as("s"))
+    val bench = inv.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val corpus = inv.filter(!col("is_bench"))
+      .select(col("doc_id"), col("s"))
+    // shingles are distinct per doc (hashedShingles), so the join hits
+    // each shared shingle exactly once and count(1) IS the overlap
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns candidate pairs (q31/q33 output) into an actionable
     * dedup decision: every doc gets the minimum doc_id of its
