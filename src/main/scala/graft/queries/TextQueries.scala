@@ -778,6 +778,96 @@ object TextQueries {
        |ORDER BY a.doc_id, bench_id""".stripMargin
   }
 
+  // ---- q64: repetition-based quality (Gopher-style rules) ----
+  // The repetition signals the Gopher/MassiveText filters threshold:
+  // per document, the fraction of 2-gram OCCURRENCES held by the
+  // single most frequent 2-gram (top_frac) and the fraction belonging
+  // to any repeated 2-gram (dup_frac), both as exact e4 integers
+  // (integer `div`, so the cross-engine compare is exact — no double
+  // division anywhere). Documents with fewer than two tokens have no
+  // 2-grams and drop out, matching the oracle's length guard. Scale
+  // shape: explode to (doc_id, gram) -> count per gram -> per-doc
+  // aggregate, both aggregates with map-side partials; shuffle key is
+  // (doc_id, gram), never raw text beyond the gram itself.
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), explode(wordShinglesRaw(toks, 2)).as("g"))
+    grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"), col("n_2grams"),
+        expr("top_c * 10000 div n_2grams").as("top_frac_e4"),
+        expr("dup_c * 10000 div n_2grams").as("dup_frac_e4"))
+      .withColumn("keep",
+        col("top_frac_e4") <= 2000 && col("dup_frac_e4") <= 6000)
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> array_to_string(toks[i:i+1], ' '))) AS g
+       |  FROM t WHERE len(toks) >= 2
+       |), c AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+       |), d AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+       |    CAST(max(c) AS BIGINT) AS top_c,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, n_2grams,
+       |  top_c * 10000 // n_2grams AS top_frac_e4,
+       |  dup_c * 10000 // n_2grams AS dup_frac_e4,
+       |  top_c * 10000 // n_2grams <= 2000 AND
+       |    dup_c * 10000 // n_2grams <= 6000 AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- q65: domain-mixture weights (the planning half of q57) ----
+  // Per-source token inventory -> the per-source sampling weight that
+  // re-balances the corpus to a UNIFORM target mixture:
+  // weight = target_share / actual_share = tot_tokens /
+  // (n_sources * n_tokens), emitted as an exact e6 integer (`div`).
+  // q57 consumes weights like these as its per-stratum rates. Scale
+  // shape: one two-phase aggregate down to a handful of source rows,
+  // plus a scalar total broadcast back — the fact table is scanned
+  // once and never shuffled beyond the map-side-combined aggregate.
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("tot_tokens * 1000000 div (n_sources * n_tokens)")
+          .as("weight_e6"))
+      .orderBy(col("source"))
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    count(*) AS n_sources
+       |  FROM t
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  tot_tokens * 1000000 // (n_sources * n_tokens) AS weight_e6
+       |FROM t, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -795,7 +885,9 @@ object TextQueries {
     "q57_mix_sample" -> (q57 _),
     "q58_seq_pack" -> (q58 _),
     "q61_curation" -> (q61 _),
-    "q63_contamination" -> (q63 _)
+    "q63_contamination" -> (q63 _),
+    "q64_repetition" -> (q64 _),
+    "q65_mixture_weights" -> (q65 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -815,6 +907,8 @@ object TextQueries {
     "q57_mix_sample" -> q57Sql,
     "q58_seq_pack" -> q58Sql,
     "q61_curation" -> q61Sql,
-    "q63_contamination" -> q63Sql
+    "q63_contamination" -> q63Sql,
+    "q64_repetition" -> q64Sql,
+    "q65_mixture_weights" -> q65Sql
   )
 }
