@@ -868,6 +868,52 @@ object TextQueries {
        |  tot_tokens * 1000000 // (n_sources * n_tokens) AS weight_e6
        |FROM t, tot ORDER BY source""".stripMargin
 
+  // ---- q66: token-id encoding (tokenize-to-ids against a vocab) ----
+  // The encode step between vocabulary build (q56) and sequence
+  // packing (q58): every document becomes its ordered array of vocab
+  // ids — rank 1..K by (frequency DESC, token ASC), OOV -> 0. Scale
+  // shape: the vocab is a TOP-K (TakeOrdered, never a full vocabulary
+  // sort — q56's rule) built once and BROADCAST, so the encode itself
+  // is: posexplode -> map-side hash join -> per-doc sort_array
+  // re-assembly keyed by doc_id; raw text never shuffles, only
+  // (doc_id, pos, id) triples. The tiny 100-row rank window runs on
+  // the limited dim, not the corpus.
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok"))
+    val docs = tbl(spark, dir, "documents")
+    val tokTable = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    val vocab = tokTable.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(100)
+      .select(col("tok"), row_number().over(w).cast("long").as("id"))
+    tokTable.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), coalesce(col("id"), lit(0L)).as("id")))).as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), s => s.getField("id")).as("token_ids"),
+        size(col("ps")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q66Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |), v AS (
+       |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS id
+       |  FROM (SELECT tok, count(*) AS c FROM p GROUP BY 1
+       |        ORDER BY c DESC, tok LIMIT 100)
+       |)
+       |SELECT doc_id, list(coalesce(v.id, 0) ORDER BY pos) AS token_ids,
+       |  CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM p LEFT JOIN v USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -887,7 +933,8 @@ object TextQueries {
     "q61_curation" -> (q61 _),
     "q63_contamination" -> (q63 _),
     "q64_repetition" -> (q64 _),
-    "q65_mixture_weights" -> (q65 _)
+    "q65_mixture_weights" -> (q65 _),
+    "q66_token_ids" -> (q66 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -909,6 +956,7 @@ object TextQueries {
     "q61_curation" -> q61Sql,
     "q63_contamination" -> q63Sql,
     "q64_repetition" -> q64Sql,
-    "q65_mixture_weights" -> q65Sql
+    "q65_mixture_weights" -> q65Sql,
+    "q66_token_ids" -> q66Sql
   )
 }
