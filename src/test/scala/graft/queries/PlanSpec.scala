@@ -129,6 +129,16 @@ class PlanSpec extends AnyFunSuite {
       s"pivot must not expand or cross-join:\n$p")
   }
 
+  test("q64 repetition metrics are map-only: no shuffle but the output orderBy") {
+    val p = plan(TextQueries.q64(spark, dir))
+    // per-document metric -> nothing may cross rows: the sorted-gram
+    // run-length fold rides the scan
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q64 shuffles a per-document metric:\n$p")
+    assert(!p.contains("HashAggregate"), s"q64 re-grew a shuffle aggregate:\n$p")
+  }
+
   test("q56 vocab top-k is TakeOrderedAndProject, never a full sort") {
     val p = plan(TextQueries.q56(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),

@@ -166,6 +166,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("contaminationPairs: asymmetric overlap, threshold, bench self-exclusion") {
+    import spark.implicits._
+    // bench doc 100 = a 9-token "eval item"; doc 1 embeds it verbatim
+    // inside a much longer page (asymmetric: tiny Jaccard, must still
+    // flag); doc 2 shares only 4 tokens (3 shingles < threshold);
+    // doc 3 is disjoint
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (100L, benchText),
+      (1L, ("lorem ipsum dolor sit amet " + benchText + " consectetur adipiscing elit sed do eiusmod tempor")),
+      (2L, "alpha beta gamma delta unrelated words here padding more padding"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .contaminationPairs(docs, isBench = col("doc_id") === 100,
+        shingleN = 5, minOverlap = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 9 bench tokens -> 5 five-gram shingles, all present in doc 1
+    assert(got.toSeq == Seq((1L, 100L, 5L)))
+  }
+
   test("dedupClusters: min-label propagation across chained components") {
     import spark.implicits._
     // chain 1-2-3 (via 1-2, 2-3) and isolated pair 10-11
