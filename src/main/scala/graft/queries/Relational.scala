@@ -1034,6 +1034,52 @@ object Relational {
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ---- q67: Z-order (Morton) code — the data-layout primitive ----
+  // Multi-dimensional clustering for min/max file pruning: quantize
+  // two dimensions onto a 2^10 grid and interleave the bits
+  // (operators/ZOrder). Writing a table range-partitioned + sorted by
+  // this code (ZOrder.zOrderBy) gives every file tight min/max on
+  // BOTH source columns — at 100 TB, the difference between pruning
+  // to one file and scanning them all for a predicate on either
+  // dimension. The (lat, lon) pair is the same key-derived synthetic
+  // geometry q16 uses, so the whole computation is a zero-shuffle
+  // projection; the oracle replays quantization and interleave in
+  // integer arithmetic, exact.
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val k = col("c_custkey")
+    tbl(spark, dir, "customer").select(
+      k.as("c_custkey"),
+      ((k % 120) - 60 + 0.25).as("lat"),
+      (((k * 7) % 300) - 150 + 0.5).as("lon"))
+      .select(col("c_custkey"),
+        ZOrder.quantize(col("lat"), -90, 90, 10).as("cell_x"),
+        ZOrder.quantize(col("lon"), -180, 180, 10).as("cell_y"))
+      .withColumn("zcode", ZOrder.zOrderCode(
+        col("cell_x").cast("int"), col("cell_y").cast("int"), 10))
+      .orderBy(col("zcode"), col("c_custkey"))
+  }
+
+  val q67Sql: String = {
+    def interleave(xc: String, yc: String) = (0 until 10).map { b =>
+      s"(($xc >> $b) & 1) * ${1L << (2 * b)} + (($yc >> $b) & 1) * ${1L << (2 * b + 1)}"
+    }.mkString(" +\n    ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+       |    CAST(((c_custkey * 7) % 300) - 150 + 0.5 AS DOUBLE) AS lon
+       |  FROM customer
+       |), q AS (
+       |  SELECT c_custkey,
+       |    least(1023, greatest(0, CAST(floor((lat - -90.0) * 1024.0 / 180.0) AS BIGINT))) AS cell_x,
+       |    least(1023, greatest(0, CAST(floor((lon - -180.0) * 1024.0 / 360.0) AS BIGINT))) AS cell_y
+       |  FROM pts
+       |)
+       |SELECT c_custkey, cell_x, cell_y,
+       |  CAST(${interleave("cell_x", "cell_y")} AS BIGINT) AS zcode
+       |FROM q ORDER BY zcode, c_custkey""".stripMargin
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1064,7 +1110,8 @@ object Relational {
     "q53_asof_join" -> (q53 _),
     "q54_range_join" -> (q54 _),
     "q55_pivot" -> (q55 _),
-    "q60_asof_tolerance" -> (q60 _)
+    "q60_asof_tolerance" -> (q60 _),
+    "q67_zorder" -> (q67 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1096,6 +1143,7 @@ object Relational {
     "q53_asof_join" -> q53Sql,
     "q54_range_join" -> q54Sql,
     "q55_pivot" -> q55Sql,
-    "q60_asof_tolerance" -> q60Sql
+    "q60_asof_tolerance" -> q60Sql,
+    "q67_zorder" -> q67Sql
   )
 }
