@@ -166,6 +166,15 @@ object GraftFunctions {
       "dot_f64", dotBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "topk_by_score", topkBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "rep_stats2", repStatsBuilder, "built-in")
+  }
+
+  private val repStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(toks) => RepStats2(toks)
+    case other => throw new IllegalArgumentException(
+      s"rep_stats2(<array<string>>) takes exactly one argument — " +
+        s"got ${other.length}")
   }
 }
 
@@ -209,6 +218,14 @@ class GraftExtensions
           TopKByScore(score, id, k)
         case other => throw new IllegalArgumentException(
           s"topk_by_score(score, id, <int literal k>) — got $other")
+      }))
+    ext.injectFunction((FunctionIdentifier("rep_stats2"),
+      new ExpressionInfo(classOf[RepStats2].getName, "rep_stats2"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(toks) => RepStats2(toks)
+        case other => throw new IllegalArgumentException(
+          s"rep_stats2(<array<string>>) takes exactly one argument — " +
+            s"got ${other.length}")
       }))
   }
 }

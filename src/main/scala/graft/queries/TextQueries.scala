@@ -788,46 +788,26 @@ object TextQueries {
   // 2-grams and drop out, matching the oracle's length guard.
   //
   // Scale shape: MAP-ONLY. The metric is strictly per-document, so no
-  // row ever needs another row's grams — sorting the gram array
-  // inside the row and folding its runs (run length = gram count)
-  // computes top_c/dup_c/total with ZERO shuffle; the only exchange
-  // is the oracle orderBy. The explode -> groupBy(doc_id, gram)
-  // formulation this replaces shuffled the corpus's entire token
-  // stream to answer a question each row can answer about itself —
-  // at 100 TB that exchange IS the job. (Trade: the fold is an
-  // interpreted HOF per row vs codegen'd aggregates; per-row work is
-  // ~tokens·log(tokens), the right side of the trade whenever shuffle
-  // is the scarce resource. Measured at sf0.1: 3.0 s -> sub-second.)
+  // row ever needs another row's grams — the native `rep_stats2`
+  // expression ([[graft.functions.RepStats2]]) counts each row's
+  // adjacent 2-grams in one codegen'd pass and ZERO shuffle; the only
+  // exchange is the oracle orderBy. Two earlier formulations were
+  // measurably wrong: explode -> groupBy(doc_id, gram) shuffled the
+  // corpus's entire token stream to answer a question each row can
+  // answer about itself, and the sort-grams-then-fold-runs HOF kept
+  // the map-only shape but paid interpreted lambda dispatch + a fresh
+  // struct per element per row (both ~3.1 s at sf0.1; the native
+  // expression is sub-second).
   def q64(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
-    // run-length fold over the sorted gram array: state carries the
-    // current run (prev gram + length) and the running top/dup tallies
-    val z = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("top"), lit(0L).as("dup"))
-    def closeRun(acc: Column) = (
-      greatest(acc.getField("top"), acc.getField("run")),
-      acc.getField("dup") + when(acc.getField("run") > 1,
-        acc.getField("run")).otherwise(0L))
-    val stats = aggregate(
-      array_sort(col("grams")),
-      z,
-      (acc, g) => when(acc.getField("run") > 0 && g === acc.getField("prev"),
-        struct(g.as("prev"), (acc.getField("run") + 1).as("run"),
-          acc.getField("top").as("top"), acc.getField("dup").as("dup")))
-        .otherwise {
-          val (top, dup) = closeRun(acc)
-          struct(g.as("prev"), lit(1L).as("run"),
-            top.as("top"), dup.as("dup"))
-        },
-      acc => {
-        val (top, dup) = closeRun(acc)
-        struct(top.as("top_c"), dup.as("dup_c"))
-      })
-    docs.select(col("doc_id"), wordShinglesRaw(toks, 2).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_2grams"),
-        stats.as("st"))
-      .select(col("doc_id"), col("n_2grams"),
+    graft.functions.GraftFunctions.register(spark)
+    tbl(spark, dir, "documents")
+      // the length guard runs on the cheap token count BEFORE the
+      // stats projection — a filter on st.n_2grams would be pushed
+      // through the Project by substitution and evaluate rep_stats2
+      // twice per row
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), call_function("rep_stats2", toks).as("st"))
+      .select(col("doc_id"), col("st.n_2grams").as("n_2grams"),
         col("st.top_c").as("top_c"), col("st.dup_c").as("dup_c"))
       .select(col("doc_id"), col("n_2grams"),
         expr("top_c * 10000 div n_2grams").as("top_frac_e4"),
