@@ -924,6 +924,45 @@ object TextQueries {
        |FROM p LEFT JOIN v USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q68: deterministic per-stratum top-k sample ----
+  // "k docs per language, reproducibly": rank = salted md5 of the
+  // doc id, top-k per stratum via the native bounded `topk_by_score`
+  // aggregate — a map-side k-slot buffer per stratum, so the exchange
+  // carries at most k rows per (task, stratum) where a row_number
+  // window would shuffle the whole corpus (the q40 lesson applied to
+  // sampling). Seedless-deterministic like q57's stratified sampler,
+  // but with an exact per-stratum COUNT guarantee instead of a rate —
+  // the form quota-based data mixing needs. Distinct salt from
+  // q46/q57: sample, split, and mix decisions stay independent.
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        call_function("md5_long60",
+          concat(lit("samp:"), col("doc_id").cast("string"))).as("r"))
+      .groupBy(col("lang"))
+      .agg(call_function("topk_by_score",
+        col("r"), col("doc_id"), lit(3)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("r"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q68Sql: String =
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |    ${md5IntSql("'samp:' || CAST(doc_id AS VARCHAR)")} AS r
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, doc_id, r,
+       |    row_number() OVER (PARTITION BY lang ORDER BY r DESC, doc_id)
+       |      AS rank
+       |  FROM s
+       |)
+       |SELECT lang, CAST(rank AS INT) AS rank, doc_id, r
+       |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -944,7 +983,8 @@ object TextQueries {
     "q63_contamination" -> (q63 _),
     "q64_repetition" -> (q64 _),
     "q65_mixture_weights" -> (q65 _),
-    "q66_token_ids" -> (q66 _)
+    "q66_token_ids" -> (q66 _),
+    "q68_stratified_topk" -> (q68 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -967,6 +1007,7 @@ object TextQueries {
     "q63_contamination" -> q63Sql,
     "q64_repetition" -> q64Sql,
     "q65_mixture_weights" -> q65Sql,
-    "q66_token_ids" -> q66Sql
+    "q66_token_ids" -> q66Sql,
+    "q68_stratified_topk" -> q68Sql
   )
 }

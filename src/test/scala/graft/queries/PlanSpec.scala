@@ -129,6 +129,13 @@ class PlanSpec extends AnyFunSuite {
       s"pivot must not expand or cross-join:\n$p")
   }
 
+  test("q68 stratified sample ranks through the bounded top-k, not a window") {
+    val p = plan(TextQueries.q68(spark, dir))
+    assert(!p.contains("Window"), s"q68 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"q68 lost the map-side top-k phase:\n$p")
+  }
+
   test("q64 repetition metrics are map-only: no shuffle but the output orderBy") {
     val p = plan(TextQueries.q64(spark, dir))
     // per-document metric -> nothing may cross rows: the sorted-gram
