@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{IvfBestCid, IvfCodebook, IvfProbe2}
+import graft.functions.{IvfBestCid, IvfCodebook, IvfProbe2, PqAdcE6, PqCodebook, PqEncode}
 import graft.vector.VectorOps._
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
@@ -480,6 +480,138 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q69/q70: product quantization (the memory half of IVF+PQ) ----
+  // PQ turns a 64-dim double vector into m=8 small ints (per 8-dim
+  // subspace, the index of its nearest sub-centroid): 10^11 vectors
+  // shrink from ~51 TB of doubles to ~800 GB of codes, and search
+  // scores CODES against a raw query (ADC) without ever touching the
+  // original vectors. Codebook = the same every-31st-vector dimension
+  // as IVF, broadcast and read by native pq_encode/pq_adc_e6
+  // expressions ([[graft.functions.PqCodebook]]) — encode is a
+  // map-only scan, zero shuffles.
+
+  /** Build + broadcast the PQ codebook (full-dim centroids ascending
+    * cid; subspace slices read per expression).
+    */
+  private[graft] def pqCodebookBc(all: DataFrame, m: Int = 8,
+      every: Int = 31): Broadcast[PqCodebook] = {
+    val cents = all.filter(col("vec_id") % every === 0)
+      .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    all.sparkSession.sparkContext.broadcast(
+      PqCodebook(m, cents.head.length / m, cents))
+  }
+
+  /** Session wiring for the PQ expressions — closure-captured
+    * broadcast, same pattern and rationale as [[registerIvf]].
+    */
+  private[graft] def registerPq(spark: SparkSession,
+      bc: Broadcast[PqCodebook]): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("pq_encode", {
+      case Seq(v) => PqEncode(v, bc)
+      case other => throw new IllegalArgumentException(
+        s"pq_encode(<array<double>>) takes exactly one argument — " +
+          s"got ${other.length}")
+    }, "built-in")
+    registry.createOrReplaceTempFunction("pq_adc_e6", {
+      case Seq(c, q) => PqAdcE6(c, q, bc)
+      case other => throw new IllegalArgumentException(
+        s"pq_adc_e6(<codes>, <query>) takes exactly two arguments — " +
+          s"got ${other.length}")
+    }, "built-in")
+  }
+
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    registerPq(spark, pqCodebookBc(all))
+    all.select(col("vec_id"), call_function("pq_encode", col("v")).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared oracle CTE chain: double-cast embeddings, indexed
+    * centroids, and the per-(vector, subspace) assignment — the
+    * subspace distance is the sequential squared-diff fold over the
+    * slice, ties to the smallest cid, exactly the PqUtil scalars.
+    */
+  private val pqAssignCte: String = {
+    val subL2 =
+      "list_sum(list_transform(range(1, 9), " +
+        "i -> (e.v[js.j*8 + i] - c.cv[js.j*8 + i]) * " +
+        "(e.v[js.j*8 + i] - c.cv[js.j*8 + i])))"
+    s"""e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k
+       |  FROM e WHERE vec_id % 31 = 0
+       |), js AS (
+       |  SELECT unnest(range(0, 8)) AS j
+       |), assign AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT e.vec_id, js.j, c.k,
+       |      row_number() OVER (PARTITION BY e.vec_id, js.j
+       |        ORDER BY $subL2 ASC, c.cid ASC) AS rn
+       |    FROM e, js, cents c)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  val q69Sql: String =
+    s"""WITH $pqAssignCte
+       |SELECT vec_id, list(k ORDER BY j) AS codes
+       |FROM assign GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ADC top-3 per query: codes x broadcast queries, ranked ascending
+  // on the rounded e6 approximate distance through the bounded
+  // topk_by_score partial aggregate (score = -dist so the DESC buffer
+  // ranks ASC) — the n x q scored rows never cross an exchange.
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    registerPq(spark, pqCodebookBc(all))
+    val codes = all.select(col("vec_id"),
+      call_function("pq_encode", col("v")).as("codes"))
+    val queries = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc_e6", col("codes"), col("qv")).as("dist_e6"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        -col("dist_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("dist_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q70Sql: String = {
+    // the 8 sub-distances fold in SUBSPACE ORDER (list ORDER BY j ->
+    // sequential list_sum), replicating adcE6's j-ascending
+    // accumulation — a bare SUM() would add them in arbitrary group
+    // order and could diverge by an ulp before rounding
+    val subDist =
+      "list_sum(list_transform(range(1, 9), " +
+        "i -> (q.v[a.j*8 + i] - c.cv[a.j*8 + i]) * " +
+        "(q.v[a.j*8 + i] - c.cv[a.j*8 + i])))"
+    s"""WITH $pqAssignCte, scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * list_sum(list($subDist ORDER BY a.j)), 0)
+       |      AS BIGINT) AS dist_e6
+       |  FROM assign a
+       |  JOIN cents c ON a.k = c.k
+       |  JOIN e q ON q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist_e6 FROM (
+       |  SELECT query_id, neighbor_id, dist_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist_e6 ASC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q52: one k-means (Lloyd) refinement step of the IVF codebook ----
   // Codebook TRAINING, the other half of an IVF index build: assign
   // every vector to its max-cosine centroid (the same map-only
@@ -531,7 +663,9 @@ object VectorQueries {
     "q42_ann_neardup" -> (q42 _),
     "q43_ivf_ann" -> (q43 _),
     "q52_kmeans_step" -> (q52 _),
-    "q62_banded_ann" -> (q62 _)
+    "q62_banded_ann" -> (q62 _),
+    "q69_pq_encode" -> (q69 _),
+    "q70_pq_adc" -> (q70 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,6 +674,8 @@ object VectorQueries {
     "q42_ann_neardup" -> q42Sql,
     "q43_ivf_ann" -> q43Sql,
     "q52_kmeans_step" -> q52Sql,
-    "q62_banded_ann" -> q62Sql
+    "q62_banded_ann" -> q62Sql,
+    "q69_pq_encode" -> q69Sql,
+    "q70_pq_adc" -> q70Sql
   )
 }

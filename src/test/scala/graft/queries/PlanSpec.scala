@@ -79,6 +79,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"q40 shuffles more than agg + orderBy:\n$p")
   }
 
+  test("q69 PQ encode is map-only: one exchange (the output orderBy)") {
+    val p = plan(VectorQueries.q69(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"PQ encode must ride the scan:\n$p")
+    assert(p.contains("pq_encode"), s"expected the native encoder:\n$p")
+  }
+
+  test("q70 ADC search ranks through the bounded top-k, scored rows never shuffle") {
+    val p = plan(VectorQueries.q70(spark, dir))
+    assert(!p.contains("Window"), s"q70 ranks through a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"queries must broadcast against the code table:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"q70 lost the map-side top-k phase:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q70 shuffles more than agg + orderBy:\n$p")
+  }
+
   test("q04 dimension join is a broadcast hash join") {
     assert(plan(Relational.q04(spark, dir)).contains("BroadcastHashJoin"))
   }
