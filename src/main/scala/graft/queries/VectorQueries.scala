@@ -612,6 +612,99 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q71: IVF+PQ — the production ANN search shape ----
+  // The two halves composed: IVF restricts candidates to the query's
+  // 2 probed inverted lists (map-only broadcast-argmax assignment, no
+  // all-pairs scan) and PQ scores ONLY those candidates' 8-byte codes
+  // via ADC (no raw vectors touched at search time). At scale the
+  // fact side carries (cid, codes) — cacheable-tier sized — the
+  // probes broadcast, and the rank is the bounded top-k partial:
+  // candidates/query ~ (n/nlist)·nprobe, scored rows never cross an
+  // exchange. Both codebooks are the same every-31st-vector dimension
+  // (an IVF coarse quantizer and its PQ refinement share training
+  // data in production too).
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    registerIvf(spark, codebookBc(all))
+    registerPq(spark, pqCodebookBc(all))
+    val assign = all.select(col("vec_id"),
+      coalesce(call_function("ivf_best_cid", col("v")), lit(-1L)).as("cid"),
+      call_function("pq_encode", col("v")).as("codes"))
+    val probes = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(call_function("ivf_probe2", col("v"))).as("cid"))
+    assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc_e6", col("codes"), col("qv")).as("dist_e6"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        -col("dist_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("dist_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q71Sql: String = {
+    def cosE6(a: String, b: String) =
+      s"CAST(round(1000000.0 * (${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))), 0) AS BIGINT)"
+    val subDist =
+      "list_sum(list_transform(range(1, 9), " +
+        "i -> (q.v[pa.j*8 + i] - c.cv[pa.j*8 + i]) * " +
+        "(q.v[pa.j*8 + i] - c.cv[pa.j*8 + i])))"
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k
+       |  FROM e WHERE vec_id % 31 = 0
+       |), ivf_assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT qq.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY ${cosE6("qq.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e qq, cents c WHERE qq.vec_id % 100 = 0)
+       |  WHERE rn <= 2
+       |), js AS (
+       |  SELECT unnest(range(0, 8)) AS j
+       |), pq_assign AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT e.vec_id, js.j, c.k,
+       |      row_number() OVER (PARTITION BY e.vec_id, js.j
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (e.v[js.j*8 + i] - c.cv[js.j*8 + i]) *
+       |               (e.v[js.j*8 + i] - c.cv[js.j*8 + i]))) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM e, js, cents c)
+       |  WHERE rn = 1
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * list_sum(list($subDist ORDER BY pa.j)), 0)
+       |      AS BIGINT) AS dist_e6
+       |  FROM probes p
+       |  JOIN ivf_assign a USING (cid)
+       |  JOIN pq_assign pa ON pa.vec_id = a.vec_id
+       |  JOIN cents c ON pa.k = c.k
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist_e6 FROM (
+       |  SELECT query_id, neighbor_id, dist_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist_e6 ASC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q52: one k-means (Lloyd) refinement step of the IVF codebook ----
   // Codebook TRAINING, the other half of an IVF index build: assign
   // every vector to its max-cosine centroid (the same map-only
@@ -665,7 +758,8 @@ object VectorQueries {
     "q52_kmeans_step" -> (q52 _),
     "q62_banded_ann" -> (q62 _),
     "q69_pq_encode" -> (q69 _),
-    "q70_pq_adc" -> (q70 _)
+    "q70_pq_adc" -> (q70 _),
+    "q71_ivfpq_search" -> (q71 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -676,6 +770,7 @@ object VectorQueries {
     "q52_kmeans_step" -> q52Sql,
     "q62_banded_ann" -> q62Sql,
     "q69_pq_encode" -> q69Sql,
-    "q70_pq_adc" -> q70Sql
+    "q70_pq_adc" -> q70Sql,
+    "q71_ivfpq_search" -> q71Sql
   )
 }

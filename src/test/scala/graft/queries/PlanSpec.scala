@@ -99,6 +99,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"q70 shuffles more than agg + orderBy:\n$p")
   }
 
+  test("q71 IVF+PQ search: map-only assign, broadcast probes, bounded top-k") {
+    val p = plan(VectorQueries.q71(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q71 must restrict candidates via the probe equi join:\n$p")
+    assert(!p.contains("Window"), s"q71 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"q71 lost the map-side top-k phase:\n$p")
+    // assignment + encode ride the scan; only the top-k aggregate and
+    // the output orderBy may exchange
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q71 shuffles beyond agg + orderBy:\n$p")
+  }
+
   test("q04 dimension join is a broadcast hash join") {
     assert(plan(Relational.q04(spark, dir)).contains("BroadcastHashJoin"))
   }
