@@ -963,6 +963,54 @@ object TextQueries {
        |SELECT lang, CAST(rank AS INT) AS rank, doc_id, r
        |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
 
+  // ---- q72: global training order (curriculum index) ----
+  // Every doc gets a stable 0-based position in the quality-descending
+  // curriculum — the "global row_number" every training pipeline
+  // eventually needs (stable sample ids, curriculum schedules,
+  // resumable iteration). A window over an empty partition spec would
+  // funnel 100 TB through ONE task; the scalable form is the classic
+  // two-pass enumeration: range-partition + sort by the total order
+  // (quality DESC, doc_id — ties broken, so the order is unique), then
+  // RDD zipWithIndex (one count job for per-partition offsets, then a
+  // map attaching offset + local position). No partition ever sees
+  // more than its slice; the oracle is the window it replaces.
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val scored = tbl(spark, dir, "documents")
+      .select(col("doc_id"), qualityE4Col.as("quality_e4"))
+      .repartitionByRange(col("quality_e4").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality_e4").desc, col("doc_id"))
+    val indexed = scored.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getLong(0), r.getLong(1), i)
+    }
+    spark.createDataFrame(indexed, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("quality_e4", LongType),
+      StructField("train_idx", LongType))))
+      .orderBy(col("train_idx"))
+  }
+
+  val q72Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, $qualityE4Sql AS quality_e4
+       |  FROM (SELECT doc_id,
+       |          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+       |            AS sum_len,
+       |          len(toks) AS n_tokens,
+       |          len(list_filter(toks,
+       |            t -> t IN ('the','a','of','and','is','to','in')))
+       |            AS stop_hits
+       |        FROM t)
+       |)
+       |SELECT doc_id, quality_e4,
+       |  CAST(row_number() OVER (ORDER BY quality_e4 DESC, doc_id) - 1
+       |    AS BIGINT) AS train_idx
+       |FROM p ORDER BY train_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -984,7 +1032,8 @@ object TextQueries {
     "q64_repetition" -> (q64 _),
     "q65_mixture_weights" -> (q65 _),
     "q66_token_ids" -> (q66 _),
-    "q68_stratified_topk" -> (q68 _)
+    "q68_stratified_topk" -> (q68 _),
+    "q72_training_order" -> (q72 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1008,6 +1057,7 @@ object TextQueries {
     "q64_repetition" -> q64Sql,
     "q65_mixture_weights" -> q65Sql,
     "q66_token_ids" -> q66Sql,
-    "q68_stratified_topk" -> q68Sql
+    "q68_stratified_topk" -> q68Sql,
+    "q72_training_order" -> q72Sql
   )
 }
