@@ -21,7 +21,7 @@ object Sinks {
     * reader can prune by flight range.
     */
   def writeApproaches(approaches: Dataset[Approach], path: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 64): Unit = {
     approaches
       .drop("unstable_intervals")
       .withColumn("flight_bucket", pmod(col("flight_id"), lit(buckets)))
@@ -29,6 +29,10 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("flight_bucket")
       .parquet(path)
+    val fs = new Path(path).getFileSystem(
+      approaches.sparkSession.sparkContext.hadoopConfiguration)
+    writeBucketsMarker(fs, path, buckets)
+  }
 
   /** S6 incremental: per-key upsert of an 18-column approaches batch
     * into the bucketed parquet table at `path`, matching the
@@ -79,10 +83,48 @@ object Sinks {
         .repartition(col("flight_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("flight_bucket").parquet(path)
+      writeBucketsMarker(fs, path, buckets)
       return
     }
+    checkBucketsMarker(fs, path, buckets)
     val touched = stageMerge(batch, path, buckets)
     promoteStaged(fs, path, touched)
+  }
+
+  /** The table's bucket-count marker (`_graft_buckets`, an
+    * underscore-prefixed file the parquet reader ignores). A merge
+    * called with a DIFFERENT bucket count than the table was written
+    * with would place a flight's new rows in a different partition
+    * dir than its old rows — the partition-pruned survivor anti join
+    * then never sees the old rows and the "upsert" silently
+    * duplicates keys. The marker makes that a loud error instead.
+    */
+  private def bucketsMarker(path: String) = new Path(path, "_graft_buckets")
+
+  private def writeBucketsMarker(fs: FileSystem, path: String,
+      buckets: Int): Unit = {
+    val out = fs.create(bucketsMarker(path), true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def checkBucketsMarker(fs: FileSystem, path: String,
+      buckets: Int): Unit = {
+    val m = bucketsMarker(path)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(stored == buckets.toString,
+        s"approaches table at $path is bucketed with $stored buckets but " +
+          s"the merge was called with $buckets — a changed bucket count " +
+          "silently splits keys across partition dirs; use the original " +
+          "count or rewrite the table")
+    } else {
+      // pre-marker table: adopt the caller's count (the caller is the
+      // only source of truth there was)
+      writeBucketsMarker(fs, path, buckets)
+    }
   }
 
   private def stagingPath(path: String) = new Path(path + ".__staging")

@@ -148,6 +148,28 @@ class SinksSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(backup)) && !fs.exists(new Path(staging)))
   }
 
+  test("merge rejects a changed bucket count (silent key-splitting guard)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("bguard").toString + "/approaches"
+    val batch = Seq((0L, 1L, 9), (5L, 1L, 9))
+      .toDF("flight_id", "approach_id", "unstable")
+    Sinks.mergeApproachesTable(batch, out, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeApproachesTable(batch, out, buckets = 8)
+    }
+    assert(e.getMessage.contains("bucketed with 4"))
+    // the original count still merges fine, and the marker file is
+    // invisible to the reader
+    Sinks.mergeApproachesTable(
+      Seq((5L, 1L, 1)).toDF("flight_id", "approach_id", "unstable"),
+      out, buckets = 4)
+    val got = spark.read.parquet(out)
+      .select("flight_id", "unstable").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 9, 5L -> 1))
+  }
+
   test("commitFlightAnalysis: flags follow the merge; replay converges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
