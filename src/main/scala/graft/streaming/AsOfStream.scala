@@ -58,8 +58,20 @@ object AsOfStream {
   final case class AsOfState(pendingTs: List[Long], pendingIds: List[Long],
       markTs: List[Long], markIds: List[Long])
 
+  /** [[asofEnrichStream]] with a maximum lookback, the streaming twin
+    * of [[graft.operators.AsOfJoin.asofJoinTolerance]]: a mark older
+    * than `event.ts - toleranceMs` does not enrich (inclusive bound,
+    * matching the batch form). Staleness is decided at EMISSION time
+    * against the buffered match — the single-shuffle/state shape is
+    * unchanged.
+    */
+  def asofEnrichStreamTolerance(events: Dataset[Event], marks: Dataset[Mark],
+      toleranceMs: Long, delayThreshold: String = "1 hour"): Dataset[Enriched] =
+    asofEnrichStream(events, marks, delayThreshold, Some(toleranceMs))
+
   def asofEnrichStream(events: Dataset[Event], marks: Dataset[Mark],
-      delayThreshold: String = "1 hour"): Dataset[Enriched] = {
+      delayThreshold: String = "1 hour",
+      toleranceMs: Option[Long] = None): Dataset[Enriched] = {
     val spark = events.sparkSession
     import spark.implicits._
     // one watermark over the tag-union (same trick as the batch
@@ -90,6 +102,11 @@ object AsOfStream {
       val (flush, keep) = pending.partition(_._1 <= wm)
       val out = flush.sortBy(identity).map { case (ts, id) =>
         val m = sortedMarks.takeWhile(_._1 <= ts).lastOption
+          // staleness bound applies to the LATEST match (same rule as
+          // the batch tolerance form: an older candidate is strictly
+          // more stale, so a stale latest means no candidate matches)
+          .filter { case (mts, _) =>
+            toleranceMs.forall(tol => mts >= ts - tol) }
         Enriched(id, userId, new Timestamp(ts),
           m.map(_._2), m.map(x => new Timestamp(x._1)))
       }

@@ -78,6 +78,47 @@ class AsOfStreamSpec extends AnyFunSuite {
     assert(got(4L) == Some(102L))
   }
 
+  test("tolerance variant matches batch asofJoinTolerance (stale matches null out)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evIn = MemoryStream[Event]
+    val mkIn = MemoryStream[Mark]
+    // tolerance 5s: event@10 age 0 matches, event@15 age 5 matches
+    // (inclusive), event@16 age 6 is stale, event@9 precedes the mark
+    val q = AsOfStream
+      .asofEnrichStreamTolerance(evIn.toDS(), mkIn.toDS(), 5000L, "10 seconds")
+      .writeStream.format("memory").queryName("asof_tol")
+      .outputMode("append").start()
+    try {
+      evIn.addData(Event(1, 1, ts(10)), Event(2, 1, ts(15)),
+        Event(3, 1, ts(16)), Event(4, 1, ts(9)))
+      mkIn.addData(Mark(100, 1, ts(10)))
+      q.processAllAvailable()
+      evIn.addData(Event(900, 999, ts(200)))
+      q.processAllAvailable()
+      evIn.addData(Event(901, 999, ts(300)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_tol")
+      .filter(col("user_id") === 1).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val events = Seq((1L, 1L, 10L), (2L, 1L, 15L), (3L, 1L, 16L),
+      (4L, 1L, 9L)).toDF("event_id", "user_id", "tsec")
+    val marks = Seq((100L, 1L, 10L)).toDF("mark_id", "user_id", "tsec")
+      .select(col("user_id"), col("tsec"), col("mark_id"))
+    val expected = AsOfJoin
+      .asofJoinTolerance(events, marks, Seq("user_id"), "tsec",
+        Seq("mark_id"), 5L)
+      .select(col("event_id"), col("asof.mark_id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == expected)
+    assert(got == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> None))
+  }
+
   test("beyond-watermark stragglers are dropped, emitted rows never rewritten") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
