@@ -1011,6 +1011,48 @@ object TextQueries {
        |    AS BIGINT) AS train_idx
        |FROM p ORDER BY train_idx""".stripMargin
 
+  // ---- q73: JSONL source round-trip (the ingest boundary format) ----
+  // documents -> JSON-lines -> read back with an EXPLICIT schema (no
+  // inference pass) -> content-integrity aggregate. The oracle
+  // computes the same aggregate from the ORIGINAL parquet table, so a
+  // green hash proves the round trip preserved every doc byte-for-
+  // byte: the per-group checksum sums each text's 60-bit md5 (reduced
+  // mod 1e12 so 10^5 docs cannot overflow checked BIGINT arithmetic)
+  // — order-independent, content-sensitive. The JSONL corpus is
+  // staged once per dataset in tmpdir (q48's prep pattern); the
+  // timed query is read + aggregate, not the write.
+  private[graft] def prepareJsonlCorpus(spark: SparkSession,
+      dir: String): String = {
+    val mt = new java.io.File(s"$dir/documents.parquet").lastModified
+    val tag = java.lang.Integer.toHexString(s"$dir:$mt".hashCode & 0x7fffffff)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_jsonl_$tag").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      graft.sources.Jsonl.writeJsonl(tbl(spark, dir, "documents"), path)
+    path
+  }
+
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val path = prepareJsonlCorpus(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    graft.sources.Jsonl.readJsonl(spark, path, schema)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(call_function("md5_long60", col("text")) % 1000000000000L)
+          .as("text_hash_sum"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q73Sql: String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(${md5IntSql("text")} % 1000000000000) AS BIGINT)
+       |    AS text_hash_sum
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1033,7 +1075,8 @@ object TextQueries {
     "q65_mixture_weights" -> (q65 _),
     "q66_token_ids" -> (q66 _),
     "q68_stratified_topk" -> (q68 _),
-    "q72_training_order" -> (q72 _)
+    "q72_training_order" -> (q72 _),
+    "q73_jsonl_roundtrip" -> (q73 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1058,6 +1101,7 @@ object TextQueries {
     "q65_mixture_weights" -> q65Sql,
     "q66_token_ids" -> q66Sql,
     "q68_stratified_topk" -> q68Sql,
-    "q72_training_order" -> q72Sql
+    "q72_training_order" -> q72Sql,
+    "q73_jsonl_roundtrip" -> q73Sql
   )
 }
