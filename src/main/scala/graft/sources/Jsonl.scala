@@ -25,4 +25,17 @@ object Jsonl {
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Continuous ingest twin: tail a directory of JSONL shards as a
+    * stream (each newly landed file becomes a micro-batch — the
+    * standard drop-folder ingest). Same explicit-schema rule; the
+    * file-source checkpoint tracks processed files, so a restarted
+    * query resumes without re-ingesting. `maxFilesPerTrigger` bounds
+    * micro-batch size when a backlog lands at once.
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
 }
