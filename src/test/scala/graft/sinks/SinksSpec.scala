@@ -148,6 +148,50 @@ class SinksSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(backup)) && !fs.exists(new Path(staging)))
   }
 
+  test("merge commit: EVERY crash point replays to the same converged table") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the promotion is a fixed rename sequence over 2 touched buckets:
+    //   park b0, park b1, promote b0, promote b1, drop backup
+    // simulate a crash after EACH prefix, then replay the merge and
+    // assert the table always converges to the same upsert result
+    val batch2 = Seq((0L, 1L, 1), (1L, 1L, 1))
+      .toDF("flight_id", "approach_id", "unstable")
+    val expected = Map(0L -> 1, 1L -> 1, 2L -> 9, 3L -> 9)
+    for (steps <- 0 to 5) {
+      val out = Files.createTempDirectory(s"crashx$steps").toString + "/t"
+      val fs = new Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v1 = spark.range(4)
+        .select(col("id").as("flight_id"), lit(1L).as("approach_id"),
+          lit(9).as("unstable"))
+      Sinks.mergeApproachesTable(v1, out, buckets = 2)
+      Sinks.stageMerge(batch2, out, buckets = 2)
+      val (backup, staging) = (out + ".__backup", out + ".__staging")
+      val seq: Seq[() => Unit] = Seq(
+        () => fs.mkdirs(new Path(backup)),
+        () => assert(fs.rename(new Path(out, "flight_bucket=0"),
+          new Path(backup, "flight_bucket=0"))),
+        () => assert(fs.rename(new Path(out, "flight_bucket=1"),
+          new Path(backup, "flight_bucket=1"))),
+        () => assert(fs.rename(new Path(staging, "flight_bucket=0"),
+          new Path(out, "flight_bucket=0"))),
+        () => assert(fs.rename(new Path(staging, "flight_bucket=1"),
+          new Path(out, "flight_bucket=1"))))
+      seq.take(steps).foreach(_.apply())
+      // the crash: whatever is left of the sequence never runs.
+      // replay the whole merge (recovery runs at its start)
+      Sinks.mergeApproachesTable(batch2, out, buckets = 2)
+      val got = spark.read.parquet(out)
+        .select("flight_id", "unstable").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"crash after step $steps did not converge")
+      assert(!fs.exists(new Path(backup)) && !fs.exists(new Path(staging)),
+        s"crash after step $steps left recovery debris")
+    }
+  }
+
   test("merge rejects a changed bucket count (silent key-splitting guard)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
