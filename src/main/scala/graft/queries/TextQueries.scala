@@ -664,8 +664,19 @@ object TextQueries {
   // scan; the ONLY wide work is exact-dedup's digest shuffle (groupBy
   // md5 + join back on the 16-byte digest, never raw text) — i.e. the
   // composition adds nothing beyond its most expensive member.
-  def q61(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withExactCopies(tbl(spark, dir, "documents"))
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    curate(withExactCopies(tbl(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** The curation decision applied to any (doc_id, text) frame — the
+    * q61 logic factored out so the streaming drop-folder ingest
+    * ([[graft.streaming.Ingest]]) runs the IDENTICAL rules per
+    * micro-batch. Dedup scope is the input frame: q61 passes the whole
+    * corpus; a micro-batch caller gets within-batch dedup, with
+    * cross-batch convergence provided by the upsert key at the sink.
+    */
+  def curate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val keepers = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
@@ -681,7 +692,6 @@ object TextQueries {
       .select(col("doc_id"), col("lang_pred"), col("quality_e4"),
         col("keeper"), col("split"), col("reason"),
         col("reason").isNull.as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val q61Sql: String = {
@@ -887,7 +897,10 @@ object TextQueries {
   // is: posexplode -> map-side hash join -> per-doc sort_array
   // re-assembly keyed by doc_id; raw text never shuffles, only
   // (doc_id, pos, id) triples. The tiny 100-row rank window runs on
-  // the limited dim, not the corpus.
+  // the limited dim, not the corpus. Output serializes the id array
+  // as a comma-joined string: downstream consumers (q58 packing)
+  // take the array form, but a registered query's result schema is
+  // scalars-only (driver-harness contract — see EntrySpec's guard).
   def q66(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("tok"))
@@ -902,7 +915,9 @@ object TextQueries {
       .agg(sort_array(collect_list(
         struct(col("pos"), coalesce(col("id"), lit(0L)).as("id")))).as("ps"))
       .select(col("doc_id"),
-        transform(col("ps"), s => s.getField("id")).as("token_ids"),
+        concat_ws(",",
+          transform(col("ps"), s => s.getField("id").cast("string")))
+          .as("token_ids"),
         size(col("ps")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -919,7 +934,9 @@ object TextQueries {
        |  FROM (SELECT tok, count(*) AS c FROM p GROUP BY 1
        |        ORDER BY c DESC, tok LIMIT 100)
        |)
-       |SELECT doc_id, list(coalesce(v.id, 0) ORDER BY pos) AS token_ids,
+       |SELECT doc_id,
+       |  string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY pos)
+       |    AS token_ids,
        |  CAST(count(*) AS BIGINT) AS n_tokens
        |FROM p LEFT JOIN v USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -522,10 +522,17 @@ object VectorQueries {
     }, "built-in")
   }
 
+  // The registered query serializes the code array as a comma-joined
+  // string: q70/q71 consume the array form directly; a registered
+  // query's output schema is scalars-only (driver-harness contract —
+  // see EntrySpec's guard).
   def q69(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     registerPq(spark, pqCodebookBc(all))
-    all.select(col("vec_id"), call_function("pq_encode", col("v")).as("codes"))
+    all.select(col("vec_id"),
+        concat_ws(",",
+          transform(call_function("pq_encode", col("v")),
+            c => c.cast("string"))).as("codes"))
       .orderBy(col("vec_id"))
   }
 
@@ -559,7 +566,8 @@ object VectorQueries {
 
   val q69Sql: String =
     s"""WITH $pqAssignCte
-       |SELECT vec_id, list(k ORDER BY j) AS codes
+       |SELECT vec_id,
+       |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY j) AS codes
        |FROM assign GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ADC top-3 per query: codes x broadcast queries, ranked ascending

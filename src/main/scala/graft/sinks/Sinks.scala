@@ -121,11 +121,29 @@ object Sinks {
           "silently splits keys across partition dirs; use the original " +
           "count or rewrite the table")
     } else {
-      // pre-marker table: adopt the caller's count (the caller is the
-      // only source of truth there was)
+      // pre-marker table: adopt the caller's count — but cross-check
+      // it against the partition dirs already on disk first. Adopting
+      // a WRONG count would both split keys across bucket dirs and
+      // enshrine the wrong count as authoritative for every future
+      // merge; every observed bucket id must fit under the count.
+      if (fs.exists(new Path(path))) {
+        val seen = fs.listStatus(new Path(path)).toSeq
+          .map(_.getPath.getName)
+          .collect { case BucketDirName(b) => b.toInt }
+        seen.foreach { b =>
+          require(b < buckets,
+            s"approaches table at $path has partition dir " +
+              s"${bucketDir(b)} but the merge was called with only " +
+              s"$buckets buckets — the caller's count does not match " +
+              "the legacy layout; use the original count or rewrite " +
+              "the table")
+        }
+      }
       writeBucketsMarker(fs, path, buckets)
     }
   }
+
+  private val BucketDirName = "flight_bucket=(\\d+)".r
 
   private def stagingPath(path: String) = new Path(path + ".__staging")
   private def backupPath(path: String) = new Path(path + ".__backup")
@@ -179,10 +197,11 @@ object Sinks {
     fs.mkdirs(backup)
     touched.foreach { b =>
       val live = new Path(path, bucketDir(b))
-      if (fs.exists(live)) fs.rename(live, new Path(backup, bucketDir(b)))
+      if (fs.exists(live)) checkedRename(fs, live, new Path(backup, bucketDir(b)))
     }
     touched.foreach { b =>
-      fs.rename(new Path(staging, bucketDir(b)), new Path(path, bucketDir(b)))
+      checkedRename(fs, new Path(staging, bucketDir(b)),
+        new Path(path, bucketDir(b)))
     }
     // the commit point: after this, recovery keeps the new versions
     fs.delete(backup, true)
@@ -204,12 +223,26 @@ object Sinks {
     if (fs.exists(backup)) {
       fs.listStatus(backup).filter(_.isDirectory).foreach { st =>
         val live = new Path(path, st.getPath.getName)
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        if (!fs.exists(live)) checkedRename(fs, st.getPath, live)
       }
       fs.delete(backup, true)
     }
     if (fs.exists(staging)) fs.delete(staging, true)
   }
+
+  /** Hadoop filesystems report most rename failures (dest exists, src
+    * vanished, transient FS errors) by returning FALSE, not throwing.
+    * An unchecked park/promote rename that silently no-ops would let
+    * execution reach the backup delete — the commit point — and drop
+    * the only surviving copy of a bucket. Every swap rename goes
+    * through here so a failed rename aborts BEFORE the commit point,
+    * where [[recoverInterruptedMerge]] can still heal the table.
+    */
+  private def checkedRename(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst),
+      s"rename $src -> $dst failed (filesystem returned false) — " +
+        "aborting before the merge commit point; the next merge's " +
+        "recovery pass will restore any parked buckets")
 
   /** Typed form of [[mergeApproachesTable]]. */
   def mergeApproaches(batch: Dataset[Approach], path: String,

@@ -115,14 +115,33 @@ object AsOfStream {
       // (every future event's ts exceeds the watermark); marks above
       // it all stay
       val (below, above) = sortedMarks.partition(_._1 <= wm)
-      val kept = below.lastOption.toList ++ above
+      // with a tolerance, a below-watermark mark older than wm - tol
+      // can never enrich a future event (every future event's ts
+      // exceeds wm, so the mark is stale for all of them) — drop it,
+      // so dead keys' state is eventually removed entirely
+      val keepBelow = below.lastOption
+        .filter { case (mts, _) => toleranceMs.forall(tol => mts >= wm - tol) }
+        .toList
+      val kept = keepBelow ++ above
       if (keep.isEmpty && kept.isEmpty) state.remove()
       else {
         state.update(AsOfState(keep.map(_._1), keep.map(_._2),
           kept.map(_._1), kept.map(_._2)))
-        // wake this key when the watermark passes its oldest pending
-        // event, even if no further rows arrive for it
-        if (keep.nonEmpty) state.setTimeoutTimestamp(keep.map(_._1).min)
+        // wake this key even if no further rows arrive for it:
+        //  - pending events flush once the watermark passes the oldest;
+        //  - mark-only state must ALSO re-wake or it is never re-pruned
+        //    for keys whose event stream stops — at the smallest
+        //    above-watermark mark (prunes to the single below-wm mark),
+        //    else at the kept mark's tolerance expiry (removes the key).
+        // Without a tolerance, a single compacted below-wm mark is
+        // legitimately live forever (it IS the as-of value for any
+        // future event) — no timeout to set, like a compacted KV entry.
+        val wake: Option[Long] =
+          if (keep.nonEmpty) Some(keep.map(_._1).min)
+          else if (above.nonEmpty) Some(above.map(_._1).min)
+          else keepBelow.headOption.flatMap { case (mts, _) =>
+            toleranceMs.map(tol => math.max(mts + tol + 1, wm + 1)) }
+        wake.foreach(state.setTimeoutTimestamp)
       }
       out.iterator
     }

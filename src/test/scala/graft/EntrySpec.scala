@@ -31,6 +31,29 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query outputs a top-level array/map/struct column") {
+    // the driver's oracle harness canonicalizes row order with a
+    // pandas sort over every output column; ArrayType cells arrive as
+    // numpy ndarrays, which are unhashable, so the sort throws and the
+    // whole query is recorded `err` (round 6: q66/q69). Guard the
+    // registry: result schemas are scalars-only — arrays belong to
+    // intermediate stages, serialized (concat_ws / hash) at the edge.
+    // Structs are banned too: the harness has never proven them.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark.newSession(), dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"driver-incompatible output columns (serialize to scalars): " +
+        bad.mkString(", "))
+  }
+
   test("no oracle embeds an interpolated null fragment") {
     // a Scala object val that references a LATER-declared val
     // interpolates "null" silently (bit q35's oracle once) — any
