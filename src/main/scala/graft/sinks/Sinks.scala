@@ -244,6 +244,37 @@ object Sinks {
         "aborting before the merge commit point; the next merge's " +
         "recovery pass will restore any parked buckets")
 
+  /** [[mergeApproachesTable]]'s staged/parked upsert protocol for ANY
+    * table keyed by (`keyCol`, `subKeyCol`) — e.g. a curated-documents
+    * table keyed by (doc_id, rev). The protocol's canonical internal
+    * column names are flight_id / approach_id / flight_bucket; this
+    * wrapper maps the caller's key names in (so the batch must not
+    * already carry the canonical names), [[readKeyedTable]] maps them
+    * back on read. `keyCol` must be integral — it drives the bucket
+    * assignment.
+    */
+  def mergeKeyedTable(batch: DataFrame, path: String, keyCol: String,
+      subKeyCol: String, buckets: Int = 64): Unit = {
+    require(!batch.columns.contains("flight_id") &&
+      !batch.columns.contains("approach_id") || keyCol == "flight_id",
+      "batch already uses the protocol's canonical column names — " +
+        "call mergeApproachesTable directly")
+    mergeApproachesTable(
+      batch.withColumnRenamed(keyCol, "flight_id")
+        .withColumnRenamed(subKeyCol, "approach_id"),
+      path, buckets)
+  }
+
+  /** Read back a table written by [[mergeKeyedTable]], restoring the
+    * caller's key column names (the bucket column stays available for
+    * pruned reads under its canonical name).
+    */
+  def readKeyedTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, subKeyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumnRenamed("flight_id", keyCol)
+      .withColumnRenamed("approach_id", subKeyCol)
+
   /** Typed form of [[mergeApproachesTable]]. */
   def mergeApproaches(batch: Dataset[Approach], path: String,
       buckets: Int = 64): Unit =

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.queries.TextQueries
+import graft.sinks.Sinks
+import graft.sources.Jsonl
+
+/** The production drop-folder ingest, composed end-to-end from parts
+  * that are each individually oracled: JSONL shards landing in a
+  * directory ([[Jsonl.readJsonlStream]]) → the q61 curation decision
+  * per micro-batch ([[TextQueries.curate]]) → idempotent keyed upsert
+  * into the bucketed curated-documents table
+  * ([[Sinks.mergeKeyedTable]]).
+  *
+  * Exactly-once table state from at-least-once execution: the file
+  * source's checkpoint tracks which shards each micro-batch read, and
+  * a crash AFTER the merge but BEFORE the checkpoint commit replays
+  * the whole micro-batch — whose merge upserts the identical rows
+  * onto the same (doc_id, rev) keys and converges (spec-proven with
+  * an injected post-merge crash). A crash DURING the merge commit is
+  * covered by the merge's own staged-write + parked-rename protocol.
+  *
+  * 100 TB posture: curation's only wide work is the within-batch
+  * exact-dedup digest shuffle (micro-batch-sized, not corpus-sized);
+  * language/quality/split ride the scan. Cross-batch duplicate text
+  * under DIFFERENT doc_ids is near-dup territory (q31/q33's LSH over
+  * the accumulated table), deliberately not re-solved per batch.
+  */
+object Ingest {
+
+  /** Explicit ingest schema ([[Jsonl]]'s no-inference rule). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Start the composed ingest. `postMergeHook` is a test seam: it
+    * runs after each micro-batch's merge is durable but before Spark
+    * commits the batch to the checkpoint — throwing from it simulates
+    * a crash in exactly the window that forces a replay of an
+    * already-merged batch.
+    */
+  def curatedJsonlIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => ()): StreamingQuery =
+    Jsonl.readJsonlStream(spark, dropDir, docSchema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val curated = TextQueries.curate(batch.toDF())
+        val kept = curated.filter(col("keep"))
+          .withColumn("rev", lit(0L))
+          .select(col("doc_id"), col("rev"), col("lang_pred"),
+            col("quality_e4"), col("split"))
+        Sinks.mergeKeyedTable(kept, tablePath, "doc_id", "rev", buckets)
+        postMergeHook(batchId)
+      }
+      .start()
+
+  /** The ingested table, caller-keyed. */
+  def readCurated(spark: SparkSession, tablePath: String): DataFrame =
+    Sinks.readKeyedTable(spark, tablePath, "doc_id", "rev")
+}

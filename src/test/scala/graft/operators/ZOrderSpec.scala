@@ -30,6 +30,61 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got(3) == 1023L && got(4) == 1023L && got.last == 1023L)
   }
 
+  test("zOrder layout strictly beats a linear sort on file-skip for the non-sort dim") {
+    import spark.implicits._
+    // 10k uniform points, many small files per layout; the payoff
+    // measure is the scan-pruning emulation: a reader prunes every
+    // file whose per-file [min,max] box misses the predicate — so
+    // count surviving files per layout for the same predicate.
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(10000)((rnd.nextDouble(), rnd.nextDouble()))
+      .toDF("x", "y")
+    val root = java.nio.file.Files.createTempDirectory("zpay").toString
+    val (zDir, linDir) = (s"$root/zorder", s"$root/linear")
+    val files = 20
+    ZOrder.zOrderBy(pts, col("x"), 0, 1, col("y"), 0, 1,
+        bits = 8, partitions = files)
+      .write.parquet(zDir)
+    // the linear strawman: same file count, range-sorted on x only
+    pts.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(linDir)
+
+    def stats(dir: String): Array[(Double, Double, Double, Double)] =
+      spark.read.parquet(dir).groupBy(input_file_name())
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect()
+        .map(r => (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    def surviving(dir: String, xLo: Double, xHi: Double,
+        yLo: Double, yHi: Double): Int =
+      stats(dir).count { case (x0, x1, y0, y1) =>
+        x1 >= xLo && x0 <= xHi && y1 >= yLo && y0 <= yHi }
+
+    assert(stats(zDir).length == files && stats(linDir).length == files)
+    // predicate on y alone: the x-sorted layout can prune NOTHING
+    // (every file spans y's full range); the Z-order layout must
+    val zY = surviving(zDir, 0, 1, 0.45, 0.55)
+    val linY = surviving(linDir, 0, 1, 0.45, 0.55)
+    assert(linY == files, s"x-sorted files should all span y: $linY")
+    assert(zY < linY, s"zorder=$zY vs linear=$linY files for the y predicate")
+    // 2-D box: at 20-file granularity a linear x-sort is competitive
+    // on a box (it prunes its sort dim as well as anything), so the
+    // honest claim is robustness ACROSS predicates — the Z layout
+    // still prunes most files for the box, and over the two predicate
+    // shapes combined it reads strictly fewer files than the
+    // single-dim layout
+    val zBox = surviving(zDir, 0.4, 0.6, 0.4, 0.6)
+    val linBox = surviving(linDir, 0.4, 0.6, 0.4, 0.6)
+    assert(zBox < files / 2, s"box predicate should prune most files: $zBox")
+    assert(zY + zBox < linY + linBox,
+      s"z=$zY+$zBox vs linear=$linY+$linBox across predicate shapes")
+    // and both layouts return identical rows for the box predicate
+    val q = (d: String) => spark.read.parquet(d)
+      .filter(col("x").between(0.4, 0.6) && col("y").between(0.45, 0.55))
+      .count()
+    assert(q(zDir) == q(linDir))
+  }
+
   test("zOrderBy: partitions cover disjoint, contiguous Z-curve segments") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

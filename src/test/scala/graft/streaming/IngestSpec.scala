@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.queries.TextQueries
+
+/** The composed drop-folder ingest (JSONL stream → curation → keyed
+  * merge) must deliver exactly-once TABLE state from at-least-once
+  * EXECUTION: shards already checkpointed are not re-ingested on
+  * restart, and a crash after a batch's merge but before its
+  * checkpoint commit replays the batch whose idempotent upsert
+  * converges — no duplicate keys, same rows as the batch-mode oracle.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  // Curation fixtures: "en" needs stopword hits, quality >= 5000 needs
+  // long-enough tokens + stopword density (q35's score); "zz"-style
+  // text lands und -> dropped; an exact copy of another doc -> dup.
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and the cat is of " +
+      "the essence to win in the long game of the seasons"
+
+  private def jline(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text"}"""
+
+  private def dropShard(dir: Path, name: String, lines: Seq[String]): Unit = {
+    // land atomically the way a real drop-folder producer does: write
+    // a temp file next to the dir, then move it in
+    val tmp = Files.createTempFile("shard", ".jsonl")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  test("exactly-once table state across restart AND post-merge crash replay") {
+    val root = Files.createTempDirectory("ingest")
+    val drop = Files.createDirectories(root.resolve("drop"))
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("curated").toString
+
+    // ---- phase 1: two good docs, one exact dup, one junk doc ----
+    dropShard(drop, "s1.jsonl", Seq(
+      jline(1, goodText),
+      jline(2, goodText + " again and again the end is near to all"),
+      jline(3, goodText),            // dup of doc 1 -> dropped
+      jline(4, "zzz qqq xxx")))      // und -> dropped
+    val q1 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+
+    val after1 = Ingest.readCurated(spark, table)
+    assert(after1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+
+    // ---- phase 2: restart with a NEW shard; the query must resume
+    // from the checkpoint (s1 not re-read) and crash right after the
+    // merge, before the checkpoint commit ----
+    dropShard(drop, "s2.jsonl", Seq(
+      jline(5, goodText + " a tale of two cities and the best of times"),
+      jline(6, "yyy www vvv")))      // und -> dropped
+    var batches = 0
+    val q2 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt,
+      postMergeHook = { _ => batches += 1; sys.error("injected crash") })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    assert(batches == 1, s"restart must process exactly the new shard, got $batches")
+    // the merge landed before the crash: doc 5 is already in the table
+    assert(Ingest.readCurated(spark, table).count() == 3)
+
+    // ---- phase 3: resume; Spark replays the uncommitted batch, the
+    // upsert converges instead of duplicating ----
+    val q3 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+
+    val fin = Ingest.readCurated(spark, table)
+    val ids = fin.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L), s"exactly-once violated: $ids")
+
+    // per-row parity with the batch-mode curation on the union of all
+    // landed docs that were kept (dedup scope: per shard == per batch
+    // here, since the dup pair landed in one shard)
+    import spark.implicits._
+    val allDocs = Seq(
+      (1L, goodText),
+      (2L, goodText + " again and again the end is near to all"),
+      (3L, goodText),
+      (4L, "zzz qqq xxx"),
+      (5L, goodText + " a tale of two cities and the best of times"),
+      (6L, "yyy www vvv")).toDF("doc_id", "text")
+    val oracle = TextQueries.curate(allDocs).filter(col("keep"))
+      .select("doc_id", "lang_pred", "quality_e4", "split")
+    val got = Ingest.readCurated(spark, table)
+      .select("doc_id", "lang_pred", "quality_e4", "split")
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
+      "streamed table diverges from batch curation")
+  }
+}
