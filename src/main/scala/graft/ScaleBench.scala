@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend harness (dev tool backing SCALE.md): measures the
+  * bench's heaviest queries at the driver SF and at a `factor`x
+  * replica of it, so the growth laws argued from plans get one
+  * measured point each.
+  *
+  * The replica keeps the WORKLOAD SHAPE faithful, not just the byte
+  * count: documents are replicated onto disjoint doc_id ranges with
+  * per-replica text perturbation (a real 10x corpus has ~the same
+  * duplicate RATE — 10 exact copies of every text would explode the
+  * dedup clusters into an unrealistic hot spot), and events onto
+  * disjoint user_id ranges (10x distinct flights through the
+  * detector, the realistic fleet growth).
+  *
+  * Usage: runMain graft.ScaleBench [sfDir] [scaledDir] [factor]
+  * Prints one JSON line per query: sf-time, scaled-time, ratio.
+  */
+object ScaleBench {
+
+  /** Queries measured (the bench's top cost lines + the flagship). */
+  val Heavy: Seq[String] = Seq(
+    "q47_dedup_clusters", "q39_merge_sink", "q33_jaccard_pairs",
+    "q31_minhash_lsh", "q28_per_aircraft_thresholds", "q20_approaches")
+
+  def buildScaled(spark: SparkSession, sfDir: String, out: String,
+      factor: Int): Unit = {
+    val done = new org.apache.hadoop.fs.Path(out, "_SCALED")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * docStep)).as("doc_id"),
+        (if (k == 0) col("text")
+         else concat(col("text"), lit(s" r$k"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val userStep = events.agg(max("user_id")).head().getLong(0) + 1
+    val evStep = events.agg(max("event_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      events.select(
+        (col("event_id") + lit(k * evStep)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * userStep)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    fs.create(done, true).close()
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String,
+      passes: Int = 2): Double =
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_scaled")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    buildScaled(spark, sfDir, out, factor)
+    // warm-up at the small SF (JIT/codegen, not measured)
+    SparkEntry.queries("q12_topk")(spark, sfDir).count()
+    Heavy.foreach { name =>
+      val base = time(spark, name, sfDir)
+      val scaled = time(spark, name, out)
+      val ratio = scaled / base
+      println(f"""{"query":"$name","base_sec":$base%.2f,""" +
+        f""""scaled_sec":$scaled%.2f,"factor":$factor,""" +
+        f""""time_ratio":$ratio%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -186,6 +186,70 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("salting measurably bounds the hot key's per-task shuffle input") {
+    // the skew claim measured, not argued: on a 90%-hot-key
+    // distribution the hottest task's shuffle-read row count must
+    // drop materially when the hot key is salted across sub-groups
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // a fresh session with AQE partition-coalescing OFF: at this toy
+    // byte size AQE folds every shuffle partition into one task, which
+    // hides exactly the per-task bound this test measures (at real
+    // scale partitions are far above the coalesce target and spread)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // enough partitions that the 8 salt sub-groups of the hot key can
+    // actually land on distinct tasks (4 would co-hash pairs of them)
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val events = (0 until 20000).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 0L else 1 + rnd.nextLong(3)
+      (i.toLong, u, rnd.nextLong(1000))
+    }.toDF("event_id", "user_id", "ts")
+    val marks = Seq.fill(50)(
+      (100L + rnd.nextLong(1000), rnd.nextLong(4), rnd.nextLong(1000)))
+      .toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+
+    def maxTaskShuffleRows(salts: Int): Long = {
+      val max = new AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            max.updateAndGet(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // aggregate over the WINDOW's output, not count(): an unused
+        // window column gets pruned away and the whole exchange with it
+        AsOfJoin.asofJoinSalted(events, marks,
+          Seq("user_id"), "ts", Seq("mark_id"), salts)
+          .agg(sum(col("asof.mark_id"))).collect()
+        // the listener bus is async — wait for quiescence
+        var last = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val c = max.get
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        max.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val m1 = maxTaskShuffleRows(1)
+    val m8 = maxTaskShuffleRows(8)
+    // hot key ~18k left rows: unsalted they sort in ONE task; 8 salts
+    // split them ~2.3k per sub-group (+ replicated right side). Even
+    // with sub-groups co-hashed onto the 4 test partitions the max
+    // task must at least halve; the right-side replication cost is
+    // 50 x 8 rows — noise
+    assert(m8 * 2 <= m1, s"salts=8 max task rows $m8 vs salts=1 $m1")
+  }
+
   test("salted variant keeps the no-join single-data-shuffle plan") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
