@@ -87,6 +87,30 @@ object IvfUtil {
     best
   }
 
+  /** The residual of `v` against its max-cosine centroid: v - c. The
+    * coarse-assign half of residual product quantization (FAISS
+    * IVFPQ's encode path: PQ codes the residual, which is far more
+    * concentrated around zero than the raw vector, so the same k sub-
+    * centroids quantize it with much lower error). Same argmax/tie
+    * rule as [[bestCid]]; plain elementwise double subtraction.
+    */
+  def residual(v: ArrayData, cb: IvfCodebook): ArrayData = {
+    val nv = selfNorm(v)
+    var bestCos = Long.MinValue
+    var best = -1
+    var k = 0
+    while (k < cb.size) {
+      val c = cosE6(v, nv, cb.vecs(k), cb.norms(k))
+      if (c > bestCos) { bestCos = c; best = k }
+      k += 1
+    }
+    val cv = cb.vecs(best)
+    val out = new Array[Double](cv.length)
+    var i = 0
+    while (i < cv.length) { out(i) = v.getDouble(i) - cv(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Top-2 centroid ids of `v` (the probe lists), same tie order as
     * the fold it replaces: first max wins, runner-up seeded at -2.
     */
@@ -156,6 +180,27 @@ case class IvfBestCid(child: Expression, codebook: Broadcast[IvfCodebook])
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfBestCid =
+    copy(child = newChild)
+}
+
+/** `ivf_residual(v)`: v minus its max-cosine centroid — the coarse
+  * half of residual PQ, map-only like the other codebook expressions.
+  */
+case class IvfResidual(child: Expression, codebook: Broadcast[IvfCodebook])
+    extends IvfCodebookExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ivf_residual"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IvfUtil.residual(input.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbVar = codebookVar(ctx)
+    defineCodeGen(ctx, ev, c => s"graft.functions.IvfUtil.residual($c, $cbVar)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfResidual =
     copy(child = newChild)
 }
 

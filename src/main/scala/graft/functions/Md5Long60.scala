@@ -168,6 +168,15 @@ object GraftFunctions {
       "topk_by_score", topkBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "rep_stats2", repStatsBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "bloom_build", bloomBuilder, "built-in")
+  }
+
+  private val bloomBuilder: Seq[Expression] => Expression = {
+    case Seq(key, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+      BloomBuild(key, m, k)
+    case other => throw new IllegalArgumentException(
+      s"bloom_build(key, <int literal mBits>, <int literal k>) — got $other")
   }
 
   private val repStatsBuilder: Seq[Expression] => Expression = {
@@ -226,6 +235,14 @@ class GraftExtensions
         case other => throw new IllegalArgumentException(
           s"rep_stats2(<array<string>>) takes exactly one argument — " +
             s"got ${other.length}")
+      }))
+    ext.injectFunction((FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuild].getName, "bloom_build"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(key, Literal(m: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+          BloomBuild(key, m, k)
+        case other => throw new IllegalArgumentException(
+          s"bloom_build(key, <int literal mBits>, <int literal k>) — got $other")
       }))
   }
 }

@@ -1080,6 +1080,56 @@ object Relational {
        |FROM q ORDER BY zcode, c_custkey""".stripMargin
   }
 
+  // ---- q77: Bloom-filter pre-join pruning (the runtime-filter
+  //      pattern, user-level) ----
+  // A selective dim (one brand ≈ 4% of parts) joined to the fact: the
+  // classic case where most fact rows shuffle only to be dropped at
+  // the join. Build a deterministic Bloom filter over the filtered
+  // dim's keys (native `bloom_build` aggregate: per-task bitsets,
+  // OR-merged — the exchange carries bitsets, not keys), broadcast it,
+  // and `bloom_probe` the fact as a map-side filter BEFORE the join.
+  // Correctness never depends on the filter (false positives still
+  // join and drop; false negatives are impossible — spec-asserted),
+  // so the oracle is the plain join: the bloom stage must be
+  // semantically invisible. At 100 TB the pruned rows never reach an
+  // exchange — the shuffle shrinks by the dim's selectivity for a
+  // 64 KB broadcast. Spark's InjectRuntimeFilter does this for some
+  // shapes; this form is explicit, deterministic, and the filter is a
+  // first-class VALUE (persist it, reuse it across queries).
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dim = tbl(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_brand"))
+    // build job: one 64 KB filter on the driver (a scalar collect,
+    // like the IVF/PQ codebooks), re-shipped as a broadcast variable
+    val bytes = dim.agg(call_function("bloom_build",
+      col("p_partkey"), lit(1 << 16), lit(4))).head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bytes)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe", {
+        case Seq(key) => graft.functions.BloomProbe(key, bc)
+        case other => throw new IllegalArgumentException(
+          s"bloom_probe(<bigint key>) takes exactly one argument — " +
+            s"got ${other.length}")
+      }, "built-in")
+    tbl(spark, dir, "lineitem")
+      .filter(call_function("bloom_probe", col("l_partkey")))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(e4(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+          .as("revenue_e4"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q77Sql: String =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#13'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1111,7 +1161,8 @@ object Relational {
     "q54_range_join" -> (q54 _),
     "q55_pivot" -> (q55 _),
     "q60_asof_tolerance" -> (q60 _),
-    "q67_zorder" -> (q67 _)
+    "q67_zorder" -> (q67 _),
+    "q77_bloom_prejoin" -> (q77 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1144,6 +1195,7 @@ object Relational {
     "q54_range_join" -> q54Sql,
     "q55_pivot" -> q55Sql,
     "q60_asof_tolerance" -> q60Sql,
-    "q67_zorder" -> q67Sql
+    "q67_zorder" -> q67Sql,
+    "q77_bloom_prejoin" -> q77Sql
   )
 }

@@ -1070,6 +1070,93 @@ object TextQueries {
        |    AS text_hash_sum
        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- q75: chunk-level exact dedup (substring dedup lite) ----
+  // Document-level dedup misses the dominant contamination mode of
+  // web corpora: boilerplate blocks repeated inside otherwise-unique
+  // pages. The practical middle ground between doc-level md5 (q30)
+  // and full suffix-array substring dedup: split every doc into
+  // 8-token chunks, hash each, and score each doc by the fraction of
+  // its chunks that appear anywhere else in the corpus. Planted exact
+  // copies (q30's fixture) make the cross-doc branch provably fire.
+  // Scale shape: chunking+hashing ride the scan; the only wide work
+  // is one digest-keyed count + one digest equi join (16-byte keys,
+  // raw text never shuffles) — q30's posture at chunk granularity.
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withExactCopies(tbl(spark, dir, "documents"))
+    // ceil(n/8) as an INT (Column `/` is double division; sequence
+    // needs an integral bound)
+    val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+    val ch = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))))
+        .as(Seq("ci", "h")))
+    val occ = ch.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    ch.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("n_occ") > 1).cast("long")).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 10000 div n_chunks").as("dup_frac_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75Sql: String =
+    s"""WITH docs AS (
+       |  $exactCopiesSql
+       |), t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM docs
+       |), ch AS (
+       |  SELECT doc_id, i AS ci,
+       |    md5(array_to_string(toks[i*8+1 : i*8+8], ' ')) AS h
+       |  FROM t, unnest(range(0, (len(toks) + 7) // 8)) AS u(i)
+       |), occ AS (
+       |  SELECT h, count(*) AS n_occ FROM ch GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS dup_frac_e4
+       |FROM ch JOIN occ USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q76: sliding-window chunking with overlap (the RAG/training
+  //      chunker) ----
+  // Fixed-size chunks with overlap (size 8, stride 6 — each chunk
+  // shares 2 tokens with its predecessor) so no semantic boundary is
+  // ever split without a covering chunk: the standard retrieval/
+  // training chunker. Emits (doc_id, chunk_id, start_tok, n_toks,
+  // chunk md5) — the chunk table an embedding stage consumes. Pure
+  // projection + generate: rides the scan, zero wide operations; at
+  // 100 TB this is embarrassingly parallel and the output is what
+  // gets Z-ordered/bucketed for the ANN build downstream.
+  def q76(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), size(toks) - 1, lit(6)))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(8), size(toks) - col("start_tok")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(toks, col("start_tok") + 1, lit(8))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q76Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+       |    AS BIGINT) AS chunk_id,
+       |  i AS start_tok,
+       |  CAST(least(8, len(toks) - i) AS BIGINT) AS n_toks,
+       |  md5(array_to_string(toks[i+1 : i+8], ' ')) AS chunk_md5
+       |FROM t, unnest(range(0, len(toks), 6)) AS u(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1093,7 +1180,9 @@ object TextQueries {
     "q66_token_ids" -> (q66 _),
     "q68_stratified_topk" -> (q68 _),
     "q72_training_order" -> (q72 _),
-    "q73_jsonl_roundtrip" -> (q73 _)
+    "q73_jsonl_roundtrip" -> (q73 _),
+    "q75_chunk_dedup" -> (q75 _),
+    "q76_overlap_chunks" -> (q76 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1119,6 +1208,8 @@ object TextQueries {
     "q66_token_ids" -> q66Sql,
     "q68_stratified_topk" -> q68Sql,
     "q72_training_order" -> q72Sql,
-    "q73_jsonl_roundtrip" -> q73Sql
+    "q73_jsonl_roundtrip" -> q73Sql,
+    "q75_chunk_dedup" -> q75Sql,
+    "q76_overlap_chunks" -> q76Sql
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{IvfBestCid, IvfCodebook, IvfProbe2, PqAdcE6, PqCodebook, PqEncode}
+import graft.functions.{IvfBestCid, IvfCodebook, IvfProbe2, IvfResidual, PqAdcE6, PqCodebook, PqEncode}
 import graft.vector.VectorOps._
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md
@@ -352,69 +352,19 @@ object VectorQueries {
         s"ivf_probe2(<array<double>>) takes exactly one argument — " +
           s"got ${other.length}")
     }, "built-in")
+    registry.createOrReplaceTempFunction("ivf_residual", {
+      case Seq(v) => IvfResidual(v, bc)
+      case other => throw new IllegalArgumentException(
+        s"ivf_residual(<array<double>>) takes exactly one argument — " +
+          s"got ${other.length}")
+    }, "built-in")
   }
 
-  /** The `typedLit` plan-literal form of the codebook — retained ONLY
-    * as the bit-equality twin for IvfCodebookSpec (the fold columns
-    * below read it); production paths use [[codebookBc]].
-    */
-  private[graft] def codebookLit(all: DataFrame, every: Int = 31): Column =
-    typedLit(
-      all.filter(col("vec_id") % every === 0)
-        .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
-        .collect().toSeq
-        .map { r =>
-          val cv = r.getSeq[Double](1)
-          (r.getLong(0), cv, math.sqrt(seqDot(cv, cv)))
-        })
-
-  /** Rounded-e6 cosine of the row vector v against codebook entry c,
-    * |v| staged once per row in the fold's zero as acc.nv.
-    */
-  private def ccosE6(v: Column, acc: Column, c: Column): Column =
-    round((dot(v, c.getField("_2"))
-      / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
-
-  /** Fold-form argmax centroid id over the LITERAL codebook — the
-    * IvfCodebookSpec twin of the native `ivf_best_cid` expression.
-    */
-  private[graft] def foldBestCid(centLit: Column, v: Column): Column =
-    aggregate(
-      centLit,
-      struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
-        sqrt(dot(v, v)).as("nv")),
-      (acc, c) => {
-        val ccos = ccosE6(v, acc, c)
-        when(ccos > acc.getField("ccos"),
-          struct(ccos.as("ccos"), c.getField("_1").as("cid"),
-            acc.getField("nv").as("nv")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cid"))
-
-  /** Fold-form top-2 centroid ids over the LITERAL codebook — the
-    * IvfCodebookSpec twin of the native `ivf_probe2` expression.
-    */
-  private[graft] def foldProbeCids(centLit: Column, v: Column): Column =
-    aggregate(
-      centLit,
-      struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
-        lit(Long.MinValue).as("c2cos"), lit(-2L).as("c2cid"),
-        sqrt(dot(v, v)).as("nv")),
-      (acc, c) => {
-        val ccos = ccosE6(v, acc, c)
-        val nv = acc.getField("nv")
-        when(ccos > acc.getField("c1cos"),
-          struct(ccos.as("c1cos"), c.getField("_1").as("c1cid"),
-            acc.getField("c1cos").as("c2cos"),
-            acc.getField("c1cid").as("c2cid"), nv.as("nv")))
-          .when(ccos > acc.getField("c2cos"),
-            struct(acc.getField("c1cos").as("c1cos"),
-              acc.getField("c1cid").as("c1cid"),
-              ccos.as("c2cos"), c.getField("_1").as("c2cid"), nv.as("nv")))
-          .otherwise(acc)
-      },
-      acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
+  // The `typedLit` plan-literal codebook twin and its fold-form
+  // argmax/probe columns live in IvfCodebookSpec now (test-only):
+  // they exist purely as the bit-equality oracle for the native
+  // expressions, and keeping them here kept the retired literal
+  // anti-pattern in the production file.
 
   /** Map-only IVF assignment table (vec_id, v, cid). coalesce makes
     * cid NON-NULLABLE (it never is: the argmax always yields a cid),
@@ -713,6 +663,68 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q74: residual PQ encode (FAISS IVFPQ's actual encode path) ----
+  // Production IVFPQ does not PQ-code the raw vector: it codes the
+  // RESIDUAL v - c against the assigned coarse centroid, which is
+  // concentrated around zero so the same k sub-centroids quantize it
+  // with far lower error. The whole encode is still a map-only scan:
+  // `ivf_residual` (argmax + subtract against the broadcast coarse
+  // codebook) feeds `pq_encode` (broadcast PQ codebook) in one
+  // projection — zero joins, zero shuffles, two broadcast handles in
+  // the plan. Output = (vec_id, coarse cid, joined codes), the exact
+  // inverted-list entry an IVFPQ index stores.
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    registerIvf(spark, codebookBc(all))
+    registerPq(spark, pqCodebookBc(all))
+    all.select(col("vec_id"),
+        call_function("ivf_best_cid", col("v")).as("cid"),
+        concat_ws(",",
+          transform(
+            call_function("pq_encode", call_function("ivf_residual", col("v"))),
+            c => c.cast("string"))).as("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q74Sql: String = {
+    def cosE6(a: String, b: String) =
+      s"CAST(round(1000000.0 * (${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))), 0) AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS k
+       |  FROM e WHERE vec_id % 31 = 0
+       |), a AS (
+       |  SELECT vec_id, v, cid, cv FROM (
+       |    SELECT e.vec_id, e.v, c.cid, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1
+       |), r AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+       |  FROM a
+       |), js AS (
+       |  SELECT unnest(range(0, 8)) AS j
+       |), pq AS (
+       |  SELECT vec_id, j, k FROM (
+       |    SELECT r.vec_id, js.j, c.k,
+       |      row_number() OVER (PARTITION BY r.vec_id, js.j
+       |        ORDER BY list_sum(list_transform(range(1, 9),
+       |          i -> (r.rv[js.j*8 + i] - c.cv[js.j*8 + i]) *
+       |               (r.rv[js.j*8 + i] - c.cv[js.j*8 + i]))) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM r, js, cents c)
+       |  WHERE rn = 1
+       |)
+       |SELECT r.vec_id, r.cid,
+       |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY j) AS codes
+       |FROM pq JOIN r USING (vec_id)
+       |GROUP BY r.vec_id, r.cid ORDER BY r.vec_id""".stripMargin
+  }
+
   // ---- q52: one k-means (Lloyd) refinement step of the IVF codebook ----
   // Codebook TRAINING, the other half of an IVF index build: assign
   // every vector to its max-cosine centroid (the same map-only
@@ -767,7 +779,8 @@ object VectorQueries {
     "q62_banded_ann" -> (q62 _),
     "q69_pq_encode" -> (q69 _),
     "q70_pq_adc" -> (q70 _),
-    "q71_ivfpq_search" -> (q71 _)
+    "q71_ivfpq_search" -> (q71 _),
+    "q74_pq_residual" -> (q74 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -779,6 +792,7 @@ object VectorQueries {
     "q62_banded_ann" -> q62Sql,
     "q69_pq_encode" -> q69Sql,
     "q70_pq_adc" -> q70Sql,
-    "q71_ivfpq_search" -> q71Sql
+    "q71_ivfpq_search" -> q71Sql,
+    "q74_pq_residual" -> q74Sql
   )
 }

@@ -14,6 +14,8 @@ import graft.vector.VectorOps
   */
 class IvfCodebookSpec extends AnyFunSuite {
 
+  import IvfCodebookSpec._
+
   private lazy val spark = SparkSpec.spark
 
   private def embeddings = {
@@ -25,11 +27,11 @@ class IvfCodebookSpec extends AnyFunSuite {
   test("ivf_best_cid / ivf_probe2 match the typedLit fold twins bit-for-bit") {
     val all = embeddings
     VectorQueries.registerIvf(spark, VectorQueries.codebookBc(all))
-    val centLit = VectorQueries.codebookLit(all)
+    val centLit = codebookLit(all)
     val rows = all.select(
-      VectorQueries.foldBestCid(centLit, col("v")).as("fold_cid"),
+      foldBestCid(centLit, col("v")).as("fold_cid"),
       call_function("ivf_best_cid", col("v")).as("native_cid"),
-      VectorQueries.foldProbeCids(centLit, col("v")).as("fold_probe"),
+      foldProbeCids(centLit, col("v")).as("fold_probe"),
       call_function("ivf_probe2", col("v")).as("native_probe"))
       .collect()
     assert(rows.nonEmpty)
@@ -83,4 +85,70 @@ class IvfCodebookSpec extends AnyFunSuite {
     val got = df.limit(5).collect()
     assert(got.length == 5 && got.forall(r => r.getLong(1) >= 0))
   }
+}
+
+/** The retired `typedLit` plan-literal codebook and its fold-form
+  * argmax/probe columns — the bit-equality oracle for the native
+  * broadcast-codebook expressions. Test-only on purpose: this IS the
+  * literal-transport anti-pattern the broadcast replaced, kept solely
+  * so the replacement stays provably bit-identical.
+  */
+object IvfCodebookSpec {
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import graft.vector.VectorOps.{dot, seqDot}
+
+  def codebookLit(all: DataFrame, every: Int = 31): Column =
+    typedLit(
+      all.filter(col("vec_id") % every === 0)
+        .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+        .collect().toSeq
+        .map { r =>
+          val cv = r.getSeq[Double](1)
+          (r.getLong(0), cv, math.sqrt(seqDot(cv, cv)))
+        })
+
+  /** Rounded-e6 cosine of the row vector v against codebook entry c,
+    * |v| staged once per row in the fold's zero as acc.nv.
+    */
+  private def ccosE6(v: Column, acc: Column, c: Column): Column =
+    round((dot(v, c.getField("_2"))
+      / (acc.getField("nv") * c.getField("_3"))) * 1e6).cast("long")
+
+  /** Fold-form argmax centroid id over the LITERAL codebook. */
+  def foldBestCid(centLit: Column, v: Column): Column =
+    aggregate(
+      centLit,
+      struct(lit(Long.MinValue).as("ccos"), lit(-1L).as("cid"),
+        sqrt(dot(v, v)).as("nv")),
+      (acc, c) => {
+        val ccos = ccosE6(v, acc, c)
+        when(ccos > acc.getField("ccos"),
+          struct(ccos.as("ccos"), c.getField("_1").as("cid"),
+            acc.getField("nv").as("nv")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  /** Fold-form top-2 centroid ids over the LITERAL codebook. */
+  def foldProbeCids(centLit: Column, v: Column): Column =
+    aggregate(
+      centLit,
+      struct(lit(Long.MinValue).as("c1cos"), lit(-1L).as("c1cid"),
+        lit(Long.MinValue).as("c2cos"), lit(-2L).as("c2cid"),
+        sqrt(dot(v, v)).as("nv")),
+      (acc, c) => {
+        val ccos = ccosE6(v, acc, c)
+        val nv = acc.getField("nv")
+        when(ccos > acc.getField("c1cos"),
+          struct(ccos.as("c1cos"), c.getField("_1").as("c1cid"),
+            acc.getField("c1cos").as("c2cos"),
+            acc.getField("c1cid").as("c2cid"), nv.as("nv")))
+          .when(ccos > acc.getField("c2cos"),
+            struct(acc.getField("c1cos").as("c1cos"),
+              acc.getField("c1cid").as("c1cid"),
+              ccos.as("c2cos"), c.getField("_1").as("c2cid"), nv.as("nv")))
+          .otherwise(acc)
+      },
+      acc => array(acc.getField("c1cid"), acc.getField("c2cid")))
 }

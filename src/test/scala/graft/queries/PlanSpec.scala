@@ -87,6 +87,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pq_encode"), s"expected the native encoder:\n$p")
   }
 
+  test("q74 residual PQ encode is map-only: one exchange (the output orderBy)") {
+    val p = plan(VectorQueries.q74(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"residual encode must ride the scan:\n$p")
+    assert(p.contains("ivf_residual") && p.contains("pq_encode"),
+      s"expected the composed native encoders:\n$p")
+    assert(!p.contains("Join"), s"the coarse assign must not plan a join:\n$p")
+  }
+
+  test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
+    val p = plan(Relational.q77(spark, dir))
+    assert(p.contains("bloom_probe"), s"probe filter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the join:\n$p")
+    // the probe must sit under the join (filter-then-join, not
+    // join-then-filter): in the plan string the probe appears after
+    // (deeper than) the join node it feeds
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val probeAt = p.indexOf("bloom_probe")
+    assert(probeAt > joinAt,
+      s"bloom_probe is not below the join in the plan:\n$p")
+    // fact-side exchanges: only the final agg/orderBy may shuffle
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q77 shuffles more than agg + orderBy:\n$p")
+  }
+
   test("q70 ADC search ranks through the bounded top-k, scored rows never shuffle") {
     val p = plan(VectorQueries.q70(spark, dir))
     assert(!p.contains("Window"), s"q70 ranks through a window:\n$p")
