@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing probe (dev tool): `runMain graft.QTime <query
+  * names...>` times each named registry query 3x at sf0.1 in a fresh
+  * `local[32]` JVM — for distinguishing a code regression from the
+  * box's documented contention swings (SCALE.md "Measurement
+  * hygiene") without paying a full bench pass.
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    SparkEntry.queries("q12_topk")(spark, sfDir).count() // JIT warm-up
+    for (name <- args; pass <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      println(f"TIMED $name pass$pass ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -1157,6 +1157,57 @@ object TextQueries {
        |FROM t, unnest(range(0, len(toks), 6)) AS u(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- q78: PII scrub (regex redaction at scale) ----
+  // The compliance pass every released corpus runs: detect and redact
+  // email-shaped and phone-shaped spans, report per-doc counts plus a
+  // digest of the scrubbed text (the digest keeps the oracle exact
+  // without hauling full text through the comparison). Planted PII
+  // (every 9th doc gets a synthetic contact line, built identically in
+  // both engines) proves the redaction branch fires. Pure per-row
+  // regex work — rides the scan, embarrassingly parallel, zero wide
+  // operations; regexes stay in the RE2∩Java-regex common dialect so
+  // both engines match identical spans.
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val planted = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(lower(trim(col("text"))),
+            lit(" contact contact-"), col("doc_id").cast("string"),
+            lit("@example.com or 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lower(trim(col("text")))).as("text"))
+    planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<email>"),
+          phoneRe, "<phone>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN lower(trim(text)) || ' contact contact-' ||
+       |        CAST(doc_id AS VARCHAR) || '@example.com or 555-01' ||
+       |        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE lower(trim(text)) END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text,
+       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text,
+       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text,
+       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g')) AS scrubbed_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1182,7 +1233,8 @@ object TextQueries {
     "q72_training_order" -> (q72 _),
     "q73_jsonl_roundtrip" -> (q73 _),
     "q75_chunk_dedup" -> (q75 _),
-    "q76_overlap_chunks" -> (q76 _)
+    "q76_overlap_chunks" -> (q76 _),
+    "q78_pii_scrub" -> (q78 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1210,6 +1262,7 @@ object TextQueries {
     "q72_training_order" -> q72Sql,
     "q73_jsonl_roundtrip" -> q73Sql,
     "q75_chunk_dedup" -> q75Sql,
-    "q76_overlap_chunks" -> q76Sql
+    "q76_overlap_chunks" -> q76Sql,
+    "q78_pii_scrub" -> q78Sql
   )
 }
