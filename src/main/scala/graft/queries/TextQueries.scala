@@ -1086,12 +1086,19 @@ object TextQueries {
     // ceil(n/8) as an INT (Column `/` is double division; sequence
     // needs an integral bound)
     val nChunks = floor((size(toks) + lit(7)) / lit(8)).cast("int")
-    val ch = docs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), nChunks - 1),
-        i => md5(concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))))
-        .as(Seq("ci", "h")))
-    val occ = ch.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
-    ch.join(occ, "h")
+    // occurrence counts WITHOUT a groupBy+join-back: that formulation
+    // recomputes the tokenize->chunk->md5 pipeline on both join sides
+    // (measured in the plan — and a digest-keyed exchange is not
+    // reused across differently-pruned branches). A count over the
+    // digest partition needs the same single hash exchange the join
+    // would, runs the chunk pipeline exactly ONCE by construction,
+    // and adds no join. Skew bound = the hottest digest's occurrence
+    // count, identical to the join form's hot-key bound.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))).as("h"))
+      .withColumn("n_occ", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum((col("n_occ") > 1).cast("long")).as("n_dup_chunks"))

@@ -97,6 +97,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the coarse assign must not plan a join:\n$p")
   }
 
+  test("q75 chunk pipeline runs exactly once (window form, no join-back recompute)") {
+    val p = plan(TextQueries.q75(spark, dir))
+    // the groupBy+join-back formulation ran the tokenize->chunk->md5
+    // Generate on BOTH join sides; the count-over-digest-partition
+    // form must plan exactly one Generate and no join at all
+    val generates = "Generate ".r.findAllIn(p).length
+    assert(generates == 1, s"chunk pipeline planned $generates times:\n$p")
+    assert(!p.contains("Join"), s"q75 should not need a join:\n$p")
+  }
+
   test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
     val p = plan(Relational.q77(spark, dir))
     assert(p.contains("bloom_probe"), s"probe filter missing:\n$p")
