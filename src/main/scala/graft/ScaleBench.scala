@@ -21,16 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** Queries measured (the bench's top cost lines + the flagship). */
+  /** Queries measured (the bench's top cost lines + the flagship +
+    * the r7 additions with non-trivial wide work).
+    */
   val Heavy: Seq[String] = Seq(
     "q47_dedup_clusters", "q39_merge_sink", "q33_jaccard_pairs",
-    "q31_minhash_lsh", "q28_per_aircraft_thresholds", "q20_approaches")
+    "q31_minhash_lsh", "q28_per_aircraft_thresholds", "q20_approaches",
+    "q75_chunk_dedup", "q77_bloom_prejoin")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
-    val done = new org.apache.hadoop.fs.Path(out, "_SCALED")
-    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(done)) return
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def missing(t: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$out/$t.parquet"))
+
+    // q77's shape: the fact grows 10x on disjoint orderkey ranges,
+    // the part dim does NOT (dims grow with the catalog, not the
+    // event volume) — join selectivity and the bloom's pruning rate
+    // stay realistic
+    if (missing("lineitem")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val okStep = li.agg(max("l_orderkey")).head().getLong(0) + 1
+      (0 until factor).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStep))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    }
+    if (missing("part"))
+      spark.read.parquet(s"$sfDir/part.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    if (!missing("documents") && !missing("events")) return
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -55,8 +76,6 @@ object ScaleBench {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
-
-    fs.create(done, true).close()
   }
 
   private def time(spark: SparkSession, name: String, dir: String,

@@ -168,14 +168,19 @@ object VectorQueries {
       .filter(col("cos_e6") >= minCosE6)
   }
 
-  val q42Sql: String = {
+  /** Shared oracle CTE chain for the planted-twin SRP-bucket pair
+    * generation (q42, and q79's cluster resolution over the same
+    * pairs): base ∪ planted twins, bucketed, paired within buckets,
+    * thresholded at 0.99 cosine.
+    */
+  private val annPairsCteSql: String = {
     val bits = (0 until Planes).map { p =>
       s"CASE WHEN ${dotSql("v", s"(${planeSql(p)})")} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" +\n    ")
     val d = dotSql("a.v", "b.v")
     val na = dotSql("a.v", "a.v")
     val nb = dotSql("b.v", "b.v")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
        |), planted AS (
        |  SELECT vec_id + 1000000 AS vec_id,
@@ -185,14 +190,19 @@ object VectorQueries {
        |), all_v AS (
        |  SELECT vec_id, v, $bits AS bucket FROM (
        |    SELECT * FROM base UNION ALL SELECT * FROM planted)
-       |)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) AS cos_e6
-       |FROM all_v a JOIN all_v b
-       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) >= 990000
-       |ORDER BY id_a, id_b""".stripMargin
+       |), ann_pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) AS cos_e6
+       |  FROM all_v a JOIN all_v b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT) >= 990000
+       |)""".stripMargin
   }
+
+  val q42Sql: String =
+    s"""WITH $annPairsCteSql
+       |SELECT id_a, id_b, cos_e6 FROM ann_pairs
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- q62: multi-table SRP banding (the ANN recall path) ----
   // A single SRP table is recall-lossy at high plane counts: each
@@ -725,6 +735,49 @@ object VectorQueries {
        |GROUP BY r.vec_id, r.cid ORDER BY r.vec_id""".stripMargin
   }
 
+  // ---- q79: semantic dedup clusters (ANN pairs -> connected
+  //      components) ----
+  // The embedding-space twin of q47: q42's SRP-bucketed near-dup
+  // PAIRS resolved into the actual dedup decision — every vector in
+  // the near-dup graph labeled with its component's minimum id (keep
+  // keeper == vec_id, drop the rest). This is "semantic dedup" as
+  // production pipelines run it: lexical dedup (q30/q47) misses
+  // paraphrases; cosine-similar embedding clusters catch them. Pure
+  // composition of two already-oracled operators — the pair stage is
+  // bucketed/capped (no all-pairs, q42's plan), the cluster stage is
+  // the O(log n)-round pointer-doubling CC (q47's). Oracle: the same
+  // recursive-CTE reachability fixpoint as q47 over the q42 pair CTE.
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir)
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
+          .as("v"))
+    val pairs = annNearDupPairs(base.union(planted), signs)
+      .select(col("id_a"), col("id_b"))
+    graft.text.TextOps.dedupClusters(pairs)
+      .select(col("id").as("vec_id"), col("label").as("keeper"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q79Sql: String =
+    s"""WITH RECURSIVE $annPairsCteSql,
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT id_a AS id FROM ann_pairs
+       |    UNION ALL SELECT id_b FROM ann_pairs)
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM ann_pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM ann_pairs
+       |), reach(n, m) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+       |)
+       |SELECT n AS vec_id, CAST(min(m) AS BIGINT) AS keeper
+       |FROM reach GROUP BY n ORDER BY vec_id""".stripMargin
+
   // ---- q52: one k-means (Lloyd) refinement step of the IVF codebook ----
   // Codebook TRAINING, the other half of an IVF index build: assign
   // every vector to its max-cosine centroid (the same map-only
@@ -780,7 +833,8 @@ object VectorQueries {
     "q69_pq_encode" -> (q69 _),
     "q70_pq_adc" -> (q70 _),
     "q71_ivfpq_search" -> (q71 _),
-    "q74_pq_residual" -> (q74 _)
+    "q74_pq_residual" -> (q74 _),
+    "q79_semantic_clusters" -> (q79 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -793,6 +847,7 @@ object VectorQueries {
     "q69_pq_encode" -> q69Sql,
     "q70_pq_adc" -> q70Sql,
     "q71_ivfpq_search" -> q71Sql,
-    "q74_pq_residual" -> q74Sql
+    "q74_pq_residual" -> q74Sql,
+    "q79_semantic_clusters" -> q79Sql
   )
 }
