@@ -51,31 +51,34 @@ object ScaleBench {
     if (missing("part"))
       spark.read.parquet(s"$sfDir/part.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
-    if (!missing("documents") && !missing("events")) return
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until factor).map { k =>
-      docs.select(
-        (col("doc_id") + lit(k * docStep)).as("doc_id"),
-        (if (k == 0) col("text")
-         else concat(col("text"), lit(s" r$k"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    if (missing("documents")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
+      (0 until factor).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k * docStep)).as("doc_id"),
+          (if (k == 0) col("text")
+           else concat(col("text"), lit(s" r$k"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val userStep = events.agg(max("user_id")).head().getLong(0) + 1
-    val evStep = events.agg(max("event_id")).head().getLong(0) + 1
-    (0 until factor).map { k =>
-      events.select(
-        (col("event_id") + lit(k * evStep)).as("event_id"),
-        col("ts"),
-        (col("user_id") + lit(k * userStep)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    if (missing("events")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      val userStep = events.agg(max("user_id")).head().getLong(0) + 1
+      val evStep = events.agg(max("event_id")).head().getLong(0) + 1
+      (0 until factor).map { k =>
+        events.select(
+          (col("event_id") + lit(k * evStep)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * userStep)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    }
   }
 
   private def time(spark: SparkSession, name: String, dir: String,
@@ -83,8 +86,11 @@ object ScaleBench {
     (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // cache teardown varies with what the query persisted — keep it
+      // OUTSIDE the timed window so ratios measure the query
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      secs
     }.min
 
   def main(args: Array[String]): Unit = {

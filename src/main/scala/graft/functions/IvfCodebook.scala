@@ -73,18 +73,27 @@ object IvfUtil {
     math.sqrt(acc)
   }
 
-  /** Argmax-cosine centroid id of `v` — the map-only IVF assignment. */
-  def bestCid(v: ArrayData, cb: IvfCodebook): Long = {
+  /** Index of the max-cosine centroid (first-max tie rule over
+    * ascending cid), -1 on an empty codebook — the shared argmax of
+    * [[bestCid]] and [[residual]].
+    */
+  private def bestIdx(v: ArrayData, cb: IvfCodebook): Int = {
     val nv = selfNorm(v)
     var bestCos = Long.MinValue
-    var best = -1L
+    var best = -1
     var k = 0
     while (k < cb.size) {
       val c = cosE6(v, nv, cb.vecs(k), cb.norms(k))
-      if (c > bestCos) { bestCos = c; best = cb.cids(k) }
+      if (c > bestCos) { bestCos = c; best = k }
       k += 1
     }
     best
+  }
+
+  /** Argmax-cosine centroid id of `v` — the map-only IVF assignment. */
+  def bestCid(v: ArrayData, cb: IvfCodebook): Long = {
+    val i = bestIdx(v, cb)
+    if (i < 0) -1L else cb.cids(i)
   }
 
   /** The residual of `v` against its max-cosine centroid: v - c. The
@@ -95,19 +104,14 @@ object IvfUtil {
     * rule as [[bestCid]]; plain elementwise double subtraction.
     */
   def residual(v: ArrayData, cb: IvfCodebook): ArrayData = {
-    val nv = selfNorm(v)
-    var bestCos = Long.MinValue
-    var best = -1
-    var k = 0
-    while (k < cb.size) {
-      val c = cosE6(v, nv, cb.vecs(k), cb.norms(k))
-      if (c > bestCos) { bestCos = c; best = k }
-      k += 1
-    }
-    val cv = cb.vecs(best)
+    val i = bestIdx(v, cb)
+    // bestCid/probe2 degrade to sentinel ids on an empty codebook; a
+    // residual has no sentinel — fail loud, not AIOOBE in codegen
+    require(i >= 0, "ivf_residual: empty codebook — no centroid to subtract")
+    val cv = cb.vecs(i)
     val out = new Array[Double](cv.length)
-    var i = 0
-    while (i < cv.length) { out(i) = v.getDouble(i) - cv(i); i += 1 }
+    var j = 0
+    while (j < cv.length) { out(j) = v.getDouble(j) - cv(j); j += 1 }
     new GenericArrayData(out)
   }
 

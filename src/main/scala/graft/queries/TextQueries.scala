@@ -1182,8 +1182,8 @@ object TextQueries {
         when(col("doc_id") % 9 === 0,
           concat(lower(trim(col("text"))),
             lit(" contact contact-"), col("doc_id").cast("string"),
-            lit("@example.com or 555-01"),
-            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
             lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lower(trim(col("text")))).as("text"))
     planted.select(col("doc_id"),
@@ -1199,8 +1199,8 @@ object TextQueries {
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 9 = 0
        |      THEN lower(trim(text)) || ' contact contact-' ||
-       |        CAST(doc_id AS VARCHAR) || '@example.com or 555-01' ||
-       |        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |        CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+       |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |      ELSE lower(trim(text)) END AS text
        |  FROM documents

@@ -86,7 +86,7 @@ object Sinks {
       writeBucketsMarker(fs, path, buckets)
       return
     }
-    checkBucketsMarker(fs, path, buckets)
+    checkBucketsMarker(spark, fs, path, buckets)
     val touched = stageMerge(batch, path, buckets)
     promoteStaged(fs, path, touched)
   }
@@ -107,8 +107,8 @@ object Sinks {
     try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  private def checkBucketsMarker(fs: FileSystem, path: String,
-      buckets: Int): Unit = {
+  private def checkBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem, path: String, buckets: Int): Unit = {
     val m = bucketsMarker(path)
     if (fs.exists(m)) {
       val in = fs.open(m)
@@ -121,29 +121,30 @@ object Sinks {
           "silently splits keys across partition dirs; use the original " +
           "count or rewrite the table")
     } else {
-      // pre-marker table: adopt the caller's count — but cross-check
-      // it against the partition dirs already on disk first. Adopting
-      // a WRONG count would both split keys across bucket dirs and
-      // enshrine the wrong count as authoritative for every future
-      // merge; every observed bucket id must fit under the count.
+      // pre-marker table: adopt the caller's count — but verify it
+      // against the DATA first. Dir names alone cannot confirm a
+      // count (an 8-bucket legacy table's dirs 0..7 look consistent
+      // with buckets=64 too, and dirs are sparse — only touched
+      // buckets exist); the sound invariant is that every row's
+      // pmod(flight_id, buckets) equals the partition dir it sits in.
+      // One full scan, paid exactly once per legacy table at adoption
+      // time; adopting a wrong count would silently duplicate keys on
+      // every future merge AND enshrine the wrong count as
+      // authoritative, so loud-and-once beats fast-and-wrong.
       if (fs.exists(new Path(path))) {
-        val seen = fs.listStatus(new Path(path)).toSeq
-          .map(_.getPath.getName)
-          .collect { case BucketDirName(b) => b.toInt }
-        seen.foreach { b =>
-          require(b < buckets,
-            s"approaches table at $path has partition dir " +
-              s"${bucketDir(b)} but the merge was called with only " +
-              s"$buckets buckets — the caller's count does not match " +
-              "the legacy layout; use the original count or rewrite " +
-              "the table")
-        }
+        val mismatched = spark.read.parquet(path)
+          .filter(pmod(col("flight_id"), lit(buckets)).cast("int")
+            =!= col("flight_bucket").cast("int"))
+          .limit(1).count()
+        require(mismatched == 0,
+          s"approaches table at $path has rows whose " +
+            s"pmod(flight_id, $buckets) differs from their partition " +
+            "dir — the caller's count does not match the legacy " +
+            "layout; use the original count or rewrite the table")
       }
       writeBucketsMarker(fs, path, buckets)
     }
   }
-
-  private val BucketDirName = "flight_bucket=(\\d+)".r
 
   private def stagingPath(path: String) = new Path(path + ".__staging")
   private def backupPath(path: String) = new Path(path + ".__backup")
@@ -255,10 +256,16 @@ object Sinks {
     */
   def mergeKeyedTable(batch: DataFrame, path: String, keyCol: String,
       subKeyCol: String, buckets: Int = 64): Unit = {
-    require(!batch.columns.contains("flight_id") &&
-      !batch.columns.contains("approach_id") || keyCol == "flight_id",
-      "batch already uses the protocol's canonical column names — " +
-        "call mergeApproachesTable directly")
+    // either the caller's keys ARE the canonical names (both of
+    // them), or NEITHER canonical name may already exist — a partial
+    // overlap would make withColumnRenamed silently produce duplicate
+    // columns and fail far from the misuse
+    val hasCanonical = batch.columns.contains("flight_id") ||
+      batch.columns.contains("approach_id")
+    require(!hasCanonical ||
+      (keyCol == "flight_id" && subKeyCol == "approach_id"),
+      "batch already carries the protocol's canonical column names " +
+        "(flight_id/approach_id) — call mergeApproachesTable directly")
     mergeApproachesTable(
       batch.withColumnRenamed(keyCol, "flight_id")
         .withColumnRenamed(subKeyCol, "approach_id"),

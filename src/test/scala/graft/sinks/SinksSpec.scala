@@ -217,14 +217,17 @@ class SinksSpec extends AnyFunSuite {
   test("legacy marker-less table: adoption cross-checks the caller's count") {
     import spark.implicits._
     val out = Files.createTempDirectory("badopt").toString + "/approaches"
-    // a legacy table written with 8 buckets (flight 7 -> dir
-    // flight_bucket=7), marker then deleted to simulate pre-marker data
-    val batch = Seq((7L, 1L, 9)).toDF("flight_id", "approach_id", "unstable")
+    // a legacy table written with 8 buckets (flights 7, 15 -> both in
+    // dir flight_bucket=7), marker deleted to simulate pre-marker data
+    val batch = Seq((7L, 1L, 9), (15L, 1L, 9))
+      .toDF("flight_id", "approach_id", "unstable")
     Sinks.mergeApproachesTable(batch, out, buckets = 8)
     val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(out, "_graft_buckets"), false)
-    // adopting buckets=4 would put flight 7's new rows in
+    def dropMarker(): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(out, "_graft_buckets"), false)
+    dropMarker()
+    // SHRINKING direction: buckets=4 puts flight 7's new rows in
     // flight_bucket=3 while its old rows sit in flight_bucket=7 —
     // must be a loud error, not a silent split + enshrined wrong count
     val e = intercept[IllegalArgumentException] {
@@ -235,13 +238,22 @@ class SinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not match"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(out, "_graft_buckets")),
       "a rejected adoption must not write the marker")
+    // GROWING direction (the default-64 footgun): dirs 0..7 all
+    // "fit under" 64, but flight 15 sits in dir 7 while
+    // pmod(15, 64) = 15 — the data-consistency check must catch it
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.mergeApproachesTable(
+        Seq((7L, 1L, 1)).toDF("flight_id", "approach_id", "unstable"),
+        out, buckets = 64)
+    }
+    assert(e2.getMessage.contains("does not match"))
     // the correct legacy count adopts cleanly and upserts
     Sinks.mergeApproachesTable(
       Seq((7L, 1L, 1)).toDF("flight_id", "approach_id", "unstable"),
       out, buckets = 8)
     val got = spark.read.parquet(out).select("flight_id", "unstable")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(7L -> 1))
+    assert(got == Map(7L -> 1, 15L -> 9))
   }
 
   test("commitFlightAnalysis: flags follow the merge; replay converges") {

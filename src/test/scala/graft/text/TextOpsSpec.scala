@@ -255,4 +255,25 @@ class TextOpsSpec extends AnyFunSuite {
     // doc the four limbs are not all equal
     assert(got(1L).grouped(4).toSet.size > 1)
   }
+
+  test("q78 planted PII actually matches both regexes (the plant fires)") {
+    // the oracle compares Spark vs DuckDB, so a plant that matches
+    // NEITHER engine's regex stays green while testing nothing
+    // (round-7 review: the original phone plant was 3-4-4 digits and
+    // could never match NNN-NNN-NNNN) — assert the redaction branch
+    // demonstrably fires on every planted doc
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TextQueries
+      .q78(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 9 === 0)
+      .agg(count(lit(1)).as("n"),
+        sum((col("n_emails") >= 1).cast("long")).as("e"),
+        sum((col("n_phones") >= 1).cast("long")).as("p"))
+      .head()
+    assert(got.getLong(0) > 0)
+    assert(got.getLong(1) == got.getLong(0),
+      "some planted doc matched no email")
+    assert(got.getLong(2) == got.getLong(0),
+      "some planted doc matched no phone")
+  }
 }
