@@ -119,6 +119,45 @@ class AsOfStreamSpec extends AnyFunSuite {
       4L -> None))
   }
 
+  test("mark-only state re-wakes and is removed once stale under tolerance") {
+    // a key whose event stream STOPS must not retain its mark list
+    // forever: with a tolerance, the kept below-watermark mark becomes
+    // useless once wm - mark.ts > tolerance (every future event's ts
+    // exceeds wm), so its state must be removed by the event-time
+    // timeout — observable as the state store draining to zero rows
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evIn = MemoryStream[Event]
+    val mkIn = MemoryStream[Mark]
+    val q = AsOfStream
+      .asofEnrichStreamTolerance(evIn.toDS(), mkIn.toDS(), 5000L, "10 seconds")
+      .writeStream.format("memory").queryName("asof_prune")
+      .outputMode("append").start()
+    try {
+      // user 2: marks only, no events ever (the churned-key shape)
+      mkIn.addData(Mark(100, 2, ts(10)), Mark(101, 2, ts(12)))
+      evIn.addData(Event(1, 1, ts(5)))
+      q.processAllAvailable()
+      // advance the watermark far past mark ts + tolerance; each batch
+      // fires due event-time timeouts registered by the previous one
+      evIn.addData(Event(900, 999, ts(100)))
+      q.processAllAvailable()
+      evIn.addData(Event(901, 999, ts(200)))
+      q.processAllAvailable()
+      evIn.addData(Event(902, 999, ts(300)))
+      q.processAllAvailable()
+      // exactly ONE state row may remain: the last sentinel's own
+      // pending event (its ts exceeds the final watermark, so it is
+      // legitimately in flight). User 2's mark-only state must be
+      // GONE — pre-fix it was retained forever (2 rows here)
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1,
+        s"state store holds $stateRows rows; expected only the " +
+          "in-flight sentinel — mark-only state was never pruned " +
+          "(the pre-fix leak) or the sentinel accounting changed")
+    } finally q.stop()
+  }
+
   test("beyond-watermark stragglers are dropped, emitted rows never rewritten") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
