@@ -1215,6 +1215,69 @@ object TextQueries {
        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<phone>', 'g')) AS scrubbed_md5
        |FROM planted ORDER BY doc_id""".stripMargin
 
+  // ---- q80: incremental (delta-vs-base) exact dedup ----
+  // The production shape for a continuously-growing corpus: a new
+  // batch is admitted against the EXISTING corpus without ever
+  // reshuffling the corpus. Delta fixture (built identically in both
+  // engines): every 10th base doc replayed under a new id (must drop
+  // as dup_base) ∪ fresh docs keyed doc_id % 7 = 3 whose text
+  // collides within the delta on doc_id % 50 (first-id keeper wins,
+  // rest drop as dup_delta). Scale shape: the BASE side is touched by
+  // exactly one map-only pass — its digests probe a BROADCAST of the
+  // delta's distinct digests (the delta is micro-batch-sized by
+  // construction), and only the matched digest set (≤ |delta| rows)
+  // ever aggregates; within-delta dedup is delta-sized work. The
+  // 100 TB base: zero shuffles, zero sorts, one scan.
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val replayed = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(lit("fresh "), (col("doc_id") % 50).cast("string")).as("text"))
+    val delta = replayed.union(fresh).withColumn("h", md5(col("text")))
+    val deltaDigests = delta.select(col("h")).distinct()
+    // one map-only probe over the base; emits only matched digests
+    val baseHits = docs.select(md5(col("text")).as("h"))
+      .join(broadcast(deltaDigests), Seq("h"), "left_semi")
+      .distinct()
+      .withColumn("in_base", lit(true))
+    val keeper = delta.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    delta
+      .join(broadcast(baseHits), Seq("h"), "left")
+      .join(broadcast(keeper), Seq("h"))
+      .withColumn("reason",
+        when(col("in_base"), "dup_base")
+          .when(col("doc_id") =!= col("keeper"), "dup_delta"))
+      .select(col("doc_id"), col("reason"), col("reason").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80Sql: String =
+    s"""WITH delta AS (
+       |  SELECT doc_id + 2000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id,
+       |    'fresh ' || CAST(doc_id % 50 AS VARCHAR) AS text
+       |  FROM documents WHERE doc_id % 7 = 3
+       |), d AS (
+       |  SELECT doc_id, md5(text) AS h FROM delta
+       |), base_hits AS (
+       |  SELECT DISTINCT md5(text) AS h FROM documents
+       |  WHERE md5(text) IN (SELECT h FROM d)
+       |), k AS (
+       |  SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN b.h IS NOT NULL THEN 'dup_base'
+       |       WHEN d.doc_id <> k.keeper THEN 'dup_delta' END AS reason,
+       |  (b.h IS NULL AND d.doc_id = k.keeper) AS keep
+       |FROM d
+       |LEFT JOIN base_hits b USING (h)
+       |JOIN k USING (h)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1241,7 +1304,8 @@ object TextQueries {
     "q73_jsonl_roundtrip" -> (q73 _),
     "q75_chunk_dedup" -> (q75 _),
     "q76_overlap_chunks" -> (q76 _),
-    "q78_pii_scrub" -> (q78 _)
+    "q78_pii_scrub" -> (q78 _),
+    "q80_delta_dedup" -> (q80 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1270,6 +1334,7 @@ object TextQueries {
     "q73_jsonl_roundtrip" -> q73Sql,
     "q75_chunk_dedup" -> q75Sql,
     "q76_overlap_chunks" -> q76Sql,
-    "q78_pii_scrub" -> q78Sql
+    "q78_pii_scrub" -> q78Sql,
+    "q80_delta_dedup" -> q80Sql
   )
 }

@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"q75 should not need a join:\n$p")
   }
 
+  test("q80 delta dedup: the base corpus joins broadcast-only, never sort-merge") {
+    val p = plan(TextQueries.q80(spark, dir))
+    // the 100 TB base side must stay map-only: its digests probe a
+    // broadcast of the (micro-batch-sized) delta digest set; any
+    // SortMergeJoin would mean the base is being shuffled
+    assert(!p.contains("SortMergeJoin"), s"base corpus shuffles for a join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected broadcast probe + enrich joins:\n$p")
+  }
+
   test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
     val p = plan(Relational.q77(spark, dir))
     assert(p.contains("bloom_probe"), s"probe filter missing:\n$p")
