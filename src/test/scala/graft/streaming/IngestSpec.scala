@@ -84,9 +84,23 @@ class IngestSpec extends AnyFunSuite {
     val ids = fin.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 5L), s"exactly-once violated: $ids")
 
-    // per-row parity with the batch-mode curation on the union of all
-    // landed docs that were kept (dedup scope: per shard == per batch
-    // here, since the dup pair landed in one shard)
+    // ---- phase 4: CROSS-BATCH dup — doc 7 replays doc 1's text under
+    // a new id (must drop via the q80 delta-dedup probe against the
+    // accumulated table); doc 8 is genuinely new (must land) ----
+    dropShard(drop, "s3.jsonl", Seq(
+      jline(7, goodText),
+      jline(8, goodText + " but every new beginning is the start of it all")))
+    val q4 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q4.processAllAvailable() finally q4.stop()
+    val ids4 = Ingest.readCurated(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids4 == Seq(1L, 2L, 5L, 8L),
+      s"cross-batch dup not dropped (or new doc lost): $ids4")
+
+    // per-row parity with the batch-mode curation on the union of ALL
+    // landed docs: the within-batch dedup (doc 3) and the cross-batch
+    // digest probe (doc 7) must together equal what one global batch
+    // curation would have decided
     import spark.implicits._
     val allDocs = Seq(
       (1L, goodText),
@@ -94,7 +108,10 @@ class IngestSpec extends AnyFunSuite {
       (3L, goodText),
       (4L, "zzz qqq xxx"),
       (5L, goodText + " a tale of two cities and the best of times"),
-      (6L, "yyy www vvv")).toDF("doc_id", "text")
+      (6L, "yyy www vvv"),
+      (7L, goodText),
+      (8L, goodText + " but every new beginning is the start of it all"))
+      .toDF("doc_id", "text")
     val oracle = TextQueries.curate(allDocs).filter(col("keep"))
       .select("doc_id", "lang_pred", "quality_e4", "split")
     val got = Ingest.readCurated(spark, table)
