@@ -673,13 +673,21 @@ object TextQueries {
     * ([[graft.streaming.Ingest]]) runs the IDENTICAL rules per
     * micro-batch. Dedup scope is the input frame: q61 passes the whole
     * corpus; a micro-batch caller gets within-batch dedup, with
-    * cross-batch convergence provided by the upsert key at the sink.
+    * cross-batch dedup provided by the ingest's digest probe against
+    * the accumulated table. `keepDigest` additionally exposes the
+    * already-computed text md5 as `text_md5` (the probe's key —
+    * recomputing it downstream would be a second full pass over the
+    * text, and re-deriving it via a doc_id join would silently
+    * cross-product on duplicate ids).
     */
-  def curate(docs: DataFrame): DataFrame = {
+  def curate(docs: DataFrame, keepDigest: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val keepers = docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
+    val base = Seq(col("doc_id"), col("lang_pred"), col("quality_e4"),
+      col("keeper"), col("split"), col("reason"),
+      col("reason").isNull.as("keep"))
     TextOps.withLanguageId(docs, col("text"), "lang_pred")
       .withColumn("quality_e4", qualityE4Col)
       .withColumn("h", md5(col("text")))
@@ -689,9 +697,8 @@ object TextQueries {
         when(col("doc_id") =!= col("keeper"), "dup")
           .when(col("lang_pred") === "und", "lang")
           .when(col("quality_e4") < 5000, "quality"))
-      .select(col("doc_id"), col("lang_pred"), col("quality_e4"),
-        col("keeper"), col("split"), col("reason"),
-        col("reason").isNull.as("keep"))
+      .select(base ++
+        (if (keepDigest) Seq(col("h").as("text_md5")) else Nil): _*)
   }
 
   val q61Sql: String = {

@@ -77,7 +77,7 @@ object Sinks {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedMerge(fs, path)
-    if (!fs.exists(new Path(path))) {
+    if (!hasCommittedData(fs, path)) {
       batch.withColumn("flight_bucket",
           pmod(col("flight_id"), lit(buckets)).cast("int"))
         .repartition(col("flight_bucket"))
@@ -89,6 +89,39 @@ object Sinks {
     checkBucketsMarker(spark, fs, path, buckets)
     val touched = stageMerge(batch, path, buckets)
     promoteStaged(fs, path, touched)
+  }
+
+  /** Run the merge's crash recovery WITHOUT merging — for readers
+    * that must observe a consistent table before the next merge (the
+    * ingest's cross-batch probe): a crash mid-promote leaves buckets
+    * parked in the backup dir, and a read taken before recovery would
+    * miss their rows. Idempotent; a no-op on a clean table.
+    */
+  def recoverTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedMerge(fs, path)
+  }
+
+  /** True iff `path` holds COMMITTED table data (at least one part
+    * file outside `_temporary`). A dir that exists with only write
+    * debris — a crashed initial write leaves `_temporary` and no
+    * committed files — must be treated as an absent table: reading it
+    * throws "unable to infer schema" and a merge must take the
+    * initial-write branch (whose Overwrite replaces the debris).
+    */
+  private[graft] def hasCommittedData(fs: FileSystem,
+      path: String): Boolean = {
+    val p = new Path(path)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") &&
+        !f.toString.contains("_temporary")) return true
+    }
+    false
   }
 
   /** The table's bucket-count marker (`_graft_buckets`, an

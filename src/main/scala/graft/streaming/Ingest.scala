@@ -63,32 +63,59 @@ object Ingest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val curated = TextQueries.curate(batch.toDF())
-        val kept = curated.filter(col("keep"))
-          .join(batch.toDF()
-            .select(col("doc_id"), md5(col("text")).as("text_md5")),
-            Seq("doc_id"))
+        import spark.implicits._
+        // duplicate doc_ids within one micro-batch (an at-least-once
+        // producer landing a doc in two shards) must not upsert two
+        // rows onto one (doc_id, rev) key: keep one deterministically
+        // (smallest digest) before curation
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(md5(col("text")))
+        val deduped = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // persisted: the merge evaluates its input several times
+        // (emptiness probe, touched-bucket collect, staged write) —
+        // without the persist each evaluation would re-run curation
+        // AND re-read the batch's source files
+        val kept = TextQueries.curate(deduped, keepDigest = true)
+          .filter(col("keep"))
           .withColumn("rev", lit(0L))
           .select(col("doc_id"), col("rev"), col("lang_pred"),
             col("quality_e4"), col("split"), col("text_md5"))
-        // q80 delta-dedup shape: drop batch rows whose text digest is
-        // already in the accumulated table (the table side is a
-        // column-pruned scan against a broadcast of the batch digests
-        // — the corpus never shuffles)
-        val fs = new org.apache.hadoop.fs.Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val admitted =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath))) kept
-          else {
-            val hits = spark.read.parquet(tablePath)
-              .select(col("text_md5"))
-              .join(broadcast(kept.select(col("text_md5")).distinct()),
-                Seq("text_md5"), "left_semi")
-              .distinct()
-            kept.join(broadcast(hits), Seq("text_md5"), "left_anti")
-          }
-        Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev", buckets)
-        postMergeHook(batchId)
+          .persist()
+        try {
+          // heal any interrupted merge BEFORE observing the table: a
+          // crash mid-promote leaves buckets parked in the backup dir,
+          // and a probe read taken first would miss their digests —
+          // re-admitting a dup on replay
+          Sinks.recoverTable(spark, tablePath)
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // q80 delta-dedup shape, one table scan per batch: the
+          // accumulated table's digest column probes a broadcast of
+          // the batch's digests; the matched set (bounded by the
+          // batch's distinct texts) collects to the driver so
+          // downstream re-evaluations replay a local-relation
+          // anti-join, never the table scan
+          val admitted =
+            if (!Sinks.hasCommittedData(fs, tablePath)) kept
+            else {
+              val table = spark.read.parquet(tablePath)
+              require(table.columns.contains("text_md5"),
+                s"curated table at $tablePath was written without text " +
+                  "digests — the stored rows carry no text to backfill " +
+                  "from, so cross-batch dedup cannot run against it; " +
+                  "rewrite the table (re-ingest) or start a new path")
+              val hits = table.select(col("text_md5"))
+                .join(broadcast(kept.select(col("text_md5")).distinct()),
+                  Seq("text_md5"), "left_semi")
+                .distinct().collect().map(_.getString(0)).toSeq
+              kept.join(broadcast(hits.toDF("text_md5")),
+                Seq("text_md5"), "left_anti")
+            }
+          Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev", buckets)
+          postMergeHook(batchId)
+        } finally kept.unpersist()
       }
       .start()
 

@@ -256,6 +256,29 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Map(7L -> 1, 15L -> 9))
   }
 
+  test("mergeKeyedTable: caller-keyed upsert round-trips; name guard rejects partial overlap") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("keyed").toString + "/curated"
+    val b1 = Seq((1L, 0L, "en"), (2L, 0L, "de"))
+      .toDF("doc_id", "rev", "lang")
+    Sinks.mergeKeyedTable(b1, out, "doc_id", "rev", buckets = 4)
+    // upsert: doc 2 updated, doc 3 inserted
+    val b2 = Seq((2L, 0L, "fr"), (3L, 0L, "en"))
+      .toDF("doc_id", "rev", "lang")
+    Sinks.mergeKeyedTable(b2, out, "doc_id", "rev", buckets = 4)
+    val got = Sinks.readKeyedTable(spark, out, "doc_id", "rev")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "en"))
+    // PARTIAL canonical-name overlap must be a loud error at the call
+    // site, not a duplicate-column failure deep in the merge
+    val partial = Seq((9L, 0L, 1L)).toDF("doc_id", "rev", "approach_id")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeKeyedTable(partial, out, "doc_id", "rev", buckets = 4)
+    }
+    assert(e.getMessage.contains("canonical"))
+  }
+
   test("commitFlightAnalysis: flags follow the merge; replay converges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

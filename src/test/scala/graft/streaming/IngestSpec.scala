@@ -118,5 +118,25 @@ class IngestSpec extends AnyFunSuite {
       .select("doc_id", "lang_pred", "quality_e4", "split")
     assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
       "streamed table diverges from batch curation")
+
+    // ---- phase 5: duplicate doc_id WITHIN one shard (at-least-once
+    // producer retry): exactly one row lands, deterministically the
+    // smallest-digest text — never two rows on one (doc_id, rev) key
+    val t9a = goodText + " version alpha of the ninth document tale"
+    val t9b = goodText + " version beta of the ninth document tale"
+    dropShard(drop, "s4.jsonl", Seq(jline(9, t9a), jline(9, t9b)))
+    val q5 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q5.processAllAvailable() finally q5.stop()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val rows9 = Ingest.readCurated(spark, table)
+      .filter(col("doc_id") === 9).select("text_md5").collect()
+    assert(rows9.length == 1,
+      s"duplicate doc_id upserted ${rows9.length} rows onto one key")
+    val winner = if (md5hex(t9a) < md5hex(t9b)) t9a else t9b
+    assert(rows9.head.getString(0) == md5hex(winner),
+      "in-batch doc_id dedup is not the documented smallest-digest rule")
   }
 }
