@@ -43,6 +43,28 @@ class BloomFilterSpec extends AnyFunSuite {
       s"FP rate ${fp.toDouble / nonMembers.size} — sizing or hashing is off")
   }
 
+  test("property sweep: no false negatives for any (m, k, keyset); bytes round-trip") {
+    // the soundness invariant pre-join pruning rests on, swept across
+    // geometries and key distributions (negative keys included —
+    // floorMod, not %, drives the bit positions)
+    val rnd = new scala.util.Random(123)
+    for (_ <- 1 to 20) {
+      val mBits = 64 << rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(8)
+      val n = 1 + rnd.nextInt(500)
+      val keys = Seq.fill(n)(rnd.nextLong())
+      val words = new Array[Long]((mBits + 63) >>> 6)
+      keys.foreach(BloomUtil.set(words, mBits, _, k))
+      val (w2, m2, k2) = BloomUtil.fromBytes(BloomUtil.toBytes(words, mBits, k))
+      assert(m2 == mBits && k2 == k && java.util.Arrays.equals(w2, words),
+        s"serialization round-trip broke at m=$mBits k=$k")
+      keys.foreach { key =>
+        assert(BloomUtil.mightContain(words, mBits, key, k),
+          s"FALSE NEGATIVE at m=$mBits k=$k key=$key")
+      }
+    }
+  }
+
   test("q77 shape: the probe prunes most fact rows before the join") {
     import graft.queries.Relational
     val dir = "/root/testdata/sf0.001"
