@@ -1,4 +1,10 @@
 package graft
+
+/** Single-query plan dump (dev tool): `runMain graft.DbgPlan <query
+  * name>` prints the executed plan at sf0.001 — for eyeballing one
+  * query's plan while iterating, without running DumpPlans over the
+  * whole picks list.
+  */
 object DbgPlan {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   * detector, the realistic fleet growth).
   *
   * Usage: runMain graft.ScaleBench [sfDir] [scaledDir] [factor]
+  *   [comma-separated query subset]
   * Prints one JSON line per query: sf-time, scaled-time, ratio.
   */
 object ScaleBench {
@@ -97,6 +98,7 @@ object ScaleBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val subset = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,7 +110,7 @@ object ScaleBench {
     buildScaled(spark, sfDir, out, factor)
     // warm-up at the small SF (JIT/codegen, not measured)
     SparkEntry.queries("q12_topk")(spark, sfDir).count()
-    Heavy.foreach { name =>
+    Heavy.filter(n => subset.forall(_.contains(n))).foreach { name =>
       val base = time(spark, name, sfDir)
       val scaled = time(spark, name, out)
       val ratio = scaled / base
