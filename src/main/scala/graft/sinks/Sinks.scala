@@ -65,6 +65,14 @@ object Sinks {
     * converges (idempotent). On a lakehouse deployment a table
     * format's MERGE INTO (Delta/Iceberg) replaces this file dance; the
     * semantics here are identical.
+    *
+    * SCHEMA EVOLUTION, additive only: a batch may carry columns the
+    * table lacks — surviving rows in rewritten buckets null-fill
+    * them, untouched buckets keep their old footers, and readers
+    * merge footers ([[readKeyedTable]]) so the column is visible
+    * table-wide. A batch MISSING columns the table has is rejected
+    * loudly (almost always a typo'd projection, and null-filling it
+    * would silently degrade every upserted key).
     */
   def mergeApproachesTable(batch: DataFrame, path: String,
       buckets: Int = 64): Unit = {
@@ -197,13 +205,26 @@ object Sinks {
         pmod(col("flight_id"), lit(buckets)).cast("int"))
     val touched = newRows.select(col("flight_bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val existing = spark.read.parquet(path)
+    // mergeSchema: after a previous ADDITIVE evolution, untouched
+    // buckets still carry the old footer — a single-footer read would
+    // make the new column invisible for exactly those buckets
+    val existing = spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("flight_bucket").isin(touched: _*))
       .withColumn("flight_bucket", col("flight_bucket").cast("int"))
+    // additive evolution only: a batch may ADD columns (old rows get
+    // NULL), but one missing columns the table has is far more likely
+    // a typo'd projection than an intentional drop — null-filling it
+    // would silently degrade every upserted key's row
+    val missingInBatch =
+      existing.columns.toSet - "flight_bucket" -- newRows.columns.toSet
+    require(missingInBatch.isEmpty,
+      s"batch is missing table columns ${missingInBatch.mkString(", ")} " +
+        s"at $path — evolution is additive-only; project the batch to " +
+        "carry every table column (null-fill deliberately if intended)")
     val survivors = existing.join(
       broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
       Seq("flight_id", "approach_id"), "left_anti")
-    survivors.unionByName(newRows)
+    survivors.unionByName(newRows, allowMissingColumns = true)
       .repartition(col("flight_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("flight_bucket").parquet(stagingPath(path).toString)
@@ -308,10 +329,17 @@ object Sinks {
   /** Read back a table written by [[mergeKeyedTable]], restoring the
     * caller's key column names (the bucket column stays available for
     * pruned reads under its canonical name).
+    *
+    * `mergeSchema` defaults on so a table that evolved additively
+    * (see [[mergeApproachesTable]]) exposes columns its untouched
+    * buckets' footers predate — correct-by-default at the cost of a
+    * footer merge across files; a table known never to have evolved
+    * can pass false to skip it.
     */
   def readKeyedTable(spark: org.apache.spark.sql.SparkSession,
-      path: String, keyCol: String, subKeyCol: String): DataFrame =
-    spark.read.parquet(path)
+      path: String, keyCol: String, subKeyCol: String,
+      mergeSchema: Boolean = true): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
       .withColumnRenamed("flight_id", keyCol)
       .withColumnRenamed("approach_id", subKeyCol)
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -49,21 +49,61 @@ object Ingest {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
+  /** PERMISSIVE-mode capture column: a shard line that fails to parse
+    * (or fails type conversion) arrives as an all-null row with the
+    * RAW LINE here — the read schema must include it or the raw line
+    * is lost and the bad row is indistinguishable from a real null.
+    */
+  private val Corrupt = "_corrupt_record"
+  private val ingestSchema = docSchema.add(Corrupt, StringType)
+
+  /** Default quarantine location: a SIBLING of the table (never
+    * nested inside it — the merge protocol owns the table directory's
+    * layout).
+    */
+  def quarantinePath(tablePath: String): String =
+    tablePath.stripSuffix("/") + "_quarantine"
+
   /** Start the composed ingest. `postMergeHook` is a test seam: it
     * runs after each micro-batch's merge is durable but before Spark
     * commits the batch to the checkpoint — throwing from it simulates
     * a crash in exactly the window that forces a replay of an
     * already-merged batch.
+    *
+    * Bad shard lines never reach the table OR kill the stream: a
+    * malformed/ill-typed line (raw text in [[Corrupt]]) or a parsed
+    * row with a null key field is routed to `quarantineDir` as JSONL
+    * — `{raw, reason}`, written per micro-batch under a fixed
+    * `batch=<id>` path with overwrite so a crash-replayed batch
+    * rewrites rather than duplicates its quarantine rows. At 100 TB
+    * a poison shard is a certainty, and the two failure modes this
+    * prevents are both silent: crash-looping the stream on a throw,
+    * or merging all-null rows under a null key.
     */
   def curatedJsonlIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int = 16,
-      postMergeHook: Long => Unit = _ => ()): StreamingQuery =
-    Jsonl.readJsonlStream(spark, dropDir, docSchema)
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null): StreamingQuery =
+    Jsonl.readJsonlStream(spark, dropDir, ingestSchema)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      .foreachBatch { (raw: Dataset[Row], batchId: Long) =>
         import spark.implicits._
+        val quarantine =
+          Option(quarantineDir).getOrElse(quarantinePath(tablePath))
+        val invalid = raw.filter(col(Corrupt).isNotNull ||
+            col("doc_id").isNull || col("text").isNull)
+          .select(
+            coalesce(col(Corrupt),
+              to_json(struct(col("doc_id"), col("text")))).as("raw"),
+            when(col(Corrupt).isNotNull, "malformed")
+              .otherwise("null_key").as("reason"))
+        if (!invalid.isEmpty)
+          invalid.write.mode(SaveMode.Overwrite)
+            .json(s"$quarantine/batch=$batchId")
+        val batch = raw.filter(col(Corrupt).isNull &&
+          col("doc_id").isNotNull && col("text").isNotNull).drop(Corrupt)
         // duplicate doc_ids within one micro-batch (an at-least-once
         // producer landing a doc in two shards) must not upsert two
         // rows onto one (doc_id, rev) key: keep one deterministically

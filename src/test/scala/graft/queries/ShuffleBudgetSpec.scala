@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.FlightGen
+import graft.tools.ShuffleMeter
+
+/** Measured shuffle-volume budgets for the headline queries — the
+  * numeric twin of PlanSpec's structural assertions. A plan can keep
+  * its shape (one Exchange) while a lost projection quietly widens
+  * every shuffled row, or a lost map-side combine multiplies the row
+  * count; these tests pin the measured bytes/records to the budget
+  * each design claims, at sf0.001 on the shared session.
+  *
+  * Budgets are derived from the INPUT in each test (rows, text bytes)
+  * rather than hard-coded, so they state the design's scaling law:
+  * digests-only means bytes-per-shuffled-row stays far below
+  * bytes-per-document at any SF.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Same corpus q30/q61 read: documents ∪ their planted exact
+    * copies (mirrors TextQueries' private fixture).
+    */
+  private def docsWithCopies: DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  test("q30 exact dedup shuffles digests, never document text") {
+    val docs = docsWithCopies
+    val nDocs = docs.count()
+    val textBytes = docs.selectExpr("sum(length(text))").head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q30(spark, dir).count()
+    }
+    assert(s.writeRecords > 0, "expected the digest agg to shuffle")
+    // map-side combine: at most one partial row per (key, partition),
+    // so never more shuffled rows than input docs (x2 for the final
+    // orderBy's range exchange re-shuffling the aggregated rows)
+    assert(s.writeRecords <= 2 * nDocs,
+      s"digest agg lost its partial phase: ${s.writeRecords} records " +
+        s"shuffled for $nDocs docs")
+    // digests-only: a shuffled row is a 32-char hex + two longs plus
+    // framing, nowhere near a document body
+    val avgDoc = textBytes.toDouble / nDocs
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < avgDoc / 2 && avgRow < 200,
+      f"shuffled rows average $avgRow%.0f B vs $avgDoc%.0f B/doc — " +
+        "document text is travelling through the shuffle")
+  }
+
+  test("q61 curation's only wide work is digest-sized rows") {
+    val docs = docsWithCopies
+    val nDocs = docs.count()
+    val textBytes = docs.selectExpr("sum(length(text))").head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q61(spark, dir).count()
+    }
+    // keeper agg + keeper join + final orderBy may each move a
+    // doc-count-sized set of narrow rows; none may move text
+    assert(s.writeRecords <= 6 * nDocs,
+      s"curation shuffles ${s.writeRecords} records for $nDocs docs")
+    val avgDoc = textBytes.toDouble / nDocs
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < avgDoc / 2 && avgRow < 200,
+      f"curation's shuffled rows average $avgRow%.0f B vs $avgDoc%.0f " +
+        "B/doc — the text column is not being pruned before the exchanges")
+  }
+
+  test("q77 bloom pre-join prunes the fact before any shuffle") {
+    val nFact = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q77(spark, dir).count()
+    }
+    // the bloom admits ~dim-selectivity of the fact (plus false
+    // positives); the only exchange after it is the 1-group agg
+    assert(s.writeRecords <= nFact / 10,
+      s"bloom pre-join shuffled ${s.writeRecords} of $nFact fact rows " +
+        "— the probe is not pruning map-side")
+  }
+
+  test("q20 flagship moves each sample through at most one data shuffle") {
+    val nSamples = FlightGen.flights(spark, dir).count()
+    val s = ShuffleMeter.measure(spark) {
+      ApproachQueries.q20(spark, dir).count()
+    }
+    // one repartition-by-flight: every sample crosses once; dims are
+    // broadcast (no shuffle); the post-detector approaches set is tiny
+    assert(s.writeRecords <= (1.1 * nSamples).toLong,
+      s"q20 shuffled ${s.writeRecords} records for $nSamples samples — " +
+        "a second data shuffle has appeared")
+    assert(s.writeRecords > 0, "expected the per-flight repartition")
+  }
+}

@@ -279,6 +279,40 @@ class SinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("canonical"))
   }
 
+  test("merge schema evolution: additive column lands, old rows null-fill; dropped column rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("evolve").toString + "/curated"
+    // 4 buckets; docs 1,2 land in DIFFERENT buckets so the evolving
+    // batch (doc 2 only) leaves doc 1's bucket with the OLD footer —
+    // the read must still see the new column over both
+    Sinks.mergeKeyedTable(Seq((1L, 0L, "en"), (2L, 0L, "de"), (6L, 0L, "pt"))
+      .toDF("doc_id", "rev", "lang"), out, "doc_id", "rev", buckets = 4)
+    Sinks.mergeKeyedTable(Seq((2L, 0L, "fr", 9500), (7L, 0L, "en", 8000))
+      .toDF("doc_id", "rev", "lang", "quality_e4"),
+      out, "doc_id", "rev", buckets = 4)
+    val got = Sinks.readKeyedTable(spark, out, "doc_id", "rev")
+      .select("doc_id", "lang", "quality_e4").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ("en", None),          // untouched bucket, old footer
+      2L -> ("fr", Some(9500)),    // upserted with the new column
+      6L -> ("pt", None),          // survivor in a rewritten bucket:
+                                   // null-filled by the union
+      7L -> ("en", Some(8000))),   // inserted with the new column
+      s"additive evolution read back wrong: $got")
+    // a batch MISSING a column the table has = loud error (typo
+    // protection), not a silent null-fill of every upserted row
+    val dropped = intercept[IllegalArgumentException] {
+      Sinks.mergeKeyedTable(Seq((6L, 0L, "en")).toDF("doc_id", "rev", "lang"),
+        out, "doc_id", "rev", buckets = 4)
+    }
+    assert(dropped.getMessage.contains("additive"),
+      s"wrong failure for a dropped column: ${dropped.getMessage}")
+  }
+
   test("commitFlightAnalysis: flags follow the merge; replay converges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -138,5 +138,36 @@ class IngestSpec extends AnyFunSuite {
     val winner = if (md5hex(t9a) < md5hex(t9b)) t9a else t9b
     assert(rows9.head.getString(0) == md5hex(winner),
       "in-batch doc_id dedup is not the documented smallest-digest rule")
+
+    // ---- phase 6: poison shard — a malformed line, an ill-typed
+    // doc_id, and a line missing its text must all quarantine (raw
+    // line preserved, reason recorded) without killing the stream or
+    // leaking a null-keyed row into the table; the good line in the
+    // same shard still lands ----
+    val badJson = """{"doc_id":11,"text":"unterminated"""
+    val badType = """{"doc_id":"abc","text":"the id is the wrong type"}"""
+    dropShard(drop, "s5.jsonl", Seq(
+      jline(10, goodText + " the tenth tale arrives intact and is of the note"),
+      badJson,
+      badType,
+      """{"doc_id":12}"""))
+    val q6 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q6.processAllAvailable() finally q6.stop()
+    val ids6 = Ingest.readCurated(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids6 == Seq(1L, 2L, 5L, 8L, 9L, 10L),
+      s"poison shard corrupted the table (or dropped its good line): $ids6")
+    val quarantined = spark.read
+      .schema("raw STRING, reason STRING")
+      .json(Ingest.quarantinePath(table))
+      .select("raw", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(quarantined.map(_._2).sorted.toSeq
+      == Seq("malformed", "malformed", "null_key"),
+      s"wrong quarantine set: ${quarantined.toSeq}")
+    assert(quarantined.exists(_._1 == badJson),
+      "malformed line not preserved byte-identical in quarantine")
+    assert(quarantined.exists(_._1 == badType),
+      "ill-typed line not preserved byte-identical in quarantine")
   }
 }
