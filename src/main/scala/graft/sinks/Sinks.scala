@@ -69,10 +69,12 @@ object Sinks {
     * SCHEMA EVOLUTION, additive only: a batch may carry columns the
     * table lacks — surviving rows in rewritten buckets null-fill
     * them, untouched buckets keep their old footers, and readers
-    * merge footers ([[readKeyedTable]]) so the column is visible
-    * table-wide. A batch MISSING columns the table has is rejected
-    * loudly (almost always a typo'd projection, and null-filling it
-    * would silently degrade every upserted key).
+    * take the authoritative schema from the `_graft_schema` marker
+    * (one tiny file — never a per-merge footer sweep at 100 TB; see
+    * [[schemaMarker]] for the crash-ordering argument), written
+    * BEFORE the widening data. A batch MISSING columns the table has
+    * is rejected loudly (almost always a typo'd projection, and
+    * null-filling it would silently degrade every upserted key).
     */
   def mergeApproachesTable(batch: DataFrame, path: String,
       buckets: Int = 64): Unit = {
@@ -86,18 +88,46 @@ object Sinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedMerge(fs, path)
     if (!hasCommittedData(fs, path)) {
-      batch.withColumn("flight_bucket",
-          pmod(col("flight_id"), lit(buckets)).cast("int"))
+      val withBucket = batch.withColumn("flight_bucket",
+        pmod(col("flight_id"), lit(buckets)).cast("int"))
+      withBucket
         .repartition(col("flight_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("flight_bucket").parquet(path)
       writeBucketsMarker(fs, path, buckets)
+      writeSchemaMarker(fs, path, asNullable(withBucket.schema))
       return
     }
     checkBucketsMarker(spark, fs, path, buckets)
+    // schema evolution bookkeeping: resolve the CURRENT schema (one
+    // marker read; legacy tables pay one footer merge and get
+    // upgraded), reject a batch missing table columns, and write the
+    // union marker BEFORE any data widens — see [[schemaMarker]]
+    val marker = readSchemaMarker(fs, path)
+    val current = marker.getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(path).schema)
+    val missingInBatch =
+      current.fieldNames.toSet - "flight_bucket" -- batch.columns.toSet
+    require(missingInBatch.isEmpty,
+      s"batch is missing table columns ${missingInBatch.mkString(", ")} " +
+        s"at $path — evolution is additive-only; project the batch to " +
+        "carry every table column (null-fill deliberately if intended)")
+    val added = batch.schema.fields
+      .filterNot(f => current.fieldNames.contains(f.name))
+    if (added.nonEmpty)
+      writeSchemaMarker(fs, path,
+        asNullable(org.apache.spark.sql.types.StructType(
+          current.fields ++ added)))
+    else if (marker.isEmpty)
+      writeSchemaMarker(fs, path, asNullable(current)) // legacy upgrade
     val touched = stageMerge(batch, path, buckets)
     promoteStaged(fs, path, touched)
   }
+
+  private def asNullable(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
 
   /** Run the merge's crash recovery WITHOUT merging — for readers
     * that must observe a consistent table before the next merge (the
@@ -141,6 +171,51 @@ object Sinks {
     * duplicates keys. The marker makes that a loud error instead.
     */
   private def bucketsMarker(path: String) = new Path(path, "_graft_buckets")
+
+  /** The table's schema marker (`_graft_schema`, underscore-prefixed
+    * like the buckets marker): the authoritative read schema,
+    * written AHEAD of any data that widens it. Without it, an
+    * additively-evolved table is only readable correctly via
+    * `mergeSchema=true` — a footer sweep across every file, PER
+    * MERGE, which at 100 TB turns each micro-batch upsert into a
+    * full-table metadata pass. A marker that is AHEAD of the files
+    * (crash after marker write, before promote) is harmless — the
+    * explicit-schema read null-fills the not-yet-written column;
+    * a marker BEHIND the files would make the next merge's survivor
+    * rewrite silently drop the new column, which is why it is
+    * written before staging, never after promote.
+    */
+  private def schemaMarker(path: String) = new Path(path, "_graft_schema")
+
+  private def writeSchemaMarker(fs: FileSystem, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(schemaMarker(path), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sinks] def readSchemaMarker(fs: FileSystem, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val m = schemaMarker(path)
+    if (!fs.exists(m)) return None
+    val in = fs.open(m)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Read the table with the marker schema when present (one tiny
+    * file instead of every footer); legacy tables without a marker
+    * fall back to a footer merge, which the next merge upgrades.
+    */
+  private def readTableSchemaAware(
+      spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      path: String): DataFrame =
+    readSchemaMarker(fs, path) match {
+      case Some(schema) => spark.read.schema(schema).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
 
   private def writeBucketsMarker(fs: FileSystem, path: String,
       buckets: Int): Unit = {
@@ -205,22 +280,17 @@ object Sinks {
         pmod(col("flight_id"), lit(buckets)).cast("int"))
     val touched = newRows.select(col("flight_bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // mergeSchema: after a previous ADDITIVE evolution, untouched
-    // buckets still carry the old footer — a single-footer read would
-    // make the new column invisible for exactly those buckets
-    val existing = spark.read.option("mergeSchema", "true").parquet(path)
+    // schema-aware read: after a previous ADDITIVE evolution,
+    // untouched buckets still carry the old footer — a single-footer
+    // read would make the new column invisible for exactly those
+    // buckets. The marker (written ahead of the widening merge)
+    // provides the authoritative schema without a footer sweep; the
+    // additive-only guard lives in [[mergeApproachesTable]].
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = readTableSchemaAware(spark, fs, path)
       .filter(col("flight_bucket").isin(touched: _*))
       .withColumn("flight_bucket", col("flight_bucket").cast("int"))
-    // additive evolution only: a batch may ADD columns (old rows get
-    // NULL), but one missing columns the table has is far more likely
-    // a typo'd projection than an intentional drop — null-filling it
-    // would silently degrade every upserted key's row
-    val missingInBatch =
-      existing.columns.toSet - "flight_bucket" -- newRows.columns.toSet
-    require(missingInBatch.isEmpty,
-      s"batch is missing table columns ${missingInBatch.mkString(", ")} " +
-        s"at $path — evolution is additive-only; project the batch to " +
-        "carry every table column (null-fill deliberately if intended)")
     val survivors = existing.join(
       broadcast(batch.select(col("flight_id"), col("approach_id")).distinct()),
       Seq("flight_id", "approach_id"), "left_anti")
@@ -330,18 +400,20 @@ object Sinks {
     * caller's key column names (the bucket column stays available for
     * pruned reads under its canonical name).
     *
-    * `mergeSchema` defaults on so a table that evolved additively
-    * (see [[mergeApproachesTable]]) exposes columns its untouched
-    * buckets' footers predate — correct-by-default at the cost of a
-    * footer merge across files; a table known never to have evolved
-    * can pass false to skip it.
+    * A table that evolved additively (see [[mergeApproachesTable]])
+    * is read via its schema marker — one tiny file, not a footer
+    * sweep — so columns that untouched buckets' footers predate are
+    * visible (null-filled). Legacy tables without a marker fall back
+    * to a footer merge.
     */
   def readKeyedTable(spark: org.apache.spark.sql.SparkSession,
-      path: String, keyCol: String, subKeyCol: String,
-      mergeSchema: Boolean = true): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+      path: String, keyCol: String, subKeyCol: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTableSchemaAware(spark, fs, path)
       .withColumnRenamed("flight_id", keyCol)
       .withColumnRenamed("approach_id", subKeyCol)
+  }
 
   /** Typed form of [[mergeApproachesTable]]. */
   def mergeApproaches(batch: Dataset[Approach], path: String,

@@ -78,7 +78,10 @@ object Ingest {
     * rewrites rather than duplicates its quarantine rows. At 100 TB
     * a poison shard is a certainty, and the two failure modes this
     * prevents are both silent: crash-looping the stream on a throw,
-    * or merging all-null rows under a null key.
+    * or merging all-null rows under a null key. A long-lived stream
+    * accrues one small `batch=<id>` dir per poisoned batch — run
+    * [[graft.operators.Compaction]] over the quarantine on whatever
+    * cadence its triage runs.
     */
   def curatedJsonlIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int = 16,

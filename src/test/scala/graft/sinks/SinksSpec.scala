@@ -311,6 +311,20 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(dropped.getMessage.contains("additive"),
       s"wrong failure for a dropped column: ${dropped.getMessage}")
+    // the schema marker carries the evolved schema (readers must not
+    // need a footer sweep), and a legacy table with the marker
+    // deleted still reads correctly via the footer-merge fallback
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marked = Sinks.readSchemaMarker(fs, out)
+    assert(marked.exists(_.fieldNames.contains("quality_e4")),
+      s"schema marker missing the evolved column: $marked")
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_graft_schema"), false)
+    val legacy = Sinks.readKeyedTable(spark, out, "doc_id", "rev")
+    assert(legacy.columns.contains("quality_e4"),
+      "marker-less fallback lost the evolved column")
+    assert(legacy.filter(col("doc_id") === 1 && col("quality_e4").isNull)
+      .count() == 1, "legacy fallback misread the old-footer bucket")
   }
 
   test("commitFlightAnalysis: flags follow the merge; replay converges") {
