@@ -98,7 +98,15 @@ object ScaleBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val subset = args.lift(3).map(_.split(",").toSet)
+    val subset = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // validate BEFORE buildScaled: a typo'd name would otherwise pay
+    // for the full scaled-corpus build and then measure nothing
+    subset.foreach { s =>
+      val unknown = s -- Heavy.toSet
+      require(unknown.isEmpty && s.nonEmpty,
+        s"unknown queries ${unknown.mkString(", ")} — the measurable " +
+          s"set is ${Heavy.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -77,8 +77,11 @@ object TextQueries {
     "least(10000, (sum_len * 100 // n_tokens) * 10 + stop_hits * 10000 // n_tokens)"
 
 
-  /** documents ∪ planted exact copies of every 10th doc. */
-  private def withExactCopies(docs: DataFrame): DataFrame = {
+  /** documents ∪ planted exact copies of every 10th doc.
+    * `private[queries]` so ShuffleBudgetSpec derives its budget
+    * denominators from the SAME corpus the queries read.
+    */
+  private[queries] def withExactCopies(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     d.union(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))

@@ -111,7 +111,24 @@ object Sinks {
     require(missingInBatch.isEmpty,
       s"batch is missing table columns ${missingInBatch.mkString(", ")} " +
         s"at $path — evolution is additive-only; project the batch to " +
-        "carry every table column (null-fill deliberately if intended)")
+        "carry every table column (null-fill deliberately if intended). " +
+        "If this column comes from a crashed widening merge that never " +
+        "landed a file, Sinks.repairSchemaMarker rebuilds the marker " +
+        "from the files")
+    // a changed TYPE on an existing column is never evolution: the
+    // union would coerce staged files to the wide type while the
+    // marker keeps the old one, and every later explicit-schema read
+    // of the evolved buckets throws — corrupting the table silently
+    // at THIS merge and loudly at every future one
+    val retyped = batch.schema.fields.flatMap { f =>
+      current.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(c => s"${f.name}: table ${c.dataType.simpleString} vs " +
+          s"batch ${f.dataType.simpleString}")
+    }
+    require(retyped.isEmpty,
+      s"batch changes column types at $path — ${retyped.mkString("; ")}; " +
+        "type changes are not additive evolution, rewrite the table")
     val added = batch.schema.fields
       .filterNot(f => current.fieldNames.contains(f.name))
     if (added.nonEmpty)
@@ -179,18 +196,50 @@ object Sinks {
     * `mergeSchema=true` — a footer sweep across every file, PER
     * MERGE, which at 100 TB turns each micro-batch upsert into a
     * full-table metadata pass. A marker that is AHEAD of the files
-    * (crash after marker write, before promote) is harmless — the
-    * explicit-schema read null-fills the not-yet-written column;
-    * a marker BEHIND the files would make the next merge's survivor
-    * rewrite silently drop the new column, which is why it is
+    * (crash after marker write, before promote) never corrupts data
+    * — the explicit-schema read null-fills the not-yet-written
+    * column — though if the crashed widening merge is abandoned
+    * instead of replayed, the stranded column blocks normal-width
+    * batches until [[repairSchemaMarker]] rebuilds the marker from
+    * the files (a loud, one-call repair). A marker BEHIND the files
+    * would make the next merge's survivor rewrite silently DROP the
+    * new column — unrepairable data loss — which is why it is
     * written before staging, never after promote.
     */
   private def schemaMarker(path: String) = new Path(path, "_graft_schema")
 
+  /** Replace the marker crash-atomically: write a sibling tmp file,
+    * delete the old marker, rename the tmp in. An in-place overwrite
+    * would have a truncate-then-write window where a crash (or a
+    * concurrent reader) sees a half-written marker and every read
+    * throws on its JSON; with the rename protocol every crash window
+    * leaves either the old marker intact or NO marker — and a missing
+    * marker is the legacy state readers already heal from (footer
+    * merge, re-upgraded on the next merge).
+    */
   private def writeSchemaMarker(fs: FileSystem, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    val out = fs.create(schemaMarker(path), true)
+    val tmp = new Path(path, "_graft_schema.tmp")
+    val out = fs.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    fs.delete(schemaMarker(path), false)
+    checkedRename(fs, tmp, schemaMarker(path))
+  }
+
+  /** Recompute the schema marker from the files (one footer sweep) —
+    * the repair for the one schema crash window the merge protocol
+    * cannot self-heal: a widening merge that wrote its marker ahead
+    * and then died before promoting any file with the new column. If
+    * that merge is never replayed, the marker demands a column no
+    * file carries and every normal-width batch is rejected; this
+    * rebuilds the marker from what actually landed.
+    */
+  def repairSchemaMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeSchemaMarker(fs, path, asNullable(
+      spark.read.option("mergeSchema", "true").parquet(path).schema))
   }
 
   private[sinks] def readSchemaMarker(fs: FileSystem, path: String)

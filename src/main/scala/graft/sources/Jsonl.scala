@@ -38,4 +38,19 @@ object Jsonl {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
+
+  /** Raw-line ingest twin: the same drop-folder tailing, but each
+    * shard line arrives VERBATIM as `value` (text source) for the
+    * caller to parse with `from_json`. This is the quarantine-capable
+    * shape: the JSON source surrenders the raw line only for
+    * unparseable records (`_corrupt_record`) — a line that parses but
+    * fails validation (null key) is no longer recoverable byte-exact.
+    * Reading text and parsing as a column keeps the original line
+    * alongside the parse result for every outcome.
+    */
+  def readJsonlStreamRaw(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path)
 }

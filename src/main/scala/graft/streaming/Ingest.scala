@@ -49,13 +49,12 @@ object Ingest {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  /** PERMISSIVE-mode capture column: a shard line that fails to parse
-    * (or fails type conversion) arrives as an all-null row with the
-    * RAW LINE here — the read schema must include it or the raw line
-    * is lost and the bad row is indistinguishable from a real null.
+  /** PERMISSIVE-mode capture column: `from_json` sets this to the
+    * raw input on a parse/conversion failure, distinguishing a
+    * malformed line from one that parsed to legitimate nulls.
     */
   private val Corrupt = "_corrupt_record"
-  private val ingestSchema = docSchema.add(Corrupt, StringType)
+  private val parseSchema = docSchema.add(Corrupt, StringType)
 
   /** Default quarantine location: a SIBLING of the table (never
     * nested inside it — the merge protocol owns the table directory's
@@ -70,95 +69,111 @@ object Ingest {
     * a crash in exactly the window that forces a replay of an
     * already-merged batch.
     *
-    * Bad shard lines never reach the table OR kill the stream: a
-    * malformed/ill-typed line (raw text in [[Corrupt]]) or a parsed
-    * row with a null key field is routed to `quarantineDir` as JSONL
-    * — `{raw, reason}`, written per micro-batch under a fixed
-    * `batch=<id>` path with overwrite so a crash-replayed batch
-    * rewrites rather than duplicates its quarantine rows. At 100 TB
-    * a poison shard is a certainty, and the two failure modes this
-    * prevents are both silent: crash-looping the stream on a throw,
-    * or merging all-null rows under a null key. A long-lived stream
-    * accrues one small `batch=<id>` dir per poisoned batch — run
-    * [[graft.operators.Compaction]] over the quarantine on whatever
-    * cadence its triage runs.
+    * Bad shard lines never reach the table OR kill the stream: the
+    * shards are tailed as RAW TEXT ([[Jsonl.readJsonlStreamRaw]])
+    * and parsed with `from_json`, so the original line travels
+    * verbatim next to its parse result — a malformed/ill-typed line
+    * or a parsed row with a null key field is routed to
+    * `quarantineDir` as `{raw, reason}` JSONL with the raw line
+    * preserved BYTE-IDENTICAL for every reason (the JSON source's
+    * `_corrupt_record` only surrenders the raw text for unparseable
+    * lines; a null-key line would come back reconstructed, losing
+    * any fields outside the ingest schema). Quarantine writes land
+    * under a fixed `batch=<id>` path with overwrite so a
+    * crash-replayed batch rewrites rather than duplicates its rows.
+    * At 100 TB a poison shard is a certainty, and the two failure
+    * modes this prevents are both silent: crash-looping the stream
+    * on a throw, or merging all-null rows under a null key. A
+    * long-lived stream accrues one small `batch=<id>` dir per
+    * poisoned batch — run [[graft.operators.Compaction]] over the
+    * quarantine on whatever cadence its triage runs.
     */
   def curatedJsonlIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int = 16,
       postMergeHook: Long => Unit = _ => (),
       quarantineDir: String = null): StreamingQuery =
-    Jsonl.readJsonlStream(spark, dropDir, ingestSchema)
+    Jsonl.readJsonlStreamRaw(spark, dropDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (raw: Dataset[Row], batchId: Long) =>
+      .foreachBatch { (lines: Dataset[Row], batchId: Long) =>
         import spark.implicits._
         val quarantine =
           Option(quarantineDir).getOrElse(quarantinePath(tablePath))
-        val invalid = raw.filter(col(Corrupt).isNotNull ||
-            col("doc_id").isNull || col("text").isNull)
-          .select(
-            coalesce(col(Corrupt),
-              to_json(struct(col("doc_id"), col("text")))).as("raw"),
-            when(col(Corrupt).isNotNull, "malformed")
-              .otherwise("null_key").as("reason"))
-        if (!invalid.isEmpty)
-          invalid.write.mode(SaveMode.Overwrite)
-            .json(s"$quarantine/batch=$batchId")
-        val batch = raw.filter(col(Corrupt).isNull &&
-          col("doc_id").isNotNull && col("text").isNotNull).drop(Corrupt)
-        // duplicate doc_ids within one micro-batch (an at-least-once
-        // producer landing a doc in two shards) must not upsert two
-        // rows onto one (doc_id, rev) key: keep one deterministically
-        // (smallest digest) before curation
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(md5(col("text")))
-        val deduped = batch.toDF()
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        // persisted: the merge evaluates its input several times
-        // (emptiness probe, touched-bucket collect, staged write) —
-        // without the persist each evaluation would re-run curation
-        // AND re-read the batch's source files
-        val kept = TextQueries.curate(deduped, keepDigest = true)
-          .filter(col("keep"))
-          .withColumn("rev", lit(0L))
-          .select(col("doc_id"), col("rev"), col("lang_pred"),
-            col("quality_e4"), col("split"), col("text_md5"))
+        // parsed once per batch: quarantine split, emptiness probe,
+        // and the curation input all reuse the cached parse instead
+        // of re-reading + re-parsing the shard files per evaluation
+        val parsed = lines.select(col("value"),
+          from_json(col("value"), parseSchema, Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> Corrupt)).as("j"))
           .persist()
         try {
-          // heal any interrupted merge BEFORE observing the table: a
-          // crash mid-promote leaves buckets parked in the backup dir,
-          // and a probe read taken first would miss their digests —
-          // re-admitting a dup on replay
-          Sinks.recoverTable(spark, tablePath)
-          val fs = new org.apache.hadoop.fs.Path(tablePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          // q80 delta-dedup shape, one table scan per batch: the
-          // accumulated table's digest column probes a broadcast of
-          // the batch's digests; the matched set (bounded by the
-          // batch's distinct texts) collects to the driver so
-          // downstream re-evaluations replay a local-relation
-          // anti-join, never the table scan
-          val admitted =
-            if (!Sinks.hasCommittedData(fs, tablePath)) kept
-            else {
-              val table = spark.read.parquet(tablePath)
-              require(table.columns.contains("text_md5"),
-                s"curated table at $tablePath was written without text " +
-                  "digests — the stored rows carry no text to backfill " +
-                  "from, so cross-batch dedup cannot run against it; " +
-                  "rewrite the table (re-ingest) or start a new path")
-              val hits = table.select(col("text_md5"))
-                .join(broadcast(kept.select(col("text_md5")).distinct()),
-                  Seq("text_md5"), "left_semi")
-                .distinct().collect().map(_.getString(0)).toSeq
-              kept.join(broadcast(hits.toDF("text_md5")),
-                Seq("text_md5"), "left_anti")
-            }
-          Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev", buckets)
-          postMergeHook(batchId)
-        } finally kept.unpersist()
+          val bad = col("j").isNull || col(s"j.$Corrupt").isNotNull ||
+            col("j.doc_id").isNull || col("j.text").isNull
+          val invalid = parsed.filter(bad)
+            .select(col("value").as("raw"),
+              when(col("j").isNull || col(s"j.$Corrupt").isNotNull,
+                "malformed").otherwise("null_key").as("reason"))
+          if (!invalid.isEmpty)
+            invalid.write.mode(SaveMode.Overwrite)
+              .json(s"$quarantine/batch=$batchId")
+          val batch = parsed.filter(!bad)
+            .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+          // duplicate doc_ids within one micro-batch (an at-least-once
+          // producer landing a doc in two shards) must not upsert two
+          // rows onto one (doc_id, rev) key: keep one deterministically
+          // (smallest digest) before curation
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(md5(col("text")))
+          val deduped = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          // persisted: the merge evaluates its input several times
+          // (emptiness probe, touched-bucket collect, staged write) —
+          // without the persist each evaluation would re-run curation
+          // AND re-read the batch's source files
+          val kept = TextQueries.curate(deduped, keepDigest = true)
+            .filter(col("keep"))
+            .withColumn("rev", lit(0L))
+            .select(col("doc_id"), col("rev"), col("lang_pred"),
+              col("quality_e4"), col("split"), col("text_md5"))
+            .persist()
+            try {
+            // heal any interrupted merge BEFORE observing the table: a
+            // crash mid-promote leaves buckets parked in the backup
+            // dir, and a probe read taken first would miss their
+            // digests — re-admitting a dup on replay
+            Sinks.recoverTable(spark, tablePath)
+            val fs = new org.apache.hadoop.fs.Path(tablePath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // q80 delta-dedup shape, one table scan per batch: the
+            // accumulated table's digest column probes a broadcast of
+            // the batch's digests; the matched set (bounded by the
+            // batch's distinct texts) collects to the driver so
+            // downstream re-evaluations replay a local-relation
+            // anti-join, never the table scan
+            val admitted =
+              if (!Sinks.hasCommittedData(fs, tablePath)) kept
+              else {
+                val table = spark.read.parquet(tablePath)
+                require(table.columns.contains("text_md5"),
+                  s"curated table at $tablePath was written without text " +
+                    "digests — the stored rows carry no text to backfill " +
+                    "from, so cross-batch dedup cannot run against it; " +
+                    "rewrite the table (re-ingest) or start a new path")
+                val hits = table.select(col("text_md5"))
+                  .join(broadcast(kept.select(col("text_md5")).distinct()),
+                    Seq("text_md5"), "left_semi")
+                  .distinct().collect().map(_.getString(0)).toSeq
+                kept.join(broadcast(hits.toDF("text_md5")),
+                  Seq("text_md5"), "left_anti")
+              }
+            Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev",
+              buckets)
+            postMergeHook(batchId)
+          } finally kept.unpersist()
+        } finally parsed.unpersist()
       }
       .start()
 

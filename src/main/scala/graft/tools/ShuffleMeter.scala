@@ -3,7 +3,7 @@ package graft.tools
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Measured shuffle volume for one action (bytes/records written to
@@ -28,22 +28,33 @@ case class ShuffleStats(writeBytes: Long, writeRecords: Long,
   * suites run in parallel in one JVM) is not attributed. Job-group
   * properties are thread-local and Spark captures them onto AQE's
   * stage-submission threads, so adaptive stage jobs stay tagged.
-  * The listener bus is asynchronous but ordered: a stage's
-  * JobStart precedes its TaskEnds, and after the action returns we
-  * poll until the counters are stable before unregistering.
+  * The listener bus is asynchronous but FIFO: a job's TaskEnds
+  * precede its JobEnd, and by the time the (blocking) action
+  * returns, every event is already POSTED — so the poll waits until
+  * the listener has seen a JobEnd for every tagged JobStart (all
+  * task metrics before them are then summed) plus a stability
+  * window. Undercounting must be LOUD, not a smaller number: a
+  * budget test reading partial stats would pass spuriously —
+  * timing out before the bus drains throws instead of returning.
   */
 object ShuffleMeter {
 
   def measure(spark: SparkSession)(action: => Unit): ShuffleStats = {
     val tag = s"shuffle-meter-${java.util.UUID.randomUUID()}"
     val stages = ConcurrentHashMap.newKeySet[Int]()
+    val taggedJobs = ConcurrentHashMap.newKeySet[Int]()
+    val endedJobs = new AtomicLong
     val wb = new AtomicLong; val wr = new AtomicLong
     val rb = new AtomicLong; val rr = new AtomicLong
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         if (e.properties != null &&
-            tag == e.properties.getProperty("spark.jobGroup.id"))
+            tag == e.properties.getProperty("spark.jobGroup.id")) {
+          taggedJobs.add(e.jobId)
           e.stageIds.foreach(id => stages.add(id))
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        if (taggedJobs.contains(e.jobId)) endedJobs.incrementAndGet()
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null && stages.contains(e.stageId)) {
@@ -59,15 +70,25 @@ object ShuffleMeter {
       interruptOnCancel = false)
     try {
       action
-      def total() = wb.get + wr.get + rb.get + rr.get
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      // all events are posted by now (the action blocks on its jobs);
+      // drain: every tagged job's JobEnd processed + a quiet window
+      // against the bus momentarily pausing between queued events
+      def total() = wb.get + wr.get + rb.get + rr.get +
+        taggedJobs.size.toLong + endedJobs.get
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var prev = -1L
       var cur = total()
-      while (cur != prev && System.nanoTime() < deadline) {
+      while ((taggedJobs.size.toLong != endedJobs.get || cur != prev) &&
+          System.nanoTime() < deadline) {
         Thread.sleep(150)
         prev = cur
         cur = total()
       }
+      if (taggedJobs.size.toLong != endedJobs.get)
+        throw new IllegalStateException(
+          s"listener bus did not drain: ${endedJobs.get} of " +
+            s"${taggedJobs.size} tagged jobs ended — stats would " +
+            "undercount, refusing to return them")
     } finally {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)

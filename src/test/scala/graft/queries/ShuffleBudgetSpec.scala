@@ -25,15 +25,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** Same corpus q30/q61 read: documents ∪ their planted exact
-    * copies (mirrors TextQueries' private fixture).
+  /** Same corpus q30/q61 read — THE fixture, not a copy of it, so
+    * the budget denominators track any change to the planted set.
     */
-  private def docsWithCopies: DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    d.union(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-  }
+  private def docsWithCopies: DataFrame =
+    TextQueries.withExactCopies(
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   test("q30 exact dedup shuffles digests, never document text") {
     val docs = docsWithCopies

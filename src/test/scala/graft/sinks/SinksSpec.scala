@@ -311,6 +311,17 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(dropped.getMessage.contains("additive"),
       s"wrong failure for a dropped column: ${dropped.getMessage}")
+    // a changed TYPE on an existing column is never evolution — the
+    // staged files would coerce wide while the marker keeps the old
+    // type, leaving the table unreadable at every later merge
+    val retyped = intercept[IllegalArgumentException] {
+      Sinks.mergeKeyedTable(
+        Seq((8L, 0L, "en", 9000L)) // quality as LONG, table has INT
+          .toDF("doc_id", "rev", "lang", "quality_e4"),
+        out, "doc_id", "rev", buckets = 4)
+    }
+    assert(retyped.getMessage.contains("type"),
+      s"wrong failure for a retyped column: ${retyped.getMessage}")
     // the schema marker carries the evolved schema (readers must not
     // need a footer sweep), and a legacy table with the marker
     // deleted still reads correctly via the footer-merge fallback

@@ -165,9 +165,11 @@ class IngestSpec extends AnyFunSuite {
     assert(quarantined.map(_._2).sorted.toSeq
       == Seq("malformed", "malformed", "null_key"),
       s"wrong quarantine set: ${quarantined.toSeq}")
-    assert(quarantined.exists(_._1 == badJson),
-      "malformed line not preserved byte-identical in quarantine")
-    assert(quarantined.exists(_._1 == badType),
-      "ill-typed line not preserved byte-identical in quarantine")
+    // EVERY quarantined line — malformed, ill-typed, AND null-key —
+    // must be the original shard line byte-identical (the null-key
+    // case is exactly what the _corrupt_record approach loses)
+    assert(quarantined.map(_._1).toSet
+      == Set(badJson, badType, """{"doc_id":12}"""),
+      s"raw lines not preserved byte-identical: ${quarantined.toSeq}")
   }
 }
