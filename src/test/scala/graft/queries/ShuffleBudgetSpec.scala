@@ -85,6 +85,23 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "— the probe is not pruning map-side")
   }
 
+  test("q53 as-of join: one window shuffle of the union, no join blowup") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+    val nMarks = nEv / 10 // event_id % 10 == 0
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q53(spark, dir).count()
+    }
+    // the union-window design: every event + every mark crosses the
+    // window exchange once; the result orderBy re-shuffles the events
+    // once more. A join-based as-of (or a lost union) would multiply
+    // records or add exchanges
+    assert(s.writeRecords <= (1.1 * (2 * nEv + nMarks)).toLong,
+      s"as-of shuffled ${s.writeRecords} records for $nEv events + " +
+        s"$nMarks marks — the single-window design has regressed")
+    assert(s.writeRecords > 0, "expected the as-of window exchange")
+  }
+
   test("q20 flagship moves each sample through at most one data shuffle") {
     val nSamples = FlightGen.flights(spark, dir).count()
     val s = ShuffleMeter.measure(spark) {
