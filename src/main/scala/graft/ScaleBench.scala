@@ -102,8 +102,11 @@ object ScaleBench {
     // validate BEFORE buildScaled: a typo'd name would otherwise pay
     // for the full scaled-corpus build and then measure nothing
     subset.foreach { s =>
+      require(s.nonEmpty && !s.contains(""),
+        s"empty query subset — the measurable set is " +
+          Heavy.mkString(", "))
       val unknown = s -- Heavy.toSet
-      require(unknown.isEmpty && s.nonEmpty,
+      require(unknown.isEmpty,
         s"unknown queries ${unknown.mkString(", ")} — the measurable " +
           s"set is ${Heavy.mkString(", ")}")
     }

@@ -246,7 +246,12 @@ object Sinks {
       : Option[org.apache.spark.sql.types.StructType] = {
     val m = schemaMarker(path)
     if (!fs.exists(m)) return None
-    val in = fs.open(m)
+    // exists-then-open races the writer's delete+rename replacement
+    // window: a vanished marker is the legacy no-marker state, not an
+    // error — fall back to the footer merge like any marker-less read
+    val in =
+      try fs.open(m)
+      catch { case _: java.io.FileNotFoundException => return None }
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -103,10 +103,16 @@ object Ingest {
         // parsed once per batch: quarantine split, emptiness probe,
         // and the curation input all reuse the cached parse instead
         // of re-reading + re-parsing the shard files per evaluation
-        val parsed = lines.select(col("value"),
-          from_json(col("value"), parseSchema, Map(
-            "mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> Corrupt)).as("j"))
+        // blank separator lines / trailing newlines are a fact of
+        // concatenated JSONL; the JSON source skipped them silently
+        // and so do we — they carry nothing to triage, and each one
+        // would otherwise mint a content-free quarantine dir
+        val parsed = lines
+          .filter(length(trim(col("value"))) > 0)
+          .select(col("value"),
+            from_json(col("value"), parseSchema, Map(
+              "mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> Corrupt)).as("j"))
           .persist()
         try {
           val bad = col("j").isNull || col(s"j.$Corrupt").isNotNull ||
@@ -139,7 +145,7 @@ object Ingest {
             .select(col("doc_id"), col("rev"), col("lang_pred"),
               col("quality_e4"), col("split"), col("text_md5"))
             .persist()
-            try {
+          try {
             // heal any interrupted merge BEFORE observing the table: a
             // crash mid-promote leaves buckets parked in the backup
             // dir, and a probe read taken first would miss their

@@ -28,33 +28,37 @@ case class ShuffleStats(writeBytes: Long, writeRecords: Long,
   * suites run in parallel in one JVM) is not attributed. Job-group
   * properties are thread-local and Spark captures them onto AQE's
   * stage-submission threads, so adaptive stage jobs stay tagged.
-  * The listener bus is asynchronous but FIFO: a job's TaskEnds
-  * precede its JobEnd, and by the time the (blocking) action
-  * returns, every event is already POSTED — so the poll waits until
-  * the listener has seen a JobEnd for every tagged JobStart (all
-  * task metrics before them are then summed) plus a stability
-  * window. Undercounting must be LOUD, not a smaller number: a
-  * budget test reading partial stats would pass spuriously —
-  * timing out before the bus drains throws instead of returning.
+  * The listener bus is asynchronous but FIFO, and by the time the
+  * (blocking) action returns every event is already POSTED — so
+  * after the action a SENTINEL job runs under its own group, and
+  * the wait is for the sentinel's JobEnd to be PROCESSED by this
+  * listener: FIFO then guarantees every earlier event (all the
+  * action's task metrics) has been too. No stability heuristic — a
+  * bus stall at any point merely delays the sentinel observation,
+  * it cannot fake it. Undercounting must be LOUD, not a smaller
+  * number: a budget test reading partial stats would pass
+  * spuriously — timing out before the sentinel lands throws
+  * instead of returning.
   */
 object ShuffleMeter {
 
   def measure(spark: SparkSession)(action: => Unit): ShuffleStats = {
     val tag = s"shuffle-meter-${java.util.UUID.randomUUID()}"
+    val sentinelTag = s"$tag-sentinel"
     val stages = ConcurrentHashMap.newKeySet[Int]()
-    val taggedJobs = ConcurrentHashMap.newKeySet[Int]()
-    val endedJobs = new AtomicLong
+    val sentinelJobs = ConcurrentHashMap.newKeySet[Int]()
+    @volatile var drained = false
     val wb = new AtomicLong; val wr = new AtomicLong
     val rb = new AtomicLong; val rr = new AtomicLong
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        if (e.properties != null &&
-            tag == e.properties.getProperty("spark.jobGroup.id")) {
-          taggedJobs.add(e.jobId)
-          e.stageIds.foreach(id => stages.add(id))
-        }
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val group = if (e.properties == null) null
+          else e.properties.getProperty("spark.jobGroup.id")
+        if (tag == group) e.stageIds.foreach(id => stages.add(id))
+        if (sentinelTag == group) sentinelJobs.add(e.jobId)
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        if (taggedJobs.contains(e.jobId)) endedJobs.incrementAndGet()
+        if (sentinelJobs.contains(e.jobId)) drained = true
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null && stages.contains(e.stageId)) {
@@ -66,28 +70,21 @@ object ShuffleMeter {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    spark.sparkContext.setJobGroup(tag, "shuffle-meter measurement",
-      interruptOnCancel = false)
     try {
+      spark.sparkContext.setJobGroup(tag, "shuffle-meter measurement",
+        interruptOnCancel = false)
       action
-      // all events are posted by now (the action blocks on its jobs);
-      // drain: every tagged job's JobEnd processed + a quiet window
-      // against the bus momentarily pausing between queued events
-      def total() = wb.get + wr.get + rb.get + rr.get +
-        taggedJobs.size.toLong + endedJobs.get
+      // every action event is now posted; the sentinel's events are
+      // posted strictly AFTER them, so observing its JobEnd proves
+      // the action's metrics are fully summed
+      spark.sparkContext.setJobGroup(sentinelTag, "shuffle-meter drain",
+        interruptOnCancel = false)
+      spark.range(1).count()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var prev = -1L
-      var cur = total()
-      while ((taggedJobs.size.toLong != endedJobs.get || cur != prev) &&
-          System.nanoTime() < deadline) {
-        Thread.sleep(150)
-        prev = cur
-        cur = total()
-      }
-      if (taggedJobs.size.toLong != endedJobs.get)
+      while (!drained && System.nanoTime() < deadline) Thread.sleep(50)
+      if (!drained)
         throw new IllegalStateException(
-          s"listener bus did not drain: ${endedJobs.get} of " +
-            s"${taggedJobs.size} tagged jobs ended — stats would " +
+          "listener bus did not drain within 30s — stats would " +
             "undercount, refusing to return them")
     } finally {
       spark.sparkContext.clearJobGroup()
