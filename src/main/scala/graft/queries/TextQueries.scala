@@ -1288,6 +1288,108 @@ object TextQueries {
        |JOIN k USING (h)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q81: BPE tokenizer training — the first k merge rounds ----
+  // The step AFTER q56's vocabulary build in a real LLM data
+  // pipeline: learn byte-pair-encoding merges from the corpus.
+  // Each round counts adjacent symbol pairs over the (word, count)
+  // vocabulary, picks the most frequent (ties: lexicographically
+  // smallest), records it, and merges every greedy left-to-right
+  // occurrence; symbols start as the characters of each [a-z]+ word.
+  //
+  // Cross-engine-exact merge trick: symbols live in a DOUBLE-space
+  // joined string with single-space padding (' h  e  l ... o '), so
+  // the pattern ' l  r ' -> ' l·r ' consumes only each occurrence's
+  // own delimiter halves — a plain left-to-right non-overlapping
+  // string replace (same semantics in Spark's StringReplace and
+  // DuckDB's replace) then equals the greedy BPE fold even for
+  // overlapping runs ('aaaa' -> 'aa','aa', not 'aa','a','a' — a
+  // single-space encoding gets that wrong because consecutive
+  // matches share the middle delimiter).
+  //
+  // 100 TB posture: after one corpus pass builds the (word, cnt)
+  // vocabulary — exactly q56's agg, vocab ~10^6-10^7 rows vs 10^11
+  // docs — every round runs on the VOCAB only: one narrow pair agg
+  // (map-side partial over <=30 B rows) + a map-only literal
+  // replace; the driver holds one (l, r, cnt) row per round. k
+  // rounds = k tiny aggs, nothing corpus-sized ever shuffles.
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val words0 = tbl(spark, dir, "documents")
+      .select(explode(toks).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(lit(" "),
+        concat_ws("  ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))),
+        lit(" ")))
+      .persist()
+    try {
+      var words = words0.select(col("cnt"), col("s"))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to k) {
+        val sym = split(trim(col("s")), "  ")
+        val pair = explode(zip_with(
+          slice(sym, lit(1), size(sym) - 1),
+          slice(sym, lit(2), size(sym) - 1),
+          (l, rr) => struct(l.as("l"), rr.as("r"))))
+        val best = words
+          .filter(size(sym) > 1)
+          .select(col("cnt"), pair.as("p"))
+          .groupBy(col("p.l"), col("p.r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"BPE round $r found no pairs — corpus has no multi-char words")
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, c))
+        words = words.withColumn("s", call_function("replace",
+          col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")))
+      }
+      merges.result()
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .orderBy(col("merge_rank"))
+    } finally words0.unpersist()
+  }
+
+  val q81Sql: String = {
+    def round(r: Int): String = {
+      val prev = s"words${r - 1}"
+      s"""pairs$r AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(sym[1:len(sym)-1], sym[2:])) AS z
+         |    FROM (SELECT cnt, string_split(trim(s), '  ') AS sym FROM $prev)
+         |    WHERE len(sym) > 1
+         |  )
+         |  GROUP BY 1, 2
+         |), best$r AS (
+         |  SELECT l, r, c FROM pairs$r ORDER BY c DESC, l, r LIMIT 1
+         |), words$r AS (
+         |  SELECT cnt,
+         |    replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |            ' ' || b.l || b.r || ' ') AS s
+         |  FROM $prev CROSS JOIN best$r b
+         |)""".stripMargin
+    }
+    s"""WITH words0 AS (
+       |  SELECT count(*) AS cnt,
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY w
+       |), ${(1 to 4).map(round).mkString(", ")}
+       |SELECT * FROM (
+       |  SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
+       |    CAST(c AS BIGINT) AS pair_count FROM best1
+       |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM best2
+       |  UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM best3
+       |  UNION ALL SELECT 4, l, r, CAST(c AS BIGINT) FROM best4
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1315,7 +1417,8 @@ object TextQueries {
     "q75_chunk_dedup" -> (q75 _),
     "q76_overlap_chunks" -> (q76 _),
     "q78_pii_scrub" -> (q78 _),
-    "q80_delta_dedup" -> (q80 _)
+    "q80_delta_dedup" -> (q80 _),
+    "q81_bpe_merges" -> (q81 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1345,6 +1448,7 @@ object TextQueries {
     "q75_chunk_dedup" -> q75Sql,
     "q76_overlap_chunks" -> q76Sql,
     "q78_pii_scrub" -> q78Sql,
-    "q80_delta_dedup" -> q80Sql
+    "q80_delta_dedup" -> q80Sql,
+    "q81_bpe_merges" -> q81Sql
   )
 }
