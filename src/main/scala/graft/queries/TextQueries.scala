@@ -1312,10 +1312,11 @@ object TextQueries {
   // (map-side partial over <=30 B rows) + a map-only literal
   // replace; the driver holds one (l, r, cnt) row per round. k
   // rounds = k tiny aggs, nothing corpus-sized ever shuffles.
-  def q81(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val k = 4
-    val words0 = tbl(spark, dir, "documents")
+  /** The (word, cnt, double-space char repr) vocabulary BPE trains
+    * over.
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
       .select(explode(toks).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1323,38 +1324,77 @@ object TextQueries {
         concat_ws("  ", transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1)))),
         lit(" ")))
-      .persist()
-    try {
-      var words = words0.select(col("cnt"), col("s"))
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to k) {
-        val sym = split(trim(col("s")), "  ")
-        val pair = explode(zip_with(
-          slice(sym, lit(1), size(sym) - 1),
-          slice(sym, lit(2), size(sym) - 1),
-          (l, rr) => struct(l.as("l"), rr.as("r"))))
-        val best = words
-          .filter(size(sym) > 1)
-          .select(col("cnt"), pair.as("p"))
-          .groupBy(col("p.l"), col("p.r"))
-          .agg(sum(col("cnt")).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(best.nonEmpty,
-          s"BPE round $r found no pairs — corpus has no multi-char words")
-        val (l, rr, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, l, rr, c))
-        words = words.withColumn("s", call_function("replace",
-          col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")))
-      }
-      merges.result()
+
+  /** One BPE replace: merge pair (l, r) greedy-left-to-right in a
+    * double-space symbol repr.
+    */
+  private def bpeReplace(s: Column, l: String, r: String): Column =
+    call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
+
+  /** Learn `k` BPE merges from a (cnt, s) vocabulary; returns
+    * (rank, left, right, pair count) per round.
+    */
+  private def bpeLearn(words0: DataFrame,
+      k: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0.select(col("cnt"), col("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val sym = split(trim(col("s")), "  ")
+      val pair = explode(zip_with(
+        slice(sym, lit(1), size(sym) - 1),
+        slice(sym, lit(2), size(sym) - 1),
+        (l, rr) => struct(l.as("l"), rr.as("r"))))
+      val best = words
+        .filter(size(sym) > 1)
+        .select(col("cnt"), pair.as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE round $r found no pairs — corpus has no multi-char words")
+      val (l, rr) = (best(0).getString(0), best(0).getString(1))
+      merges += ((r, l, rr, best(0).getLong(2)))
+      words = words.withColumn("s", bpeReplace(col("s"), l, rr))
+    }
+    merges.result()
+  }
+
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words0 = bpeVocab(spark, dir).persist()
+    try
+      bpeLearn(words0, 4)
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
         .orderBy(col("merge_rank"))
+    finally words0.unpersist()
+  }
+
+  // ---- q82: BPE apply — the corpus subword-frequency table ----
+  // Learn the q81 merges, then APPLY them in rank order and count
+  // the resulting subwords across the corpus. Weighted through the
+  // vocabulary (occurrences = sum of word counts), so the apply pass
+  // is VOCAB-sized — the corpus is touched only by the q56-shaped
+  // word-count agg; at 100 TB the segmentation itself never rescans
+  // a document.
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val words0 = bpeVocab(spark, dir).persist()
+    try {
+      val merged = bpeLearn(words0, 4).foldLeft(col("s")) {
+        case (c, (_, l, r, _)) => bpeReplace(c, l, r)
+      }
+      words0
+        .select(col("cnt"), explode(split(trim(merged), "  ")).as("subword"))
+        .groupBy(col("subword")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("subword")).limit(50)
     } finally words0.unpersist()
   }
 
-  val q81Sql: String = {
+  /** The shared BPE CTE chain: vocabulary + 4 (pairs, best, words)
+    * training rounds — q81 reads the `best*` tables, q82 re-applies
+    * them to `words0`.
+    */
+  private val bpeCtesSql: String = {
     def round(r: Int): String = {
       val prev = s"words${r - 1}"
       s"""pairs$r AS (
@@ -1373,14 +1413,18 @@ object TextQueries {
          |  FROM $prev CROSS JOIN best$r b
          |)""".stripMargin
     }
-    s"""WITH words0 AS (
+    s"""words0 AS (
        |  SELECT count(*) AS cnt,
        |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |        FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$')
        |  GROUP BY w
-       |), ${(1 to 4).map(round).mkString(", ")}
+       |), ${(1 to 4).map(round).mkString(", ")}""".stripMargin
+  }
+
+  val q81Sql: String =
+    s"""WITH $bpeCtesSql
        |SELECT * FROM (
        |  SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
        |    CAST(c AS BIGINT) AS pair_count FROM best1
@@ -1388,7 +1432,22 @@ object TextQueries {
        |  UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM best3
        |  UNION ALL SELECT 4, l, r, CAST(c AS BIGINT) FROM best4
        |) ORDER BY merge_rank""".stripMargin
-  }
+
+  val q82Sql: String =
+    s"""WITH $bpeCtesSql
+       |SELECT subword, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT cnt, unnest(string_split(trim(
+       |    replace(replace(replace(replace(s,
+       |      ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
+       |      ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
+       |      ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
+       |      ' ' || b4.l || '  ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')
+       |  ), '  ')) AS subword
+       |  FROM words0
+       |  CROSS JOIN best1 b1 CROSS JOIN best2 b2
+       |  CROSS JOIN best3 b3 CROSS JOIN best4 b4
+       |)
+       |GROUP BY subword ORDER BY n DESC, subword LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
@@ -1418,7 +1477,8 @@ object TextQueries {
     "q76_overlap_chunks" -> (q76 _),
     "q78_pii_scrub" -> (q78 _),
     "q80_delta_dedup" -> (q80 _),
-    "q81_bpe_merges" -> (q81 _)
+    "q81_bpe_merges" -> (q81 _),
+    "q82_bpe_subwords" -> (q82 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1449,6 +1509,7 @@ object TextQueries {
     "q76_overlap_chunks" -> q76Sql,
     "q78_pii_scrub" -> q78Sql,
     "q80_delta_dedup" -> q80Sql,
-    "q81_bpe_merges" -> q81Sql
+    "q81_bpe_merges" -> q81Sql,
+    "q82_bpe_subwords" -> q82Sql
   )
 }

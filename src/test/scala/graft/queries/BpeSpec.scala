@@ -37,5 +37,12 @@ class BpeSpec extends AnyFunSuite {
       (2, "aa", "aa", 3L),
       (3, "b", "c", 2L),
       (4, "d", "e", 1L)), s"merge sequence diverged: $got")
+
+    // q82 applies the same merges in rank order: every word collapses
+    // to a single learned subword, weighted by corpus occurrences
+    val sub = TextQueries.q82(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sub == Seq(("aaaa", 3L), ("bc", 2L), ("de", 1L)),
+      s"subword table diverged: $sub")
   }
 }
