@@ -98,11 +98,13 @@ object ScaleBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val subset = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // blanks from trailing/doubled commas are noise, not an error
+    val subset =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // validate BEFORE buildScaled: a typo'd name would otherwise pay
     // for the full scaled-corpus build and then measure nothing
     subset.foreach { s =>
-      require(s.nonEmpty && !s.contains(""),
+      require(s.nonEmpty,
         s"empty query subset — the measurable set is " +
           Heavy.mkString(", "))
       val unknown = s -- Heavy.toSet

@@ -1312,6 +1312,11 @@ object TextQueries {
   // (map-side partial over <=30 B rows) + a map-only literal
   // replace; the driver holds one (l, r, cnt) row per round. k
   // rounds = k tiny aggs, nothing corpus-sized ever shuffles.
+  //
+  // Like the q43/q74 codebook collects and q77's bloom build,
+  // CONSTRUCTING this DataFrame runs the training jobs (the merge
+  // loop is inherently iterative); the returned frame is the small
+  // post-training result, which is also what a plan dump shows.
   /** The (word, cnt, double-space char repr) vocabulary BPE trains
     * over.
     */
@@ -1331,14 +1336,20 @@ object TextQueries {
   private def bpeReplace(s: Column, l: String, r: String): Column =
     call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
 
-  /** Learn `k` BPE merges from a (cnt, s) vocabulary; returns
-    * (rank, left, right, pair count) per round.
+  /** Learn up to `k` BPE merges from a (cnt, s) vocabulary; returns
+    * (rank, left, right, pair count) per round. Stops early (fewer
+    * rows) if the vocabulary runs out of pairs before round k — the
+    * oracle's empty `best` CTEs truncate the same way, so a
+    * degenerate corpus is a short answer in BOTH engines, not a
+    * Spark-side error the oracle doesn't share.
     */
   private def bpeLearn(words0: DataFrame,
       k: Int): Seq[(Int, String, String, Long)] = {
     var words = words0.select(col("cnt"), col("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to k) {
+    var r = 1
+    var dry = false
+    while (r <= k && !dry) {
       val sym = split(trim(col("s")), "  ")
       val pair = explode(zip_with(
         slice(sym, lit(1), size(sym) - 1),
@@ -1351,11 +1362,13 @@ object TextQueries {
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
-      require(best.nonEmpty,
-        s"BPE round $r found no pairs — corpus has no multi-char words")
-      val (l, rr) = (best(0).getString(0), best(0).getString(1))
-      merges += ((r, l, rr, best(0).getLong(2)))
-      words = words.withColumn("s", bpeReplace(col("s"), l, rr))
+      if (best.isEmpty) dry = true
+      else {
+        val (l, rr) = (best(0).getString(0), best(0).getString(1))
+        merges += ((r, l, rr, best(0).getLong(2)))
+        words = words.withColumn("s", bpeReplace(col("s"), l, rr))
+        r += 1
+      }
     }
     merges.result()
   }
@@ -1407,10 +1420,15 @@ object TextQueries {
          |), best$r AS (
          |  SELECT l, r, c FROM pairs$r ORDER BY c DESC, l, r LIMIT 1
          |), words$r AS (
+         |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the vocabulary
+         |  -- runs dry before round $r (best$r empty) the words pass
+         |  -- through unchanged instead of being wiped — matching the
+         |  -- Spark side's early stop
          |  SELECT cnt,
-         |    replace(s, ' ' || b.l || '  ' || b.r || ' ',
-         |            ' ' || b.l || b.r || ' ') AS s
-         |  FROM $prev CROSS JOIN best$r b
+         |    CASE WHEN b.l IS NULL THEN s
+         |         ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+         |                      ' ' || b.l || b.r || ' ') END AS s
+         |  FROM $prev LEFT JOIN best$r b ON TRUE
          |)""".stripMargin
     }
     s"""words0 AS (
@@ -1436,16 +1454,8 @@ object TextQueries {
   val q82Sql: String =
     s"""WITH $bpeCtesSql
        |SELECT subword, CAST(sum(cnt) AS BIGINT) AS n FROM (
-       |  SELECT cnt, unnest(string_split(trim(
-       |    replace(replace(replace(replace(s,
-       |      ' ' || b1.l || '  ' || b1.r || ' ', ' ' || b1.l || b1.r || ' '),
-       |      ' ' || b2.l || '  ' || b2.r || ' ', ' ' || b2.l || b2.r || ' '),
-       |      ' ' || b3.l || '  ' || b3.r || ' ', ' ' || b3.l || b3.r || ' '),
-       |      ' ' || b4.l || '  ' || b4.r || ' ', ' ' || b4.l || b4.r || ' ')
-       |  ), '  ')) AS subword
-       |  FROM words0
-       |  CROSS JOIN best1 b1 CROSS JOIN best2 b2
-       |  CROSS JOIN best3 b3 CROSS JOIN best4 b4
+       |  SELECT cnt, unnest(string_split(trim(s), '  ')) AS subword
+       |  FROM words4
        |)
        |GROUP BY subword ORDER BY n DESC, subword LIMIT 50""".stripMargin
 

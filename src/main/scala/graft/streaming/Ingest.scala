@@ -106,9 +106,11 @@ object Ingest {
         // blank separator lines / trailing newlines are a fact of
         // concatenated JSONL; the JSON source skipped them silently
         // and so do we — they carry nothing to triage, and each one
-        // would otherwise mint a content-free quarantine dir
+        // would otherwise mint a content-free quarantine dir. \S,
+        // not trim(): SQL trim strips only ASCII spaces, and a tab
+        // separator line would still slip through
         val parsed = lines
-          .filter(length(trim(col("value"))) > 0)
+          .filter(col("value").rlike("\\S"))
           .select(col("value"),
             from_json(col("value"), parseSchema, Map(
               "mode" -> "PERMISSIVE",

@@ -46,6 +46,8 @@ object ShuffleMeter {
     val tag = s"shuffle-meter-${java.util.UUID.randomUUID()}"
     val sentinelTag = s"$tag-sentinel"
     val stages = ConcurrentHashMap.newKeySet[Int]()
+    val taggedJobs = ConcurrentHashMap.newKeySet[Int]()
+    val endedJobs = ConcurrentHashMap.newKeySet[Int]()
     val sentinelJobs = ConcurrentHashMap.newKeySet[Int]()
     @volatile var drained = false
     val wb = new AtomicLong; val wr = new AtomicLong
@@ -54,11 +56,16 @@ object ShuffleMeter {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val group = if (e.properties == null) null
           else e.properties.getProperty("spark.jobGroup.id")
-        if (tag == group) e.stageIds.foreach(id => stages.add(id))
+        if (tag == group) {
+          taggedJobs.add(e.jobId)
+          e.stageIds.foreach(id => stages.add(id))
+        }
         if (sentinelTag == group) sentinelJobs.add(e.jobId)
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        if (taggedJobs.contains(e.jobId)) endedJobs.add(e.jobId)
         if (sentinelJobs.contains(e.jobId)) drained = true
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null && stages.contains(e.stageId)) {
@@ -86,6 +93,15 @@ object ShuffleMeter {
         throw new IllegalStateException(
           "listener bus did not drain within 30s — stats would " +
             "undercount, refusing to return them")
+      // the sentinel proves ordered delivery drained; this catches
+      // the OTHER loss mode — an overloaded bus DROPPING tagged
+      // events outright (the sentinel, posted after the flood, can
+      // still land while earlier metrics are gone)
+      if (taggedJobs.size != endedJobs.size)
+        throw new IllegalStateException(
+          s"listener bus dropped events: ${endedJobs.size} of " +
+            s"${taggedJobs.size} tagged jobs observed ending — stats " +
+            "would undercount, refusing to return them")
     } finally {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)

@@ -45,4 +45,24 @@ class BpeSpec extends AnyFunSuite {
     assert(sub == Seq(("aaaa", 3L), ("bc", 2L), ("de", 1L)),
       s"subword table diverged: $sub")
   }
+
+  test("a corpus that runs dry before round k stops early in BOTH engines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bpedry").toString
+    // merges: (a,b) x2, then (c,d) x1, then NO pairs remain — q81
+    // must return 2 rows (the oracle's empty best3/best4 truncate the
+    // same way) and q82 must segment with the 2 learned merges, not
+    // throw or return empty
+    Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = TextQueries.q81(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(merges == Seq((1, "a", "b", 2L), (2, "c", "d", 1L)),
+      s"dry-corpus merges diverged: $merges")
+    val sub = TextQueries.q82(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sub == Seq(("ab", 2L), ("cd", 1L)),
+      s"dry-corpus subwords diverged: $sub")
+  }
 }
