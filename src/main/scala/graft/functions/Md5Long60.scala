@@ -170,6 +170,8 @@ object GraftFunctions {
       "rep_stats2", repStatsBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "bloom_build", bloomBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "cms_build", cmsBuilder, "built-in")
   }
 
   private val bloomBuilder: Seq[Expression] => Expression = {
@@ -177,6 +179,13 @@ object GraftFunctions {
       BloomBuild(key, m, k)
     case other => throw new IllegalArgumentException(
       s"bloom_build(key, <int literal mBits>, <int literal k>) — got $other")
+  }
+
+  private val cmsBuilder: Seq[Expression] => Expression = {
+    case Seq(key, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+      CmsBuild(key, w, d)
+    case other => throw new IllegalArgumentException(
+      s"cms_build(key, <int literal w>, <int literal d>) — got $other")
   }
 
   private val repStatsBuilder: Seq[Expression] => Expression = {
@@ -243,6 +252,14 @@ class GraftExtensions
           BloomBuild(key, m, k)
         case other => throw new IllegalArgumentException(
           s"bloom_build(key, <int literal mBits>, <int literal k>) — got $other")
+      }))
+    ext.injectFunction((FunctionIdentifier("cms_build"),
+      new ExpressionInfo(classOf[CmsBuild].getName, "cms_build"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(key, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          CmsBuild(key, w, d)
+        case other => throw new IllegalArgumentException(
+          s"cms_build(key, <int literal w>, <int literal d>) — got $other")
       }))
   }
 }

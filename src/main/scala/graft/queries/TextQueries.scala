@@ -1459,6 +1459,68 @@ object TextQueries {
        |)
        |GROUP BY subword ORDER BY n DESC, subword LIMIT 50""".stripMargin
 
+  // ---- q83: Count-Min heavy hitters (sketched frequency) ----
+  // The fixed-state frequency estimate next to q77's membership
+  // bloom: build one d x w counter grid over the corpus terms
+  // (cms_build, a true partial aggregate — each task ships one 32 KB
+  // grid, never keys), broadcast it, and read estimates map-side
+  // (cms_query). Output joins the exact top-20 term counts with
+  // their sketch estimates; CM guarantees estimate >= exact, with
+  // collision-only overestimates. At 100 TB the exact groupBy holds
+  // every distinct key; the sketch answers in 32 KB.
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = 1 << 10
+    val d = 4
+    val words = tbl(spark, dir, "documents")
+      .select(explode(toks).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
+      .withColumn("k", call_function("md5_long60", col("term")))
+    // driver-side scalar collect + broadcast, the codebook/bloom shape
+    val bytes = words
+      .agg(call_function("cms_build", col("k"), lit(w), lit(d)))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bytes)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_query", {
+        case Seq(key) => graft.functions.CmsQuery(key, bc)
+        case other => throw new IllegalArgumentException(
+          s"cms_query(<bigint key>) takes exactly one argument — " +
+            s"got ${other.length}")
+      }, "built-in")
+    words.groupBy(col("term"), col("k"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(20)
+      .withColumn("cms_n", call_function("cms_query", col("k")))
+      .select(col("term"), col("exact_n"), col("cms_n"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
+  val q83Sql: String = {
+    val kOf = md5IntSql("term")
+    def cell(keyExpr: String) =
+      s"(${md5IntSql(s"'cms' || jj.j || ':' || CAST($keyExpr AS VARCHAR)")}) % 1024"
+    s"""WITH words AS (
+       |  SELECT term, $kOf AS k FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |    FROM documents)
+       |  WHERE regexp_matches(term, '^[a-z]+$$')
+       |), counters AS (
+       |  SELECT jj.j, ${cell("k")} AS idx, count(*) AS c
+       |  FROM words CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT term, k, count(*) AS exact_n FROM words GROUP BY term, k
+       |  ORDER BY exact_n DESC, term LIMIT 20
+       |)
+       |SELECT t.term, t.exact_n, min(c.c) AS cms_n
+       |FROM top t
+       |CROSS JOIN (SELECT unnest(range(4)) AS j) jj
+       |JOIN counters c ON c.j = jj.j AND c.idx = ${cell("t.k")}
+       |GROUP BY t.term, t.exact_n
+       |ORDER BY exact_n DESC, term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -1488,7 +1550,8 @@ object TextQueries {
     "q78_pii_scrub" -> (q78 _),
     "q80_delta_dedup" -> (q80 _),
     "q81_bpe_merges" -> (q81 _),
-    "q82_bpe_subwords" -> (q82 _)
+    "q82_bpe_subwords" -> (q82 _),
+    "q83_cms_heavy" -> (q83 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1520,6 +1583,7 @@ object TextQueries {
     "q78_pii_scrub" -> q78Sql,
     "q80_delta_dedup" -> q80Sql,
     "q81_bpe_merges" -> q81Sql,
-    "q82_bpe_subwords" -> q82Sql
+    "q82_bpe_subwords" -> q82Sql,
+    "q83_cms_heavy" -> q83Sql
   )
 }
