@@ -103,6 +103,13 @@ case class CmsBuild(key: Expression, w: Int, d: Int,
         s"cms_build requires 16 <= w <= 2^24, got $w")
     else if (d < 1 || d > 16)
       TypeCheckResult.TypeCheckFailure(s"cms_build requires 1 <= d <= 16, got $d")
+    else if (w.toLong * d > (1L << 22))
+      // every task allocates (and every exchange row carries) the full
+      // grid: cap the combined size at 4M counters / 32 MB — the bloom
+      // cap's role; w and d alone would admit a 2 GB buffer
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_build grid w*d = ${w.toLong * d} exceeds 2^22 counters " +
+          "(32 MB per task buffer) — shrink w or d")
     else key.dataType match {
       case LongType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
