@@ -197,23 +197,12 @@ case class BloomProbe(child: Expression, filter: Broadcast[Array[Byte]])
 }
 
 object BloomProbe {
-  // per-broadcast parse cache: Broadcast.value is already cached per
-  // executor; parsing the geometry is cheap but per-row matters.
-  // BOUNDED: broadcast ids are fresh per query, so an unbounded map
-  // would retain a parsed copy of every filter ever probed for the
-  // executor's lifetime (filters can be tens of MB at mBits=2^28).
-  // Entries are re-parseable, so on overflow the whole map is cleared
-  // — worst case one re-parse per live filter, never a leak.
-  private val MaxCached = 8
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Int, Int)]()
+  // shared object-keyed parse cache — see [[ParsedCache]] for why
+  // keying by bc.id would be wrong across SparkContext restarts
+  private val cache = new ParsedCache[(Array[Long], Int, Int)]()
 
   def probe(bc: Broadcast[Array[Byte]], key: Long): Boolean = {
-    var parsed = cache.get(bc.id)
-    if (parsed == null) {
-      if (cache.size >= MaxCached) cache.clear()
-      parsed = cache.computeIfAbsent(bc.id, _ => BloomUtil.fromBytes(bc.value))
-    }
+    val parsed = cache.get(bc, BloomUtil.fromBytes)
     BloomUtil.mightContain(parsed._1, parsed._2, key, parsed._3)
   }
 }

@@ -70,9 +70,14 @@ object CmsUtil {
   }
 }
 
-/** Mutable build buffer: the counter grid plus its geometry. */
-final class CmsBuffer(val w: Int, val d: Int) {
-  val counts = new Array[Long](w * d)
+/** Mutable build buffer: the counter grid plus its geometry. The
+  * two-arg form allocates; the three-arg form ADOPTS an existing
+  * grid (deserialize already built one — re-allocating and copying
+  * a 32 MB grid per merged partial would double the exchange-side
+  * allocation).
+  */
+final class CmsBuffer(val w: Int, val d: Int, val counts: Array[Long]) {
+  def this(w: Int, d: Int) = this(w, d, new Array[Long](w * d))
   def add(key: Long): Unit = {
     var j = 0
     while (j < d) { counts(j * w + CmsUtil.idx(j, key, w)) += 1; j += 1 }
@@ -98,9 +103,9 @@ case class CmsBuild(key: Expression, w: Int, d: Int,
   override def prettyName: String = "cms_build"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (w < 16 || w > (1 << 24))
+    if (w < 16 || w > (1 << 22))
       TypeCheckResult.TypeCheckFailure(
-        s"cms_build requires 16 <= w <= 2^24, got $w")
+        s"cms_build requires 16 <= w <= 2^22, got $w")
     else if (d < 1 || d > 16)
       TypeCheckResult.TypeCheckFailure(s"cms_build requires 1 <= d <= 16, got $d")
     else if (w.toLong * d > (1L << 22))
@@ -137,9 +142,7 @@ case class CmsBuild(key: Expression, w: Int, d: Int,
 
   override def deserialize(bytes: Array[Byte]): CmsBuffer = {
     val (counts, w0, d0) = CmsUtil.fromBytes(bytes)
-    val buffer = new CmsBuffer(w0, d0)
-    System.arraycopy(counts, 0, buffer.counts, 0, counts.length)
-    buffer
+    new CmsBuffer(w0, d0, counts)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsBuild =
@@ -182,21 +185,11 @@ case class CmsQuery(child: Expression, sketch: Broadcast[Array[Byte]])
 }
 
 object CmsQuery {
-  // per-broadcast parse cache, bounded like BloomProbe's (grids can
-  // be MBs at w=2^24; entries are re-parseable so clearing is safe)
-  private val MaxCached = 8
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (Array[Long], Int, Int)]()
+  private val cache = new ParsedCache[(Array[Long], Int, Int)]()
 
   private[functions] def parsed(
-      bc: Broadcast[Array[Byte]]): (Array[Long], Int, Int) = {
-    var p = cache.get(bc.id)
-    if (p == null) {
-      if (cache.size >= MaxCached) cache.clear()
-      p = cache.computeIfAbsent(bc.id, _ => CmsUtil.fromBytes(bc.value))
-    }
-    p
-  }
+      bc: Broadcast[Array[Byte]]): (Array[Long], Int, Int) =
+    cache.get(bc, CmsUtil.fromBytes)
 
   def estimate(bc: Broadcast[Array[Byte]], key: Long): Long = {
     val (counts, w, d) = parsed(bc)

@@ -181,7 +181,7 @@ object GraftFunctions {
       s"bloom_build(key, <int literal mBits>, <int literal k>) — got $other")
   }
 
-  private val cmsBuilder: Seq[Expression] => Expression = {
+  private[functions] val cmsBuilder: Seq[Expression] => Expression = {
     case Seq(key, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
       CmsBuild(key, w, d)
     case other => throw new IllegalArgumentException(
@@ -255,11 +255,6 @@ class GraftExtensions
       }))
     ext.injectFunction((FunctionIdentifier("cms_build"),
       new ExpressionInfo(classOf[CmsBuild].getName, "cms_build"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(key, Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
-          CmsBuild(key, w, d)
-        case other => throw new IllegalArgumentException(
-          s"cms_build(key, <int literal w>, <int literal d>) — got $other")
-      }))
+      GraftFunctions.cmsBuilder)) // one builder, both injection paths
   }
 }

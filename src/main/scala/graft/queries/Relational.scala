@@ -1106,15 +1106,20 @@ object Relational {
     val bytes = dim.agg(call_function("bloom_build",
       col("p_partkey"), lit(1 << 16), lit(4))).head().getAs[Array[Byte]](0)
     val bc = spark.sparkContext.broadcast(bytes)
+    // the function name carries the broadcast id: temp-function names
+    // are session-global, and rebinding a FIXED name on a later call
+    // would make this call's lazily-resolved DataFrame probe the
+    // later call's filter — wrong-filter false negatives, silently
+    val probeFn = s"bloom_probe_${bc.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_probe", {
+      probeFn, {
         case Seq(key) => graft.functions.BloomProbe(key, bc)
         case other => throw new IllegalArgumentException(
           s"bloom_probe(<bigint key>) takes exactly one argument — " +
             s"got ${other.length}")
       }, "built-in")
     tbl(spark, dir, "lineitem")
-      .filter(call_function("bloom_probe", col("l_partkey")))
+      .filter(call_function(probeFn, col("l_partkey")))
       .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),

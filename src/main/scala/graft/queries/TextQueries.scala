@@ -1481,8 +1481,12 @@ object TextQueries {
       .agg(call_function("cms_build", col("k"), lit(w), lit(d)))
       .head().getAs[Array[Byte]](0)
     val bc = spark.sparkContext.broadcast(bytes)
+    // name carries the broadcast id: rebinding a fixed name on a
+    // later q83 call would make THIS call's lazily-resolved frame
+    // read the later sketch — wrong estimates, silently
+    val queryFn = s"cms_query_${bc.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_query", {
+      queryFn, {
         case Seq(key) => graft.functions.CmsQuery(key, bc)
         case other => throw new IllegalArgumentException(
           s"cms_query(<bigint key>) takes exactly one argument — " +
@@ -1491,7 +1495,7 @@ object TextQueries {
     words.groupBy(col("term"), col("k"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("term")).limit(20)
-      .withColumn("cms_n", call_function("cms_query", col("k")))
+      .withColumn("cms_n", call_function(queryFn, col("k")))
       .select(col("term"), col("exact_n"), col("cms_n"))
       .orderBy(col("exact_n").desc, col("term"))
   }
