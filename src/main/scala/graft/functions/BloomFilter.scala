@@ -187,8 +187,9 @@ case class BloomProbe(child: Expression, filter: Broadcast[Array[Byte]])
     val bcRef = ctx.addReferenceObj("bloomBc", filter,
       classOf[Broadcast[_]].getName)
     // route through the static helper: it parses the filter once per
-    // executor (keyed by broadcast id), the per-row call is two mixes
-    // + k bit reads
+    // executor (cached via ParsedCache, keyed by (app id, broadcast
+    // id) — NOT bare broadcast id, which repeats across SparkContext
+    // restarts); the per-row call is two mixes + k bit reads
     defineCodeGen(ctx, ev, c => s"graft.functions.BloomProbe.probe($bcRef, $c)")
   }
 
@@ -197,8 +198,10 @@ case class BloomProbe(child: Expression, filter: Broadcast[Array[Byte]])
 }
 
 object BloomProbe {
-  // shared object-keyed parse cache — see [[ParsedCache]] for why
-  // keying by bc.id would be wrong across SparkContext restarts
+  // shared parse cache keyed by (app id, broadcast id) — see
+  // [[ParsedCache]] for why bare bc.id (repeats across SparkContext
+  // restarts) and object identity (fresh wrapper per task) are both
+  // wrong keys
   private val cache = new ParsedCache[(Array[Long], Int, Int)]()
 
   def probe(bc: Broadcast[Array[Byte]], key: Long): Boolean = {

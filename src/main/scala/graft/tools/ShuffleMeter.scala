@@ -11,7 +11,18 @@ import org.apache.spark.sql.SparkSession
   * action ran).
   */
 case class ShuffleStats(writeBytes: Long, writeRecords: Long,
-    readBytes: Long, readRecords: Long)
+    readBytes: Long, readRecords: Long,
+    /** Jobs that started during the measurement window WITHOUT the
+      * meter's tag. Under exclusive use of the session this must be 0
+      * — a nonzero value there means some of the action's own jobs
+      * ran from a thread the job-group property did not reach (AQE /
+      * broadcast pools) and their shuffle traffic was NOT counted.
+      * Under parallel test suites sharing the session it merely
+      * counts other suites' unrelated jobs, so specs on the shared
+      * session must not assert on it. Exclusive callers
+      * (ShuffleReport, benches) assert == 0 to close the attribution
+      * gap loudly instead of undercounting silently. */
+    untaggedConcurrentJobs: Int)
 
 /** Measures the ACTUAL shuffle traffic of a query, to back the plan
   * assertions in PlanSpec with numbers: a plan can look right (one
@@ -39,6 +50,15 @@ case class ShuffleStats(writeBytes: Long, writeRecords: Long,
   * number: a budget test reading partial stats would pass
   * spuriously — timing out before the sentinel lands throws
   * instead of returning.
+  *
+  * One attribution gap remains by construction: a job of the ACTION
+  * submitted from a thread the job-group property never reached
+  * would be excluded like any other concurrent work. Such jobs are
+  * indistinguishable from unrelated traffic on a shared session, so
+  * the meter cannot fail on them unilaterally — instead every job
+  * that starts in the window without the tag is counted into
+  * [[ShuffleStats.untaggedConcurrentJobs]], and callers that own the
+  * session exclusively (ShuffleReport, benches) require it to be 0.
   */
 object ShuffleMeter {
 
@@ -49,6 +69,8 @@ object ShuffleMeter {
     val taggedJobs = ConcurrentHashMap.newKeySet[Int]()
     val endedJobs = ConcurrentHashMap.newKeySet[Int]()
     val sentinelJobs = ConcurrentHashMap.newKeySet[Int]()
+    val untaggedJobs = ConcurrentHashMap.newKeySet[Int]()
+    @volatile var windowOpen = true
     @volatile var drained = false
     val wb = new AtomicLong; val wr = new AtomicLong
     val rb = new AtomicLong; val rr = new AtomicLong
@@ -59,8 +81,18 @@ object ShuffleMeter {
         if (tag == group) {
           taggedJobs.add(e.jobId)
           e.stageIds.foreach(id => stages.add(id))
+        } else if (sentinelTag == group) {
+          sentinelJobs.add(e.jobId)
+        } else if (windowOpen) {
+          // a job in the window that is neither ours nor the
+          // sentinel: either another thread's unrelated work (fine on
+          // a shared test session) or — the dangerous case — one of
+          // the action's own jobs submitted from a thread the
+          // job-group local property did not reach, whose metrics
+          // would silently be excluded. Surfaced in the stats so
+          // exclusive callers can fail loudly.
+          untaggedJobs.add(e.jobId)
         }
-        if (sentinelTag == group) sentinelJobs.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         if (taggedJobs.contains(e.jobId)) endedJobs.add(e.jobId)
@@ -89,6 +121,7 @@ object ShuffleMeter {
       spark.range(1).count()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!drained && System.nanoTime() < deadline) Thread.sleep(50)
+      windowOpen = false
       if (!drained)
         throw new IllegalStateException(
           "listener bus did not drain within 30s — stats would " +
@@ -106,6 +139,6 @@ object ShuffleMeter {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
     }
-    ShuffleStats(wb.get, wr.get, rb.get, rr.get)
+    ShuffleStats(wb.get, wr.get, rb.get, rr.get, untaggedJobs.size)
   }
 }

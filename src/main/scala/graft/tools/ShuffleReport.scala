@@ -39,6 +39,12 @@ object ShuffleReport {
       val s = ShuffleMeter.measure(spark) {
         rows = q(spark, dir).queryExecution.toRdd.count()
       }
+      // this session is exclusive to the report, so any untagged job
+      // in the window is one of the query's own jobs that escaped
+      // job-group attribution — the numbers would undercount
+      require(s.untaggedConcurrentJobs == 0,
+        s"$name: ${s.untaggedConcurrentJobs} jobs ran in the window " +
+          "without the meter tag — attribution gap, numbers not trustworthy")
       spark.catalog.clearCache()
       totW += s.writeRecords; totB += s.writeBytes
       println(f"| $name | $rows | ${s.writeRecords} | " +
