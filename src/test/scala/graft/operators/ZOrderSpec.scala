@@ -1,5 +1,11 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -82,6 +88,97 @@ class ZOrderSpec extends AnyFunSuite {
     val q = (d: String) => spark.read.parquet(d)
       .filter(col("x").between(0.4, 0.6) && col("y").between(0.45, 0.55))
       .count()
+    assert(q(zDir) == q(linDir))
+  }
+
+  test("Spark's OWN parquet reader skips Z-pruned files (scan metrics, not emulation)") {
+    import spark.implicits._
+    // End-to-end through the real FileSourceScanExec: Spark lists
+    // every file (numFiles is layout-blind), but the pushed-down
+    // predicate lets the parquet reader drop whole ROW GROUPS from
+    // footer min/max before decoding. Each file below holds exactly
+    // one row group (asserted from the footers), so row groups
+    // skipped == files skipped, and the scan's numOutputRows metric
+    // (rows the reader actually decoded, pre-Spark-filter) is the
+    // file-skip payoff measured by Spark's own machinery.
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(10000)((rnd.nextDouble(), rnd.nextDouble()))
+      .toDF("x", "y")
+    val root = java.nio.file.Files.createTempDirectory("zreal").toString
+    val (zDir, linDir) = (s"$root/zorder", s"$root/linear")
+    val files = 20
+    ZOrder.zOrderBy(pts, col("x"), 0, 1, col("y"), 0, 1,
+        bits = 8, partitions = files)
+      .write.parquet(zDir)
+    pts.repartitionByRange(files, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(linDir)
+
+    val (yLo, yHi) = (0.45, 0.55)
+
+    // footer ground truth: per-file row count and y-range from the
+    // real parquet metadata (what the reader's row-group skip uses)
+    def footerStats(dir: String): Seq[(Long, Double, Double)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+          val reader = ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            assert(blocks.size == 1,
+              s"${f.getName}: expected 1 row group, got ${blocks.size}")
+            val yStats = blocks.get(0).getColumns.asScala
+              .find(_.getPath.toDotString == "y").get.getStatistics
+            (blocks.get(0).getRowCount,
+              yStats.genericGetMin.asInstanceOf[Double],
+              yStats.genericGetMax.asInstanceOf[Double])
+          } finally reader.close()
+        }
+    }
+
+    // run the y-predicate through the real reader and harvest the
+    // scan node's OWN metrics after execution
+    def scanMetrics(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("y") >= yLo && col("y") <= yHi)
+      df.collect()
+      val scan = df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s } match {
+          case Seq(s) => s
+          case other => fail(s"expected one FileSourceScanExec, got $other")
+        }
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(y,"),
+        s"y predicate must reach the parquet scan: ${scan.metadata("PushedFilters")}")
+      (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+    }
+
+    val zStats = footerStats(zDir); val linStats = footerStats(linDir)
+    val surviving = (s: Seq[(Long, Double, Double)]) =>
+      s.filter { case (_, lo, hi) => hi >= yLo && lo <= yHi }
+    val zSurvive = surviving(zStats); val linSurvive = surviving(linStats)
+    // the x-sorted layout's files all span y: nothing skippable
+    assert(linSurvive.size == files,
+      s"linear layout should have no skippable file, ${linSurvive.size}")
+    assert(zSurvive.size < files / 2,
+      s"Z layout should leave most files skippable: ${zSurvive.size}/$files")
+
+    val (zFiles, zRows) = scanMetrics(zDir)
+    val (linFiles, linRows) = scanMetrics(linDir)
+    // listing is layout-blind — the skip happens INSIDE the reader
+    assert(zFiles == files && linFiles == files)
+    // linear: every row group survives, the reader decodes all rows
+    assert(linRows == 10000L,
+      s"linear layout should decode everything: $linRows")
+    // Z: the reader decodes exactly the surviving row groups' rows —
+    // i.e. it really skipped the files the footers say it could
+    assert(zRows == zSurvive.map(_._1).sum,
+      s"scan decoded $zRows rows vs footer-predicted ${zSurvive.map(_._1).sum}")
+    assert(zRows < linRows / 2,
+      s"Z layout should decode under half the rows: $zRows vs $linRows")
+    // same answer from both layouts, through the same real reader
+    val q = (d: String) => spark.read.parquet(d)
+      .filter(col("y") >= yLo && col("y") <= yHi).count()
     assert(q(zDir) == q(linDir))
   }
 
