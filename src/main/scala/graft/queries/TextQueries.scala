@@ -1246,11 +1246,13 @@ object TextQueries {
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(lit("fresh "), (col("doc_id") % 50).cast("string")).as("text"))
     val delta = replayed.union(fresh).withColumn("h", md5(col("text")))
-    val deltaDigests = delta.select(col("h")).distinct()
-    // one map-only probe over the base; emits only matched digests
-    val baseHits = docs.select(md5(col("text")).as("h"))
-      .join(broadcast(deltaDigests), Seq("h"), "left_semi")
-      .distinct()
+    // one map-only probe over the base; emits only matched digests.
+    // The probe transport is guarded ([[TextOps.matchedBaseDigests]]):
+    // broadcast while the delta fits, documented SMJ fallback past the
+    // cap — an unguarded broadcast() of an oversized delta would OOM
+    // instead of degrading
+    val baseHits = TextOps.matchedBaseDigests(
+        docs.select(md5(col("text")).as("h")), delta, "h")
       .withColumn("in_base", lit(true))
     val keeper = delta.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     delta

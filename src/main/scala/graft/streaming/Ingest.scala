@@ -158,9 +158,13 @@ object Ingest {
             // q80 delta-dedup shape, one table scan per batch: the
             // accumulated table's digest column probes a broadcast of
             // the batch's digests; the matched set (bounded by the
-            // batch's distinct texts) collects to the driver so
-            // downstream re-evaluations replay a local-relation
-            // anti-join, never the table scan
+            // batch's distinct texts, never corpus-sized) is PERSISTED
+            // on the executors so the merge's downstream re-evaluations
+            // replay a cached-hits broadcast anti-join, never the table
+            // scan — and no digest round-trips through an application
+            // collect (the broadcast build is Spark's managed,
+            // size-guarded path)
+            var hits: DataFrame = null
             val admitted =
               if (!Sinks.hasCommittedData(fs, tablePath)) kept
               else {
@@ -170,15 +174,23 @@ object Ingest {
                     "digests — the stored rows carry no text to backfill " +
                     "from, so cross-batch dedup cannot run against it; " +
                     "rewrite the table (re-ingest) or start a new path")
-                val hits = table.select(col("text_md5"))
-                  .join(broadcast(kept.select(col("text_md5")).distinct()),
-                    Seq("text_md5"), "left_semi")
-                  .distinct().collect().map(_.getString(0)).toSeq
-                kept.join(broadcast(hits.toDF("text_md5")),
-                  Seq("text_md5"), "left_anti")
+                // guarded transport (broadcast under the cap, SMJ
+                // fallback past it) — a poison mega-batch must degrade
+                // to a shuffle, not OOM the driver mid-stream
+                hits = graft.text.TextOps.matchedBaseDigests(
+                  table.select(col("text_md5")), kept, "text_md5").persist()
+                // the count pins the persist before the merge's
+                // re-evaluations AND guards the anti-join's transport
+                // with the same cap as the probe
+                val hitsTransport =
+                  if (hits.count() <= (1L << 22)) broadcast(hits)
+                  else hits.hint("merge")
+                kept.join(hitsTransport, Seq("text_md5"), "left_anti")
               }
-            Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev",
-              buckets)
+            try {
+              Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev",
+                buckets)
+            } finally if (hits != null) hits.unpersist()
             postMergeHook(batchId)
           } finally kept.unpersist()
         } finally parsed.unpersist()

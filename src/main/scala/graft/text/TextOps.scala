@@ -282,6 +282,41 @@ object TextOps {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Matched-digest probe for delta-vs-base incremental dedup (q80,
+    * the streaming ingest): which of `deltaDigests` already occur in
+    * `base`'s `key` column? Returns the distinct matched digest set
+    * (≤ |delta| rows, never base-sized).
+    *
+    * Transport is chosen by an EXPLICIT size check on the delta —
+    * `broadcast()` is a hint Spark obeys unconditionally, so an
+    * unguarded probe with an oversized delta would OOM the driver
+    * building the hash relation rather than flip to a safer plan:
+    * - delta ≤ `maxBroadcastRows`: broadcast semi-join — the 100 TB
+    *   base stays MAP-ONLY (zero shuffles, one scan). The default cap
+    *   (2^22 digests ≈ a few hundred MB of hash relation) keeps the
+    *   broadcast comfortably inside a normal executor/driver budget;
+    *   a real micro-batch delta is orders of magnitude below it.
+    * - larger deltas: documented fallback to a shuffled sort-merge
+    *   semi-join (`hint("merge")` — deterministic, not left to stats
+    *   that a computed delta doesn't have). The base pays its one
+    *   digest shuffle; that is the honest cost of probing a delta too
+    *   big to ship to every task, and still exchanges 16-byte-digest
+    *   rows, never text.
+    * The check itself runs one delta-sized count job at construction
+    * (the delta is the SMALL side by definition); same documented
+    * not-purely-lazy precedent as the q43/q77/q83 sketch builds.
+    */
+  def matchedBaseDigests(base: DataFrame, deltaDigests: DataFrame,
+      key: String, maxBroadcastRows: Long = 1L << 22): DataFrame = {
+    val probe = deltaDigests.select(col(key)).distinct()
+    val hits =
+      if (probe.count() <= maxBroadcastRows)
+        base.select(col(key)).join(broadcast(probe), Seq(key), "left_semi")
+      else
+        base.select(col(key)).join(probe.hint("merge"), Seq(key), "left_semi")
+    hits.distinct()
+  }
+
   /** Connected components over a near-duplicate pair graph — the step
     * that turns candidate pairs (q31/q33 output) into an actionable
     * dedup decision: every doc gets the minimum doc_id of its

@@ -108,15 +108,47 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q80 delta dedup: the base corpus joins broadcast-only, never sort-merge") {
+    // in-cap regime of the guarded probe (the delta here is far under
+    // matchedBaseDigests' 2^22 default): the 100 TB base side must
+    // stay map-only — its digests probe a broadcast of the delta
+    // digest set; any SortMergeJoin would mean the base is shuffled.
+    // The over-cap regime is exercised separately below.
     val p = plan(TextQueries.q80(spark, dir))
-    // the 100 TB base side must stay map-only: its digests probe a
-    // broadcast of the (micro-batch-sized) delta digest set; any
-    // SortMergeJoin would mean the base is being shuffled
     assert(!p.contains("SortMergeJoin"), s"base corpus shuffles for a join:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       s"expected broadcast probe + enrich joins:\n$p")
+  }
+
+  test("delta probe guard: broadcast under the cap, SMJ fallback past it, same answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.text.TextOps
+    val base = spark.range(0, 2000)
+      .select(md5(col("id").cast("string")).as("h"))
+    val delta = spark.range(1500, 1700)
+      .select(md5(col("id").cast("string")).as("h"))
+    // in-cap: the base side must plan a broadcast semi-join
+    val bc = TextOps.matchedBaseDigests(base, delta, "h")
+    val bcPlan = plan(bc)
+    assert(bcPlan.contains("BroadcastHashJoin"),
+      s"in-cap probe should broadcast:\n$bcPlan")
+    assert(!bcPlan.contains("SortMergeJoin"),
+      s"in-cap probe must not shuffle the base:\n$bcPlan")
+    // over-cap (cap forced to 10 rows): the guard must flip to the
+    // documented sort-merge fallback instead of broadcasting anyway
+    val smj = TextOps.matchedBaseDigests(base, delta, "h",
+      maxBroadcastRows = 10)
+    val smjPlan = plan(smj)
+    assert(smjPlan.contains("SortMergeJoin"),
+      s"over-cap probe should fall back to SMJ:\n$smjPlan")
+    assert(!smjPlan.contains("BroadcastHashJoin"),
+      s"over-cap probe must not broadcast the delta:\n$smjPlan")
+    // both transports return the identical matched set
+    val a = bc.collect().map(_.getString(0)).sorted.toSeq
+    val b = smj.collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b && a.size == 200, s"regimes disagree: ${a.size} vs ${b.size}")
   }
 
   test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
