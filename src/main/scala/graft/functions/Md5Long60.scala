@@ -172,6 +172,12 @@ object GraftFunctions {
       "bloom_build", bloomBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "cms_build", cmsBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "hll_build", hllBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "hll_card", hllCardBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "hll_regsum", hllRegSumBuilder, "built-in")
   }
 
   private val bloomBuilder: Seq[Expression] => Expression = {
@@ -186,6 +192,26 @@ object GraftFunctions {
       CmsBuild(key, w, d)
     case other => throw new IllegalArgumentException(
       s"cms_build(key, <int literal w>, <int literal d>) — got $other")
+  }
+
+  private[functions] val hllBuilder: Seq[Expression] => Expression = {
+    case Seq(key, Literal(p: Int, IntegerType)) => HllBuild(key, p)
+    case other => throw new IllegalArgumentException(
+      s"hll_build(key, <int literal p>) — got $other")
+  }
+
+  private[functions] val hllCardBuilder: Seq[Expression] => Expression = {
+    case Seq(sk) => HllCard(sk)
+    case other => throw new IllegalArgumentException(
+      s"hll_card(<binary sketch>) takes exactly one argument — " +
+        s"got ${other.length}")
+  }
+
+  private[functions] val hllRegSumBuilder: Seq[Expression] => Expression = {
+    case Seq(sk) => HllRegSum(sk)
+    case other => throw new IllegalArgumentException(
+      s"hll_regsum(<binary sketch>) takes exactly one argument — " +
+        s"got ${other.length}")
   }
 
   private val repStatsBuilder: Seq[Expression] => Expression = {
@@ -256,5 +282,14 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("cms_build"),
       new ExpressionInfo(classOf[CmsBuild].getName, "cms_build"),
       GraftFunctions.cmsBuilder)) // one builder, both injection paths
+    ext.injectFunction((FunctionIdentifier("hll_build"),
+      new ExpressionInfo(classOf[HllBuild].getName, "hll_build"),
+      GraftFunctions.hllBuilder))
+    ext.injectFunction((FunctionIdentifier("hll_card"),
+      new ExpressionInfo(classOf[HllCard].getName, "hll_card"),
+      GraftFunctions.hllCardBuilder))
+    ext.injectFunction((FunctionIdentifier("hll_regsum"),
+      new ExpressionInfo(classOf[HllRegSum].getName, "hll_regsum"),
+      GraftFunctions.hllRegSumBuilder))
   }
 }

@@ -1135,6 +1135,69 @@ object Relational {
       |WHERE p_brand = 'Brand#13'
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- q84: HyperLogLog distinct-count sketch ----
+  // The cardinality member of the sketch family (bloom q77 = member-
+  // ship, CMS q83 = frequency): per-group distinct orderkeys from
+  // 2^7 = 128 byte registers instead of an exact count-distinct's
+  // per-key shuffle state. The native `hll_build` aggregate exchanges
+  // one register array per task and merges by elementwise max
+  // (idempotent — safe under any partitioning or replay); `hll_card`
+  // and `hll_regsum` then read the per-group sketch map-side. The
+  // exact count-distinct rides along both as the accuracy witness and
+  // as the thing the sketch REPLACES at 100 TB (its Expand+shuffle of
+  // every distinct key vs. HLL's 128 bytes/group). The estimator's
+  // arithmetic is integer-exact up to two correctly-rounded IEEE ops
+  // (see HllUtil), and the fixture keeps every group's cardinality
+  // far above the 2.5m linear-counting threshold, so the oracle
+  // replays registers, checksum, and estimate bit-for-bit.
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
+      .groupBy(col("flag"))
+      .agg(countDistinct(col("k")).as("exact_nd"),
+        call_function("hll_build", col("k"), lit(7)).as("sk"))
+      .select(col("flag"), col("exact_nd"),
+        call_function("hll_card", col("sk")).as("hll_nd"),
+        call_function("hll_regsum", col("sk")).as("reg_sum"))
+      .orderBy(col("flag"))
+  }
+
+  val q84Sql: String = {
+    val h = TextQueries.md5IntSql("'hll:' || CAST(k AS VARCHAR)")
+    // p=7: m=128 registers, rank rho = 54 - bitlen(h // 128)
+    // (61 - p = 54), harmonic sum scaled exactly by 2^54 =
+    // 18014398509481984; alpha = 0.7213/(1 + 1.079/128). Every
+    // multiply is a power-of-two scale (exact); the one long->double
+    // round and one divide are correctly-rounded in both engines.
+    s"""WITH keys AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k FROM lineitem
+       |), r AS (
+       |  SELECT flag, ($h) % 128 AS idx,
+       |    MAX(CASE WHEN ($h) // 128 = 0 THEN 54
+       |        ELSE 54 - length(bin(($h) // 128)) END) AS rho
+       |  FROM keys GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT flag,
+       |    SUM(1::BIGINT << (54 - rho)) AS z_filled,
+       |    COUNT(*) AS n_filled,
+       |    CAST(SUM((idx + 1) * rho) AS BIGINT) AS reg_sum
+       |  FROM r GROUP BY 1
+       |), ex AS (
+       |  SELECT l_returnflag AS flag,
+       |    count(DISTINCT l_orderkey) AS exact_nd
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT ex.flag, ex.exact_nd,
+       |  CAST(FLOOR((0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0 *
+       |    18014398509481984.0 /
+       |    CAST(z_filled + (128 - n_filled) * 18014398509481984 AS DOUBLE))
+       |    AS BIGINT) AS hll_nd,
+       |  reg_sum
+       |FROM agg JOIN ex USING (flag)
+       |ORDER BY flag""".stripMargin
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1167,7 +1230,8 @@ object Relational {
     "q55_pivot" -> (q55 _),
     "q60_asof_tolerance" -> (q60 _),
     "q67_zorder" -> (q67 _),
-    "q77_bloom_prejoin" -> (q77 _)
+    "q77_bloom_prejoin" -> (q77 _),
+    "q84_hll_distinct" -> (q84 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1201,6 +1265,7 @@ object Relational {
     "q55_pivot" -> q55Sql,
     "q60_asof_tolerance" -> q60Sql,
     "q67_zorder" -> q67Sql,
-    "q77_bloom_prejoin" -> q77Sql
+    "q77_bloom_prejoin" -> q77Sql,
+    "q84_hll_distinct" -> q84Sql
   )
 }
