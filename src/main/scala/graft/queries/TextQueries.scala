@@ -1290,6 +1290,76 @@ object TextQueries {
        |JOIN k USING (h)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q85: longest shared span (suffix-style substring dedup) ----
+  // The q75 upgrade: not "what fraction of chunks is duplicated" but
+  // "how LONG is each doc's longest token run appearing verbatim in
+  // another doc" — the measurement real pretraining substring dedup
+  // (Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better") cuts on. Core in [[TextOps.maxSharedSpans]]: stride-1
+  // 8-gram shingles chained along (docA, docB, position-difference)
+  // diagonals, alignment-free and token-exact for spans >= 8. The
+  // fixture plants both span kinds: whole-doc copies (every 10th doc
+  // — span = full doc) and MISALIGNED partial plants (every 8th+1 doc
+  // with >= 24 tokens donates tokens 6..21 into a fresh doc behind a
+  // 2-token prefix, so the shared 16 tokens sit at offset 2 vs 5 —
+  // chunk-aligned digests would miss them; the diagonal chain reports
+  // exactly 16 unless the slice's shingles are organically hot).
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val planted = withExactCopies(docs).union(
+      docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ",
+            concat(array(lit("aug"), col("doc_id").cast("string")),
+              slice(toks, 6, 16))).as("text")))
+    TextOps.maxSharedSpans(planted).orderBy(col("doc_id"))
+  }
+
+  val q85Sql: String =
+    s"""WITH docs AS (
+       |  $exactCopiesSql
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    'aug ' || CAST(doc_id AS VARCHAR) || ' ' ||
+       |    array_to_string(
+       |      string_split_regex(lower(trim(text)), '\\s+')[6:21], ' ') AS text
+       |  FROM documents
+       |  WHERE doc_id % 8 = 1
+       |    AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 24
+       |), t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM docs
+       |), sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+       |  FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+       |  WHERE len(toks) >= 8
+       |), occ AS (
+       |  SELECT h, count(*) AS n FROM sh GROUP BY 1
+       |), kept AS (
+       |  SELECT sh.doc_id, sh.pos, sh.h
+       |  FROM sh JOIN occ USING (h) WHERE n BETWEEN 2 AND 8
+       |), pairs AS (
+       |  SELECT a.doc_id AS ad, a.pos AS ap,
+       |    a.pos - b.pos AS diag, b.doc_id AS bd
+       |  FROM kept a JOIN kept b USING (h)
+       |  WHERE a.doc_id <> b.doc_id
+       |), runs AS (
+       |  SELECT ad, bd, diag,
+       |    ap - row_number() OVER (PARTITION BY ad, bd, diag ORDER BY ap)
+       |      AS isl
+       |  FROM pairs
+       |), spans AS (
+       |  SELECT ad AS doc_id, max(run) + 7 AS span FROM (
+       |    SELECT ad, bd, diag, isl, count(*) AS run
+       |    FROM runs GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(span, 0) AS BIGINT) AS max_span_toks
+       |FROM (SELECT doc_id FROM docs) d LEFT JOIN spans USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1557,7 +1627,8 @@ object TextQueries {
     "q80_delta_dedup" -> (q80 _),
     "q81_bpe_merges" -> (q81 _),
     "q82_bpe_subwords" -> (q82 _),
-    "q83_cms_heavy" -> (q83 _)
+    "q83_cms_heavy" -> (q83 _),
+    "q85_span_dedup" -> (q85 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1590,6 +1661,7 @@ object TextQueries {
     "q80_delta_dedup" -> q80Sql,
     "q81_bpe_merges" -> q81Sql,
     "q82_bpe_subwords" -> q82Sql,
-    "q83_cms_heavy" -> q83Sql
+    "q83_cms_heavy" -> q83Sql,
+    "q85_span_dedup" -> q85Sql
   )
 }

@@ -282,6 +282,61 @@ object TextOps {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Longest cross-doc shared span per document (Lee et al.-style
+    * substring-dedup measurement, chunk-chain form): the length in
+    * tokens of each doc's longest token run that also appears
+    * verbatim in ANOTHER doc. Stride-1 `shingleN`-gram shingles make
+    * detection ALIGNMENT-FREE and token-exact for spans >= shingleN
+    * tokens (a shared L-token span yields L-shingleN+1 consecutive
+    * shingle matches on one (docA, docB, posA-posB) diagonal, wherever
+    * it sits in either doc — the thing fixed-boundary chunk digests
+    * (q75) cannot see); span = longest diagonal run + shingleN - 1.
+    *
+    * Scale shape: NO self-join — shingles group once by digest and
+    * anchor pairs explode from per-digest position lists capped at
+    * `maxOcc` (<= maxOcc^2 pairs per digest, the q33 cap pattern), so
+    * the tokenize->shingle->md5 pipeline runs exactly once and the
+    * only exchanges are the digest group, the diagonal window (whose
+    * (ad,bd,diag) partitioning the island count reuses), and the
+    * per-doc max. Shingles hotter than `maxOcc` (boilerplate 8-grams)
+    * are dropped BEFORE pair generation — the quadratic guard; a true
+    * span crossing a dropped shingle splits into two shorter runs, so
+    * reported spans are a deterministic lower bound in both engines
+    * (identically in the DuckDB twin). Raw text never shuffles: the
+    * exchanges carry (digest, doc, pos) and counts only.
+    */
+  def maxSharedSpans(docs: DataFrame, shingleN: Int = 8,
+      maxOcc: Int = 8): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = docs
+      .filter(size(t) >= shingleN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(t) - shingleN),
+          i => md5(concat_ws(" ", slice(t, i + 1, lit(shingleN))))))
+          .as(Seq("pos", "h")))
+    val pairs = sh
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
+      .filter(size(col("occs")).between(2, maxOcc))
+      .select(explode(col("occs")).as("a"), col("occs"))
+      .select(col("a"), explode(col("occs")).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("ad"), col("a.pos").as("ap"),
+        (col("a.pos") - col("b.pos")).as("diag"), col("b.doc_id").as("bd"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ad"), col("bd"), col("diag")).orderBy(col("ap"))
+    val spans = pairs
+      .withColumn("isl", col("ap") - row_number().over(wIsl))
+      .groupBy(col("ad"), col("bd"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("ad").as("doc_id"))
+      .agg((max(col("run")) + (shingleN - 1)).as("span"))
+    docs.select(col("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("span"), lit(0L)).cast("long").as("max_span_toks"))
+  }
+
   /** Matched-digest probe for delta-vs-base incremental dedup (q80,
     * the streaming ingest): which of `deltaDigests` already occur in
     * `base`'s `key` column? Returns the distinct matched digest set

@@ -151,6 +151,22 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == 200, s"regimes disagree: ${a.size} vs ${b.size}")
   }
 
+  test("q85 span dedup: pair generation is join-free (capped explode, no self-join)") {
+    val p = plan(TextQueries.q85(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // anchor pairs explode from per-digest capped position lists — a
+    // digest SELF-join would run the tokenize->shingle->md5 pipeline
+    // twice and is the shape this query exists to avoid; the only
+    // join is the final left join of docs against per-doc spans
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly the final doc-span join, got $joins:\n$p")
+    // shingle pipeline rides ONE scan pass: posexplode + the two
+    // bounded pair explodes, nothing re-generated
+    val generates = "Generate ".r.findAllIn(p).length
+    assert(generates == 3, s"expected 3 bounded Generates, got $generates:\n$p")
+  }
+
   test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
     val p = plan(Relational.q77(spark, dir))
     assert(p.contains("bloom_probe"), s"probe filter missing:\n$p")
