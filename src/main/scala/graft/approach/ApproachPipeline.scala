@@ -66,66 +66,31 @@ object ApproachPipeline {
   }
 
   // NOT private: encoder codegen instantiates it from generated code
-  case class TypedSample(s: FlightSample, aircraft_type: String)
+  case class TypedSampleTh(s: FlightSample, th: Option[Thresholds])
 
   /** Per-aircraft-type exceedance thresholds — the feature the
     * reference intended but never shipped (`setThresholds` assigns to
     * locals and its call site is commented out, FlightAnalysis.py:
-    * 52,67-83). The type dimension is broadcast-joined onto the
-    * samples (J4/S2 semantics, main.py:83-84); each flight's run is
-    * analyzed with `thresholds(type)`, falling back to the defaults.
-    */
-  def detectApproachesPerAircraft(
-      samples: Dataset[FlightSample],
-      airports: Array[Airport],
-      types: DataFrame, // (flight, aircraft_type)
-      thresholds: Map[String, Thresholds],
-      default: Thresholds = Thresholds()
-  ): Dataset[Approach] = {
-    val spark = samples.sparkSession
-    import spark.implicits._
-    val bAirports = spark.sparkContext.broadcast(airports)
-    val bThresholds = spark.sparkContext.broadcast(thresholds)
-
-    samples
-      // LEFT join: a flight with no type row must still be analyzed
-      // (with `default`), not silently dropped
-      .join(broadcast(types), Seq("flight"), "left")
-      .select(struct(samples.columns.map(col): _*).as("s"),
-        col("aircraft_type"))
-      .as[TypedSample]
-      .repartition(col("s.flight"))
-      .sortWithinPartitions(col("s.flight"), col("s.time"))
-      .mapPartitions { it =>
-        val index = new AirportIndex(bAirports.value)
-        groupedRuns(it)(_.s.flight).flatMap { case (fid, data) =>
-          val th = Option(data.head.aircraft_type) // null when no type row
-            .flatMap(bThresholds.value.get).getOrElse(default)
-          new ApproachDetector(index, th).detect(fid, data.map(_.s))
-        }
-      }
-  }
-
-  // NOT private: encoder codegen instantiates it from generated code
-  case class TypedSampleTh(s: FlightSample, th: Option[Thresholds])
-
-  /** Thresholds as a broadcast *dimension table* instead of a driver
-    * Map — the form matching the reference's `exceedance_thresholds`
-    * DB read (FlightAnalysis.py:20,71-82): `thresholds` is a
-    * DataFrame of (aircraft_type, <the 14 [[Thresholds]] columns>),
-    * joined onto the type dimension and shipped with each flight's
-    * samples as a struct column. LEFT joins throughout: a flight with
-    * no type row, or a type with no thresholds row, is analyzed with
-    * `default`, never dropped. At many aircraft types this scales
-    * where a driver Map would not (the dimension stays distributed
-    * until the broadcast, and Catalyst prunes unused columns).
+    * 52,67-83). Thresholds are a broadcast *dimension table*, the form
+    * matching the reference's `exceedance_thresholds` DB read
+    * (FlightAnalysis.py:20,71-82): a DataFrame of (aircraft_type,
+    * <the 14 [[Thresholds]] columns>), joined onto the type dimension
+    * and shipped with each flight's samples as a struct column. (A
+    * driver-side Map config folds in trivially —
+    * `map.toSeq.toDF("aircraft_type", "th").select($"aircraft_type",
+    * $"th.*")` — so no second overload exists for it.) LEFT joins
+    * throughout: a flight with no type row, or a type with no
+    * thresholds row, is analyzed with `default`, never dropped. At
+    * many aircraft types this scales where a driver Map would not
+    * (the dimension stays distributed until the broadcast, and
+    * Catalyst prunes unused columns).
     */
   def detectApproachesPerAircraft(
       samples: Dataset[FlightSample],
       airports: Array[Airport],
       types: DataFrame, // (flight, aircraft_type)
       thresholds: DataFrame, // (aircraft_type, <Thresholds columns>)
-      default: Thresholds
+      default: Thresholds = Thresholds()
   ): Dataset[Approach] = {
     val spark = samples.sparkSession
     import spark.implicits._
