@@ -1360,6 +1360,81 @@ object TextQueries {
        |FROM (SELECT doc_id FROM docs) d LEFT JOIN spans USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q86: substring dedup CUT (the action to q85's measurement) ----
+  // Lee et al. don't just measure shared spans — they remove them.
+  // Same fixture and span machinery as q85; every token covered by a
+  // shared span whose partner has the SMALLER doc_id is cut (a total
+  // keeper order: exactly one copy of each shared span survives
+  // corpus-wide, no coordination), and each doc reports original
+  // tokens, tokens cut, and the md5 of its kept tokens — whole-doc
+  // copies collapse to the empty string, the misaligned plants lose
+  // exactly their 16 borrowed tokens.
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val planted = withExactCopies(docs).union(
+      docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ",
+            concat(array(lit("aug"), col("doc_id").cast("string")),
+              slice(toks, 6, 16))).as("text")))
+    TextOps.cutSharedSpans(planted).orderBy(col("doc_id"))
+  }
+
+  val q86Sql: String =
+    s"""WITH docs AS (
+       |  $exactCopiesSql
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    'aug ' || CAST(doc_id AS VARCHAR) || ' ' ||
+       |    array_to_string(
+       |      string_split_regex(lower(trim(text)), '\\s+')[6:21], ' ') AS text
+       |  FROM documents
+       |  WHERE doc_id % 8 = 1
+       |    AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 24
+       |), t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM docs
+       |), sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+       |  FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
+       |  WHERE len(toks) >= 8
+       |), occ AS (
+       |  SELECT h, count(*) AS n FROM sh GROUP BY 1
+       |), kept AS (
+       |  SELECT sh.doc_id, sh.pos, sh.h
+       |  FROM sh JOIN occ USING (h) WHERE n BETWEEN 2 AND 8
+       |), pairs AS (
+       |  SELECT a.doc_id AS ad, a.pos AS ap,
+       |    a.pos - b.pos AS diag, b.doc_id AS bd
+       |  FROM kept a JOIN kept b USING (h)
+       |  WHERE a.doc_id <> b.doc_id
+       |), runs AS (
+       |  SELECT ad, bd, diag, ap,
+       |    ap - row_number() OVER (PARTITION BY ad, bd, diag ORDER BY ap)
+       |      AS isl
+       |  FROM pairs
+       |), runcnt AS (
+       |  SELECT ad, bd, diag, isl, count(*) AS run, min(ap) AS start
+       |  FROM runs GROUP BY 1, 2, 3, 4
+       |), cov AS (
+       |  SELECT DISTINCT ad AS doc_id, p AS pos
+       |  FROM runcnt, unnest(range(start, start + run + 7)) AS u(p)
+       |  WHERE bd < ad
+       |), tok AS (
+       |  SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+       |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       |)
+       |SELECT tok.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(count(cov.pos) AS BIGINT) AS n_cut,
+       |  md5(coalesce(array_to_string(
+       |    list(tok.tok ORDER BY tok.pos) FILTER (WHERE cov.pos IS NULL),
+       |    ' '), '')) AS kept_md5
+       |FROM tok LEFT JOIN cov
+       |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1628,7 +1703,8 @@ object TextQueries {
     "q81_bpe_merges" -> (q81 _),
     "q82_bpe_subwords" -> (q82 _),
     "q83_cms_heavy" -> (q83 _),
-    "q85_span_dedup" -> (q85 _)
+    "q85_span_dedup" -> (q85 _),
+    "q86_span_cut" -> (q86 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1662,6 +1738,7 @@ object TextQueries {
     "q81_bpe_merges" -> q81Sql,
     "q82_bpe_subwords" -> q82Sql,
     "q83_cms_heavy" -> q83Sql,
-    "q85_span_dedup" -> q85Sql
+    "q85_span_dedup" -> q85Sql,
+    "q86_span_cut" -> q86Sql
   )
 }

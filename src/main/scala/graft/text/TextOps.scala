@@ -307,6 +307,23 @@ object TextOps {
     */
   def maxSharedSpans(docs: DataFrame, shingleN: Int = 8,
       maxOcc: Int = 8): DataFrame = {
+    val spans = sharedSpanRuns(docs, shingleN, maxOcc)
+      .groupBy(col("ad").as("doc_id"))
+      .agg((max(col("run")) + (shingleN - 1)).as("span"))
+    docs.select(col("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("span"), lit(0L)).cast("long").as("max_span_toks"))
+  }
+
+  /** The shared machinery of [[maxSharedSpans]]/[[cutSharedSpans]]:
+    * every maximal cross-doc diagonal run of matching stride-1
+    * shingles, one row per (ad, bd, diag) island — `start` is the run's
+    * first shingle position in doc `ad`, `run` its shingle count (=
+    * run + shingleN - 1 covered tokens).
+    */
+  private[text] def sharedSpanRuns(docs: DataFrame, shingleN: Int,
+      maxOcc: Int): DataFrame = {
     val t = tokens(col("text"))
     val sh = docs
       .filter(size(t) >= shingleN)
@@ -325,16 +342,50 @@ object TextOps {
         (col("a.pos") - col("b.pos")).as("diag"), col("b.doc_id").as("bd"))
     val wIsl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ad"), col("bd"), col("diag")).orderBy(col("ap"))
-    val spans = pairs
+    pairs
       .withColumn("isl", col("ap") - row_number().over(wIsl))
       .groupBy(col("ad"), col("bd"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("ad").as("doc_id"))
-      .agg((max(col("run")) + (shingleN - 1)).as("span"))
-    docs.select(col("doc_id"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("span"), lit(0L)).cast("long").as("max_span_toks"))
+      .agg(count(lit(1)).as("run"), min(col("ap")).as("start"))
+  }
+
+  /** The CUT half of substring dedup (Lee et al.'s action, where
+    * [[maxSharedSpans]] is the measurement): remove from each doc
+    * every token covered by a shared span whose partner doc has the
+    * SMALLER doc_id — a total, deterministic keeper order, so exactly
+    * one copy of every shared span survives corpus-wide (the lowest
+    * id's) with no coordination. Emits per doc the original token
+    * count, tokens cut, and the md5 of the kept tokens re-joined —
+    * the digest keeps the oracle exact without hauling text through
+    * the comparison; a fully-duplicated doc keeps the empty string.
+    *
+    * Same scale shape as the measurement (one extra bounded coverage
+    * explode + one (doc, pos) join): exchanges carry digests,
+    * positions, and single tokens; never whole texts.
+    */
+  def cutSharedSpans(docs: DataFrame, shingleN: Int = 8,
+      maxOcc: Int = 8): DataFrame = {
+    val covered = sharedSpanRuns(docs, shingleN, maxOcc)
+      .filter(col("bd") < col("ad")) // the smaller id keeps its copy
+      .select(col("ad").as("doc_id"),
+        explode(sequence(col("start").cast("long"),
+          col("start").cast("long") + col("run") + (shingleN - 2))).as("pos"))
+      .distinct()
+      .withColumn("cut", lit(true))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("cut").isNotNull.cast("long")).as("n_cut"),
+        // kept tokens, original order: nulls (cut rows) vanish from
+        // collect_list; struct sort orders by pos
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("cut").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")))).as("kept_md5"))
+      .select(col("doc_id"), col("n_toks"), col("n_cut"), col("kept_md5"))
   }
 
   /** Matched-digest probe for delta-vs-base incremental dedup (q80,

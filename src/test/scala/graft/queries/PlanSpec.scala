@@ -167,6 +167,16 @@ class PlanSpec extends AnyFunSuite {
     assert(generates == 3, s"expected 3 bounded Generates, got $generates:\n$p")
   }
 
+  test("q86 span cut: still no pair self-join; only the coverage join") {
+    val p = plan(TextQueries.q86(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // q85's join-free pair generation plus exactly one extra join:
+    // (doc, pos) tokens against the distinct covered-position set
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins == 1, s"expected only the coverage join, got $joins:\n$p")
+  }
+
   test("q77 bloom probe prunes the fact BEFORE its join, which broadcasts") {
     val p = plan(Relational.q77(spark, dir))
     assert(p.contains("bloom_probe"), s"probe filter missing:\n$p")

@@ -73,6 +73,56 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(spans(docs, maxOcc = 16).values.forall(_ == 16L))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def cuts(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    TextOps.cutSharedSpans(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+  }
+
+  test("cut: whole-doc copy collapses to empty, the smaller id keeps everything") {
+    val d = toks("c", 30).mkString(" ")
+    val got = cuts(Seq(1L -> d, 2L -> d))
+    assert(got(1L) == ((30L, 0L, md5hex(d))), s"keeper must be untouched: $got")
+    assert(got(2L) == ((30L, 30L, md5hex(""))), s"copy must be fully cut: $got")
+  }
+
+  test("cut: partial share removes exactly the span, kept text is the remainder") {
+    val src = toks("s", 30)
+    val shared = src.slice(5, 21) // 16 tokens
+    val copy = Seq("x0", "x1") ++ shared ++ Seq("x2")
+    val got = cuts(Seq(1L -> src.mkString(" "), 2L -> copy.mkString(" ")))
+    assert(got(1L)._2 == 0L, s"lower id keeps its copy: $got")
+    assert(got(2L) == ((19L, 16L, md5hex("x0 x1 x2"))),
+      s"higher id loses exactly the 16 borrowed tokens: $got")
+  }
+
+  test("cut: three-doc cluster keeps exactly one copy corpus-wide") {
+    val d = toks("k", 25).mkString(" ")
+    val got = cuts(Seq(5L -> d, 9L -> d, 11L -> d))
+    assert(got(5L)._2 == 0L && got(9L)._2 == 25L && got(11L)._2 == 25L,
+      s"only the lowest id survives: $got")
+  }
+
+  test("cut: overlapping spans from different partners union, not double-count") {
+    // doc 3 borrows s0..s19 from doc 1 and s10..s29 from doc 2 as one
+    // contiguous 30-token text equal to doc 1+2's overlap structure:
+    // covered positions union to all 30, n_cut stays <= n_toks
+    val a = toks("s", 20)                 // s0..s19
+    val b = toks("s", 30).drop(10)        // s10..s29
+    val whole = toks("s", 30)             // s0..s29
+    val got = cuts(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" "),
+      3L -> whole.mkString(" ")))
+    assert(got(3L) == ((30L, 30L, md5hex(""))),
+      s"union coverage must cut all 30 once: $got")
+  }
+
   test("intra-doc repetition alone does not count as a shared span") {
     val rep = toks("r", 12)
     val got = spans(Seq(
