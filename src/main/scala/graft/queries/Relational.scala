@@ -1170,6 +1170,12 @@ object Relational {
     // 18014398509481984; alpha = 0.7213/(1 + 1.079/128). Every
     // multiply is a power-of-two scale (exact); the one long->double
     // round and one divide are correctly-rounded in both engines.
+    // The small-range linear-counting CASE mirrors HllUtil.cardinality
+    // so the twins stay semantically aligned under fixture drift; the
+    // q84 fixture keeps every group's raw estimate far above the
+    // 2.5m = 320 threshold (spec-pinned), so the ln branch — the one
+    // float op libm could disagree on in the last ulp — never fires
+    // in the compared rows.
     s"""WITH keys AS (
        |  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k FROM lineitem
        |), r AS (
@@ -1183,18 +1189,24 @@ object Relational {
        |    COUNT(*) AS n_filled,
        |    CAST(SUM((idx + 1) * rho) AS BIGINT) AS reg_sum
        |  FROM r GROUP BY 1
+       |), est AS (
+       |  SELECT flag, reg_sum, n_filled,
+       |    (0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0 *
+       |      18014398509481984.0 /
+       |      CAST(z_filled + (128 - n_filled) * 18014398509481984 AS DOUBLE)
+       |      AS raw
+       |  FROM agg
        |), ex AS (
        |  SELECT l_returnflag AS flag,
        |    count(DISTINCT l_orderkey) AS exact_nd
        |  FROM lineitem GROUP BY 1
        |)
        |SELECT ex.flag, ex.exact_nd,
-       |  CAST(FLOOR((0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0 *
-       |    18014398509481984.0 /
-       |    CAST(z_filled + (128 - n_filled) * 18014398509481984 AS DOUBLE))
-       |    AS BIGINT) AS hll_nd,
+       |  CAST(FLOOR(CASE WHEN raw <= 320.0 AND n_filled < 128
+       |    THEN 128.0 * ln(128.0 / (128 - n_filled))
+       |    ELSE raw END) AS BIGINT) AS hll_nd,
        |  reg_sum
-       |FROM agg JOIN ex USING (flag)
+       |FROM est JOIN ex USING (flag)
        |ORDER BY flag""".stripMargin
   }
 

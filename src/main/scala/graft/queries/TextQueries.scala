@@ -1304,84 +1304,31 @@ object TextQueries {
   // 2-token prefix, so the shared 16 tokens sit at offset 2 vs 5 —
   // chunk-aligned digests would miss them; the diagonal chain reports
   // exactly 16 unless the slice's shingles are organically hot).
-  def q85(spark: SparkSession, dir: String): DataFrame = {
+  /** The q85/q86 fixture — ONE definition for both engines' queries:
+    * documents ∪ whole-doc copies (every 10th) ∪ misaligned partial
+    * plants (every 8th+1 with >= 24 tokens donates tokens 6..21 into
+    * a fresh doc behind a 2-token prefix). The pair must measure and
+    * cut the SAME corpus, so the plant is not re-spelled per query.
+    */
+  private[queries] def spanFixture(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val planted = withExactCopies(docs).union(
+    withExactCopies(docs).union(
       docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
         .select((col("doc_id") + 2000000).as("doc_id"),
           concat_ws(" ",
             concat(array(lit("aug"), col("doc_id").cast("string")),
               slice(toks, 6, 16))).as("text")))
-    TextOps.maxSharedSpans(planted).orderBy(col("doc_id"))
   }
 
-  val q85Sql: String =
-    s"""WITH docs AS (
-       |  $exactCopiesSql
-       |  UNION ALL
-       |  SELECT doc_id + 2000000 AS doc_id,
-       |    'aug ' || CAST(doc_id AS VARCHAR) || ' ' ||
-       |    array_to_string(
-       |      string_split_regex(lower(trim(text)), '\\s+')[6:21], ' ') AS text
-       |  FROM documents
-       |  WHERE doc_id % 8 = 1
-       |    AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 24
-       |), t AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |  FROM docs
-       |), sh AS (
-       |  SELECT doc_id, i AS pos,
-       |    md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
-       |  FROM t, unnest(range(0, len(toks) - 7)) AS u(i)
-       |  WHERE len(toks) >= 8
-       |), occ AS (
-       |  SELECT h, count(*) AS n FROM sh GROUP BY 1
-       |), kept AS (
-       |  SELECT sh.doc_id, sh.pos, sh.h
-       |  FROM sh JOIN occ USING (h) WHERE n BETWEEN 2 AND 8
-       |), pairs AS (
-       |  SELECT a.doc_id AS ad, a.pos AS ap,
-       |    a.pos - b.pos AS diag, b.doc_id AS bd
-       |  FROM kept a JOIN kept b USING (h)
-       |  WHERE a.doc_id <> b.doc_id
-       |), runs AS (
-       |  SELECT ad, bd, diag,
-       |    ap - row_number() OVER (PARTITION BY ad, bd, diag ORDER BY ap)
-       |      AS isl
-       |  FROM pairs
-       |), spans AS (
-       |  SELECT ad AS doc_id, max(run) + 7 AS span FROM (
-       |    SELECT ad, bd, diag, isl, count(*) AS run
-       |    FROM runs GROUP BY 1, 2, 3, 4)
-       |  GROUP BY 1
-       |)
-       |SELECT d.doc_id,
-       |  CAST(coalesce(span, 0) AS BIGINT) AS max_span_toks
-       |FROM (SELECT doc_id FROM docs) d LEFT JOIN spans USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
-
-  // ---- q86: substring dedup CUT (the action to q85's measurement) ----
-  // Lee et al. don't just measure shared spans — they remove them.
-  // Same fixture and span machinery as q85; every token covered by a
-  // shared span whose partner has the SMALLER doc_id is cut (a total
-  // keeper order: exactly one copy of each shared span survives
-  // corpus-wide, no coordination), and each doc reports original
-  // tokens, tokens cut, and the md5 of its kept tokens — whole-doc
-  // copies collapse to the empty string, the misaligned plants lose
-  // exactly their 16 borrowed tokens.
-  def q86(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
-    val planted = withExactCopies(docs).union(
-      docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat_ws(" ",
-            concat(array(lit("aug"), col("doc_id").cast("string")),
-              slice(toks, 6, 16))).as("text")))
-    TextOps.cutSharedSpans(planted).orderBy(col("doc_id"))
-  }
-
-  val q86Sql: String =
-    s"""WITH docs AS (
+  /** Oracle twin of [[spanFixture]] + the shared shingle→pair→run CTE
+    * chain of [[TextOps.sharedSpanRuns]] (through `runs`, carrying
+    * `ap` for run-start recovery) — q85Sql and q86Sql diverge only
+    * after this prefix, so the cap, the plant, and the diagonal
+    * machinery cannot drift between the pair.
+    */
+  private val spanRunsCteSql: String =
+    s"""docs AS (
        |  $exactCopiesSql
        |  UNION ALL
        |  SELECT doc_id + 2000000 AS doc_id,
@@ -1414,7 +1361,37 @@ object TextQueries {
        |    ap - row_number() OVER (PARTITION BY ad, bd, diag ORDER BY ap)
        |      AS isl
        |  FROM pairs
-       |), runcnt AS (
+       |)""".stripMargin
+
+  def q85(spark: SparkSession, dir: String): DataFrame =
+    TextOps.maxSharedSpans(spanFixture(spark, dir)).orderBy(col("doc_id"))
+
+  val q85Sql: String =
+    s"""WITH $spanRunsCteSql, spans AS (
+       |  SELECT ad AS doc_id, max(run) + 7 AS span FROM (
+       |    SELECT ad, bd, diag, isl, count(*) AS run
+       |    FROM runs GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(span, 0) AS BIGINT) AS max_span_toks
+       |FROM (SELECT doc_id FROM docs) d LEFT JOIN spans USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q86: substring dedup CUT (the action to q85's measurement) ----
+  // Lee et al. don't just measure shared spans — they remove them.
+  // Same fixture and span machinery as q85; every token covered by a
+  // shared span whose partner has the SMALLER doc_id is cut (a total
+  // keeper order: exactly one copy of each shared span survives
+  // corpus-wide, no coordination), and each doc reports original
+  // tokens, tokens cut, and the md5 of its kept tokens — whole-doc
+  // copies collapse to the empty string, the misaligned plants lose
+  // exactly their 16 borrowed tokens.
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cutSharedSpans(spanFixture(spark, dir)).orderBy(col("doc_id"))
+
+  val q86Sql: String =
+    s"""WITH $spanRunsCteSql, runcnt AS (
        |  SELECT ad, bd, diag, isl, count(*) AS run, min(ap) AS start
        |  FROM runs GROUP BY 1, 2, 3, 4
        |), cov AS (

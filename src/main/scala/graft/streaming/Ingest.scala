@@ -163,7 +163,16 @@ object Ingest {
             // replay a cached-hits broadcast anti-join, never the table
             // scan — and no digest round-trips through an application
             // collect (the broadcast build is Spark's managed,
-            // size-guarded path)
+            // size-guarded path).
+            // Lost-cache safety: if evicted/lost `hits` partitions are
+            // recomputed, the lineage re-scans the table — which is
+            // SAFE here because the merge protocol evaluates its input
+            // (emptiness probe, staged write) strictly BEFORE the first
+            // promote rename: every possible recompute observes the
+            // stable pre-merge table, the same one the original scan
+            // read. A merge that evaluated its input after promoting
+            // would break this; mergeApproachesTable's stage-then-
+            // promote ordering is the invariant relied on.
             var hits: DataFrame = null
             val admitted =
               if (!Sinks.hasCommittedData(fs, tablePath)) kept
@@ -181,9 +190,11 @@ object Ingest {
                   table.select(col("text_md5")), kept, "text_md5").persist()
                 // the count pins the persist before the merge's
                 // re-evaluations AND guards the anti-join's transport
-                // with the same cap as the probe
+                // with the same cap as the probe (shared constant, so
+                // the two regimes can never drift apart)
                 val hitsTransport =
-                  if (hits.count() <= (1L << 22)) broadcast(hits)
+                  if (hits.count() <= graft.text.TextOps.MaxBroadcastDigests)
+                    broadcast(hits)
                   else hits.hint("merge")
                 kept.join(hitsTransport, Seq("text_md5"), "left_anti")
               }

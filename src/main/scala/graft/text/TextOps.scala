@@ -408,20 +408,35 @@ object TextOps {
     *   digest shuffle; that is the honest cost of probing a delta too
     *   big to ship to every task, and still exchanges 16-byte-digest
     *   rows, never text.
-    * The check itself runs one delta-sized count job at construction
-    * (the delta is the SMALL side by definition); same documented
-    * not-purely-lazy precedent as the q43/q77/q83 sketch builds.
+    * The check itself runs one delta-sized job at construction (the
+    * delta is the SMALL side by definition) — an APPROXIMATE distinct
+    * count (HyperLogLog++, no distinct shuffle), so the exact
+    * `distinct()` executes exactly once, inside the join; a few
+    * percent of estimation error is irrelevant against a capacity
+    * cap. Same documented not-purely-lazy precedent as the
+    * q43/q77/q83 sketch builds.
     */
   def matchedBaseDigests(base: DataFrame, deltaDigests: DataFrame,
-      key: String, maxBroadcastRows: Long = 1L << 22): DataFrame = {
+      key: String,
+      maxBroadcastRows: Long = MaxBroadcastDigests): DataFrame = {
     val probe = deltaDigests.select(col(key)).distinct()
+    val approxN = deltaDigests
+      .agg(approx_count_distinct(col(key))).head().getLong(0)
     val hits =
-      if (probe.count() <= maxBroadcastRows)
+      if (approxN <= maxBroadcastRows)
         base.select(col(key)).join(broadcast(probe), Seq(key), "left_semi")
       else
         base.select(col(key)).join(probe.hint("merge"), Seq(key), "left_semi")
     hits.distinct()
   }
+
+  /** Shared broadcast-capacity cap for digest-set transports (the
+    * [[matchedBaseDigests]] probe and the ingest's hits anti-join):
+    * 2^22 digests ≈ a few hundred MB of hash relation, comfortably
+    * inside a normal executor/driver budget. One constant so the two
+    * guarded regimes can never drift apart.
+    */
+  val MaxBroadcastDigests: Long = 1L << 22
 
   /** Connected components over a near-duplicate pair graph — the step
     * that turns candidate pairs (q31/q33 output) into an actionable

@@ -93,6 +93,25 @@ class HyperLogLogSpec extends AnyFunSuite {
     }
   }
 
+  test("q84 fixture stays far inside the raw-estimator branch at both SFs") {
+    // the oracle's ln branch mirrors HllUtil but is the one float op
+    // the engines could disagree on in the last ulp — this pins the
+    // invariant that keeps it unfired: every group's estimate sits
+    // well above the 2.5m = 320 linear-counting threshold, with >2x
+    // margin against fixture drift, at the gate SFs
+    for (sf <- Seq("0.001", "0.01")) {
+      val rows = graft.queries.Relational
+        .q84(spark, s"/root/testdata/sf$sf").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getLong(2))
+        assert(exact > 640 && est > 640,
+          s"sf$sf group ${r.getString(0)}: exact=$exact est=$est — " +
+            "the fixture is drifting toward the linear-counting branch")
+      }
+    }
+  }
+
   test("p outside [4,16] is rejected at analysis") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

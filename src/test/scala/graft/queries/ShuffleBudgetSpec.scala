@@ -107,6 +107,58 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "did not execute the as-of window")
   }
 
+  test("hll_build exchanges register arrays, not keys (the q84 claim)") {
+    graft.functions.GraftFunctions.register(spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nKeys = li.select("l_orderkey").distinct().count()
+    // the sketch ALONE (q84 itself also carries the exact-distinct
+    // witness column, whose Expand shuffle would swamp the sketch's):
+    // a partial register array per (group, task) crosses the exchange
+    // — never the keys
+    val s = ShuffleMeter.measure(spark) {
+      li.groupBy(col("l_returnflag"))
+        .agg(call_function("hll_build", col("l_orderkey"), lit(7)))
+        .queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the sketch agg to shuffle partials")
+    assert(s.writeRecords <= nKeys / 100,
+      s"hll_build shuffled ${s.writeRecords} rows for $nKeys distinct " +
+        "keys — the partial aggregate is shipping keys, not registers")
+    // a shuffled row is [p:int][128 registers] + group + framing
+    assert(s.writeBytes <= s.writeRecords * 1024,
+      s"register partials average ${s.writeBytes / s.writeRecords} B — " +
+        "far above the 132 B sketch payload")
+  }
+
+  test("q85/q86 span machinery shuffles digests and positions, never text") {
+    // denominators from THE fixture q85 reads (copies AND plants),
+    // not a lookalike — so the budget tracks any change to the
+    // planted set
+    val docs = TextQueries.spanFixture(spark, dir)
+    val nDocs = docs.count()
+    val textBytes = docs.selectExpr("sum(length(text))").head().getLong(0)
+    val nShingles = docs
+      .selectExpr("sum(greatest(0, size(split(lower(trim(text)), '\\\\s+')) - 7))")
+      .head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q85(spark, dir).queryExecution.toRdd.count()
+    }
+    // the digest group moves every shingle once; pairs (occ <= 8 cap,
+    // both orientations), island partials, per-doc max and the final
+    // join/order are all strictly smaller sets
+    assert(s.writeRecords >= nShingles,
+      s"only ${s.writeRecords} records for $nShingles shingles — the " +
+        "measured plan did not execute the digest exchange")
+    assert(s.writeRecords <= 6 * nShingles,
+      s"span pipeline shuffled ${s.writeRecords} records for " +
+        s"$nShingles shingles — pair generation is no longer capped")
+    val avgDoc = textBytes.toDouble / nDocs
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < avgDoc / 2 && avgRow < 250,
+      f"span rows average $avgRow%.0f B vs $avgDoc%.0f B/doc — " +
+        "document text is travelling through the shuffle")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
