@@ -410,20 +410,23 @@ object TextOps {
     *   rows, never text.
     * The check itself runs one delta-sized job at construction (the
     * delta is the SMALL side by definition) — an APPROXIMATE distinct
-    * count (HyperLogLog++, no distinct shuffle), so the exact
-    * `distinct()` executes exactly once, inside the join; a few
-    * percent of estimation error is irrelevant against a capacity
-    * cap. Same documented not-purely-lazy precedent as the
-    * q43/q77/q83 sketch builds.
+    * count (HyperLogLog++ at 1% rsd, no distinct shuffle), so the
+    * exact `distinct()` executes exactly once, inside the join. An
+    * OOM guard must not lose to its own estimator's tail: the
+    * estimate is compared against 95% of the cap, a 5-sigma margin
+    * at the chosen rsd, so a just-over-cap delta cannot slip through
+    * on a low estimate — at worst a just-UNDER-cap delta takes the
+    * (always-correct) sort-merge path. Same documented
+    * not-purely-lazy precedent as the q43/q77/q83 sketch builds.
     */
   def matchedBaseDigests(base: DataFrame, deltaDigests: DataFrame,
       key: String,
       maxBroadcastRows: Long = MaxBroadcastDigests): DataFrame = {
     val probe = deltaDigests.select(col(key)).distinct()
     val approxN = deltaDigests
-      .agg(approx_count_distinct(col(key))).head().getLong(0)
+      .agg(approx_count_distinct(col(key), 0.01)).head().getLong(0)
     val hits =
-      if (approxN <= maxBroadcastRows)
+      if (approxN <= maxBroadcastRows - maxBroadcastRows / 20)
         base.select(col(key)).join(broadcast(probe), Seq(key), "left_semi")
       else
         base.select(col(key)).join(probe.hint("merge"), Seq(key), "left_semi")
