@@ -25,10 +25,20 @@ object Bench {
     // fixed name order: stable warm-up attribution across rounds
     // ok=false marks a pass where the query threw: its (short) abort
     // duration must never win the min over a successful run's time
+    // toRdd, NOT count() (changed r8): under count() Catalyst's
+    // rewrite prunes cardinality-neutral operators, so every
+    // projection-terminated query was timed WITHOUT its map work —
+    // q85's span left-join vanished entirely (0.21 s "measured", 5 s
+    // real), and geodesy/simhash/encode projections timed as bare
+    // scans. toRdd executes the plan exactly as declared (the rule
+    // ShuffleReport and ScaleBench already follow), which is what a
+    // user's write/collect pays. Agg/sort-terminated queries are
+    // unaffected; the r7->r8 total is therefore not comparable 1:1 —
+    // SCALE.md records the bridge (same tree, both semantics).
     def runPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case _: Throwable => false }
         spark.catalog.clearCache() // drop per-query persisted intermediates
         (name, (System.nanoTime() - t0) / 1e9, ok)

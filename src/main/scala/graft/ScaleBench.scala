@@ -28,7 +28,11 @@ object ScaleBench {
   val Heavy: Seq[String] = Seq(
     "q47_dedup_clusters", "q39_merge_sink", "q33_jaccard_pairs",
     "q31_minhash_lsh", "q28_per_aircraft_thresholds", "q20_approaches",
-    "q75_chunk_dedup", "q77_bloom_prejoin")
+    "q75_chunk_dedup", "q77_bloom_prejoin",
+    // r8 additions: the HLL sketch (fixed-state vs the growing exact
+    // distinct) and both substring-dedup operators (shingle volume
+    // grows linearly; the capped pair explode must not go quadratic)
+    "q84_hll_distinct", "q85_span_dedup", "q86_span_cut")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
@@ -86,7 +90,14 @@ object ScaleBench {
       passes: Int = 2): Double =
     (1 to passes).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // toRdd, NOT count(): the count rewrite lets Catalyst prune
+      // cardinality-neutral operators — q85's span left-join and
+      // q86's aggregate expressions vanish under count(), and the
+      // "measurement" times the fixture scan (caught in r8: q85 at a
+      // REAL 100x corpus timed 1.4x — physically impossible for 100x
+      // the shingle volume). toRdd executes the plan as declared,
+      // the same rule ShuffleReport documents.
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       // cache teardown varies with what the query persisted — keep it
       // OUTSIDE the timed window so ratios measure the query

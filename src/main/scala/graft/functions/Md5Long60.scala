@@ -37,6 +37,18 @@ object HashUtil {
     long60(digest.digest(s.getBytes))
   }
 
+  /** md5Long60 of `prefix ++ bytes` without building the concatenated
+    * string — the salted hash-family form ([[SimHashUtil]]'s four
+    * limbs): identical to `md5Long60(UTF8String(prefix + s))` because
+    * md5 streams its input.
+    */
+  def md5Long60Salted(prefix: Array[Byte], bytes: Array[Byte]): Long = {
+    val digest = md.get()
+    digest.reset()
+    digest.update(prefix)
+    long60(digest.digest(bytes))
+  }
+
   /** All word n-gram shingle hashes of a token array, in order: the
     * 60-bit md5 of each window's tokens joined by a single space —
     * byte-identical to `md5(concat_ws(" ", slice(toks, i, n)))`, but
@@ -178,6 +190,10 @@ object GraftFunctions {
       "hll_card", hllCardBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "hll_regsum", hllRegSumBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "char_gram_stats", charGramBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash64", simHash64Builder, "built-in")
   }
 
   private val bloomBuilder: Seq[Expression] => Expression = {
@@ -211,6 +227,19 @@ object GraftFunctions {
     case Seq(sk) => HllRegSum(sk)
     case other => throw new IllegalArgumentException(
       s"hll_regsum(<binary sketch>) takes exactly one argument — " +
+        s"got ${other.length}")
+  }
+
+  private[functions] val charGramBuilder: Seq[Expression] => Expression = {
+    case Seq(text, Literal(n: Int, IntegerType)) => CharGramStats(text, n)
+    case other => throw new IllegalArgumentException(
+      s"char_gram_stats(text, <int literal n>) — got $other")
+  }
+
+  private[functions] val simHash64Builder: Seq[Expression] => Expression = {
+    case Seq(toks) => SimHash64(toks)
+    case other => throw new IllegalArgumentException(
+      s"simhash64(<array<string>>) takes exactly one argument — " +
         s"got ${other.length}")
   }
 
@@ -291,5 +320,11 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("hll_regsum"),
       new ExpressionInfo(classOf[HllRegSum].getName, "hll_regsum"),
       GraftFunctions.hllRegSumBuilder))
+    ext.injectFunction((FunctionIdentifier("char_gram_stats"),
+      new ExpressionInfo(classOf[CharGramStats].getName, "char_gram_stats"),
+      GraftFunctions.charGramBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      GraftFunctions.simHash64Builder))
   }
 }

@@ -175,18 +175,13 @@ object TextOps {
     * `textCol`; the session needs
     * [[graft.functions.GraftFunctions.register]].
     */
-  def withSimHash64(df: DataFrame, textCol: Column, out: String): DataFrame = {
-    val tk = tokens(textCol)
-    val tvNames = (0 until 4).map(j => s"__tv$j")
-    val staged = df.select(
-      col("*") +: (0 until 4).map(j =>
-        tokenHashes16Limb(tk, j).as(s"__tv$j")): _*)
-    val limbs = (0 until 4).map(j => simHash16FromHashes(col(s"__tv$j")))
-    staged
-      .withColumn(out,
-        concat(limbs.reverse.map(l => format_string("%04x", l)): _*))
-      .drop(tvNames: _*)
-  }
+  def withSimHash64(df: DataFrame, textCol: Column, out: String): DataFrame =
+    // native one-pass expression (r8): the staged composed form paid
+    // 64 interpreted `aggregate` HOF passes per row over four
+    // materialized hash arrays (the q64 CodegenFallback disease) —
+    // measured 3.4 s -> sub-second at sf0.1. Value parity with the
+    // composed limbs is property-tested (SimHash64Spec).
+    df.withColumn(out, call_function("simhash64", tokens(textCol)))
 
   /** Exact Jaccard similarity of two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -324,12 +319,18 @@ object TextOps {
     */
   private[text] def sharedSpanRuns(docs: DataFrame, shingleN: Int,
       maxOcc: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = tokens(col("text"))
+    // native shingle_hash60 (one streamed digest per window, 8-byte
+    // keys): the composed per-window md5(concat_ws(slice)) HOF form
+    // re-materialized every shingle string and shuffled 32-char hex —
+    // measured 3.8 s -> ~1 s at sf0.1 for q85, and the digest
+    // exchange shrinks 4x. Same house convention q31 runs on; the
+    // oracle replays it via md5IntSql over the joined window.
     val sh = docs
       .filter(size(t) >= shingleN)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(t) - shingleN),
-          i => md5(concat_ws(" ", slice(t, i + 1, lit(shingleN))))))
+        posexplode(call_function("shingle_hash60", t, lit(shingleN)))
           .as(Seq("pos", "h")))
     val pairs = sh
       .groupBy(col("h"))

@@ -28,7 +28,9 @@ object DebugPerf {
     if (args.length > 2 && args(1) == "one") {
       val fn = graft.SparkEntry.queries(args(2))
       (1 to 3).foreach { i =>
-        time(s"${args(2)} run$i")(fn(spark, dir).count())
+        // toRdd: execute as declared (count() would let Catalyst
+        // prune projection work — see Bench/ScaleBench, r8)
+        time(s"${args(2)} run$i")(fn(spark, dir).queryExecution.toRdd.count())
         spark.catalog.clearCache()
       }
       spark.stop(); return
