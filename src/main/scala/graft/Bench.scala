@@ -26,22 +26,27 @@ object Bench {
     // ok=false marks a pass where the query threw: its (short) abort
     // duration must never win the min over a successful run's time
     // toRdd, NOT count() (changed r8): under count() Catalyst's
-    // rewrite prunes cardinality-neutral operators, so every
-    // projection-terminated query was timed WITHOUT its map work —
-    // q85's span left-join vanished entirely (0.21 s "measured", 5 s
-    // real), and geodesy/simhash/encode projections timed as bare
-    // scans. toRdd executes the plan exactly as declared (the rule
-    // ShuffleReport and ScaleBench already follow), which is what a
-    // user's write/collect pays. Agg/sort-terminated queries are
-    // unaffected; the r7->r8 total is therefore not comparable 1:1 —
-    // SCALE.md records the bridge (same tree, both semantics).
+    // rewrite prunes cardinality-neutral operators — every
+    // projection-terminated query was timed WITHOUT its map work
+    // (q85's span left-join vanished entirely: 0.21 s "measured",
+    // 5 s real) and EliminateSorts dropped every query's final
+    // orderBy from under the counting aggregate, so even
+    // agg-terminated queries paid no global sort. toRdd executes the
+    // plan exactly as declared — what a user's write/collect pays —
+    // the rule ShuffleReport always followed (ScaleBench/DebugPerf
+    // were switched in the same r8 change). The r7->r8 total is
+    // therefore not comparable 1:1; SCALE.md records the bridge
+    // (same tree, both semantics). Cache teardown sits OUTSIDE the
+    // timed window, matching ScaleBench, so a query that persists an
+    // intermediate is not billed for dropping it.
     def runPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case _: Throwable => false }
+        val secs = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop per-query persisted intermediates
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        (name, secs, ok)
       }
     // Contention robustness: per-query time at sf0.1 carries ±50%
     // shared-VM noise, and same-commit spikes of 4-10x on untouched

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
@@ -24,41 +22,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row hash set.
   */
 object GramUtil {
-  private val md = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
-
   private val HexChars = "0123456789abcdef".toCharArray
 
   def charGramStats(text: UTF8String, n: Int): InternalRow = {
     val bytes = text.getBytes
-    // codepoint boundary offsets (UTF-8: continuation bytes are
-    // 10xxxxxx); offsets(k) = byte index of codepoint k, plus the
-    // terminal end offset
+    // codepoint boundary offsets via Spark's OWN stride rule
+    // (UTF8String.numBytesForFirstByte — the walk numChars/substring
+    // use): on well-formed UTF-8 this equals a continuation-byte
+    // scan, and on MALFORMED input it must still match `length()`/
+    // `substr()` so the fingerprint equals the composed form on
+    // dirty corpora too (a leading byte advances its declared width
+    // even when the bytes that follow are not continuations)
     var chars = 0
     var i = 0
     while (i < bytes.length) {
-      if ((bytes(i) & 0xC0) != 0x80) chars += 1
-      i += 1
+      chars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
     }
     if (chars < n) return new GenericInternalRow(Array[Any](null, 0L))
     val offsets = new Array[Int](chars + 1)
     var k = 0
     i = 0
     while (i < bytes.length) {
-      if ((bytes(i) & 0xC0) != 0x80) { offsets(k) = i; k += 1 }
-      i += 1
+      offsets(k) = i; k += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
     }
     offsets(chars) = bytes.length
 
-    val digest = md.get()
+    val digest = HashUtil.mdInstance()
     val seen = new java.util.HashSet[java.nio.ByteBuffer](chars * 2)
     var min: Array[Byte] = null
     var g = 0
     while (g <= chars - n) {
       val from = offsets(g)
-      val until = offsets(g + n)
+      // a malformed tail can stride past the end; clamp like
+      // UTF8String.substring does
+      val until = math.min(offsets(g + n), bytes.length)
       digest.reset()
       digest.update(bytes, from, until - from)
       val d = digest.digest()
@@ -99,8 +98,9 @@ object GramUtil {
   * array_distinct) evaluated the gram array per output column,
   * re-scanned the string per substr, and materialized every hex
   * digest; this is the [[RepStats2]] treatment applied to q37
-  * (measured 4.2 s -> sub-second at sf0.1). Values are identical —
-  * property-tested against the composed form.
+  * (measured 8.6 s -> 0.6 s at sf0.1; the intermediate fix that only
+  * de-duplicated the double evaluation still measured 4.2 s).
+  * Values are identical — property-tested against the composed form.
   */
 case class CharGramStats(child: Expression, n: Int) extends UnaryExpression {
 
@@ -109,7 +109,7 @@ case class CharGramStats(child: Expression, n: Int) extends UnaryExpression {
       TypeCheckResult.TypeCheckFailure(
         s"char_gram_stats requires 1 <= n <= 64, got $n")
     else child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"char_gram_stats requires a string, got ${other.catalogString}")
     }

@@ -37,6 +37,16 @@ object HashUtil {
     long60(digest.digest(s.getBytes))
   }
 
+  /** The thread-local MD5 instance, reset and ready — shared with the
+    * sibling native scalars ([[GramUtil]]) so the digest-lifecycle
+    * code exists once.
+    */
+  private[functions] def mdInstance(): MessageDigest = {
+    val d = md.get()
+    d.reset()
+    d
+  }
+
   /** md5Long60 of `prefix ++ bytes` without building the concatenated
     * string — the salted hash-family form ([[SimHashUtil]]'s four
     * limbs): identical to `md5Long60(UTF8String(prefix + s))` because

@@ -43,9 +43,10 @@ object DebugPerf {
         "q41_srp_buckets", "q42_ann_neardup", "q43_ivf_ann",
         "q47_dedup_clusters", "q48_bucketed_join").foreach { name =>
         val fn = graft.SparkEntry.queries(name)
-        time(s"$name run1")(fn(spark, dir).count())
+        // toRdd here too — same as-declared rule as the 'one' branch
+        time(s"$name run1")(fn(spark, dir).queryExecution.toRdd.count())
         spark.catalog.clearCache()
-        time(s"$name run2")(fn(spark, dir).count())
+        time(s"$name run2")(fn(spark, dir).queryExecution.toRdd.count())
         spark.catalog.clearCache()
       }
       spark.stop(); return
@@ -87,8 +88,8 @@ object DebugPerf {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
     time("inv-join+group")(pairs.count())
-    time("q33 full")(TextQueries.q33(spark, dir).count())
-    time("q31 full")(TextQueries.q31(spark, dir).count())
+    time("q33 full")(TextQueries.q33(spark, dir).queryExecution.toRdd.count())
+    time("q31 full")(TextQueries.q31(spark, dir).queryExecution.toRdd.count())
     spark.catalog.clearCache()
     // q31 internal stage split
     val near = docs.union(docs

@@ -62,6 +62,30 @@ class CharGramStatsSpec extends AnyFunSuite {
     check(docs)
   }
 
+  test("malformed UTF-8 strides exactly like Spark's own substring walk") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a lone 0xE2 lead byte declares 3 bytes but is followed by
+    // ASCII — numBytesForFirstByte strides 3 anyway, which is what
+    // length()/substr() do; the native scalar must agree, not fall
+    // back to continuation-byte counting
+    val bad = UTF8String.fromBytes(Array[Byte](
+      'a', 'b', ' ', 0xE2.toByte, 'x', 'y', 'z', 'w', ' ', 'q', 'r',
+      's', 't', 'u', 'v', 0xE2.toByte, 'k'))
+    val chars = bad.numChars()
+    assert(chars >= 8, s"fixture too short: $chars")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = (0 to chars - 8).map { i =>
+      md.reset()
+      md.digest(bad.substring(i, i + 8).getBytes)
+        .map("%02x".format(_)).mkString
+    }
+    val row = GramUtil.charGramStats(bad, 8)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    assert(row.getUTF8String(0).toString == ref.min,
+      s"fingerprint diverges from the substring-walk reference")
+    assert(row.getLong(1) == ref.distinct.size.toLong)
+  }
+
   test("random strings (property sweep)") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abc defgé世"
