@@ -30,9 +30,12 @@ object ScaleBench {
     "q31_minhash_lsh", "q28_per_aircraft_thresholds", "q20_approaches",
     "q75_chunk_dedup", "q77_bloom_prejoin",
     // r8 additions: the HLL sketch (fixed-state vs the growing exact
-    // distinct) and both substring-dedup operators (shingle volume
-    // grows linearly; the capped pair explode must not go quadratic)
-    "q84_hll_distinct", "q85_span_dedup", "q86_span_cut")
+    // distinct), both substring-dedup operators (shingle volume
+    // grows linearly; the capped pair explode must not go quadratic),
+    // and the two newly-native map-only scalars (pure scan
+    // throughput — their decades pin the per-row cost constant)
+    "q84_hll_distinct", "q85_span_dedup", "q86_span_cut",
+    "q37_fingerprint", "q49_simhash64")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

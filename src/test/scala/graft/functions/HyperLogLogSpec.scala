@@ -54,6 +54,19 @@ class HyperLogLogSpec extends AnyFunSuite {
       .sameElements(HllUtil.toBytes(thrice.p, thrice.regs)))
   }
 
+  test("null keys are skipped, not hashed as a sentinel value") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val withNulls = (Seq[Option[Long]](None, None) ++
+      (0 until 500).map(k => Some(k.toLong))).toDF("k")
+    val clean = (0 until 500).map(_.toLong).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(call_function("hll_build", col("k"), lit(7)))
+        .head().getAs[Array[Byte]](0)
+    assert(sk(withNulls).sameElements(sk(clean)),
+      "null keys must not perturb the registers")
+  }
+
   test("build is byte-identical under any partitioning (max-merge)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
