@@ -65,6 +65,41 @@ object AsOfJoin {
       .drop("__side")
   }
 
+  /** FORWARD as-of: every left row picks up the payload of the
+    * EARLIEST right row with the same key whose time is >= the left
+    * row's time — "next action after this event" (next maintenance
+    * after a fault, next fill after an order, next calibration after
+    * a flight). Same non-join single-shuffle composition as
+    * [[asofJoin]], mirrored: the running window looks FORWARD
+    * (`first(payload)` over [current row, unbounded following]), with
+    * right rows sorted after left rows at equal time so a right row
+    * AT the left row's exact time is visible (>=). Among right rows
+    * tied on (key, time) the LEAST payload struct wins — pass a
+    * unique leading payload column (an id) for determinism.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: Seq[String],
+      time: String, payload: Seq[String],
+      out: String = "asof_next"): DataFrame = {
+    require(!left.columns.contains(out) && !left.columns.contains("__side"),
+      s"left input must not already contain a '$out' or '__side' column")
+    val rightU = right
+      .filter(col(time).isNotNull)
+      .select(key.map(col) ++ Seq(col(time),
+        struct(payload.map(col): _*).as(out)): _*)
+      .withColumn("__side", lit(0))
+    val u = left.withColumn("__side", lit(1))
+      .unionByName(rightU, allowMissingColumns = true)
+    // side DESC: at equal time the left row (1) precedes the right
+    // rows (0), so the forward frame starting at the left row sees
+    // the equal-time mark
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(time).asc, col("__side").desc, col(out).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn(out, first(col(out), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Skew-hardened [[asofJoin]] — identical semantics for workloads
     * where one key's row count dwarfs the rest (the plain form's
     * per-partition bound is the hottest key's TOTAL row count, the

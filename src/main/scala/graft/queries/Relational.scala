@@ -908,6 +908,38 @@ object Relational {
       |   ORDER BY m.tns DESC, m.mark_id DESC LIMIT 1) AS mark_id
       |FROM ev e ORDER BY e.event_id""".stripMargin
 
+  // ---- q87: FORWARD as-of join (the family's missing direction) ----
+  // q53 mirrored: every event picks up the NEXT mark at-or-after its
+  // time ("what happened next" enrichment — next maintenance after a
+  // fault). Same non-join tag-union + window plan, frame looking
+  // forward; ties at equal time go to the smallest mark_id in both
+  // engines. One shuffle, zero join operators (PlanSpec-pinned like
+  // q53).
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val marks = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("event_id").as("mark_id"))
+    graft.operators.AsOfJoin
+      .asofJoinForward(ev, marks, Seq("user_id"), "ts", Seq("mark_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_next.mark_id").as("mark_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val q87Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+      |), marks AS (
+      |  SELECT user_id, tns, event_id AS mark_id FROM ev
+      |  WHERE event_id % 10 = 0
+      |)
+      |SELECT e.event_id, e.user_id,
+      |  (SELECT m.mark_id FROM marks m
+      |   WHERE m.user_id = e.user_id AND m.tns >= e.tns
+      |   ORDER BY m.tns ASC, m.mark_id ASC LIMIT 1) AS mark_id
+      |FROM ev e ORDER BY e.event_id""".stripMargin
+
   // ---- q54: range (interval) join (§2.3's other missing join shape) ----
   // Sparse 10-minute windows anchored at "mark" events (event_id %
   // 97 == 0); every window aggregates the same user's events with
@@ -1243,7 +1275,8 @@ object Relational {
     "q60_asof_tolerance" -> (q60 _),
     "q67_zorder" -> (q67 _),
     "q77_bloom_prejoin" -> (q77 _),
-    "q84_hll_distinct" -> (q84 _)
+    "q84_hll_distinct" -> (q84 _),
+    "q87_asof_forward" -> (q87 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1278,6 +1311,7 @@ object Relational {
     "q60_asof_tolerance" -> q60Sql,
     "q67_zorder" -> q67Sql,
     "q77_bloom_prejoin" -> q77Sql,
-    "q84_hll_distinct" -> q84Sql
+    "q84_hll_distinct" -> q84Sql,
+    "q87_asof_forward" -> q87Sql
   )
 }

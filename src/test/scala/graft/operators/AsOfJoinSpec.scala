@@ -43,6 +43,57 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run(events, marks) == Map(1L -> Some(107L), 2L -> Some(107L)))
   }
 
+  private def runForward(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    AsOfJoin.asofJoinForward(l, r, Seq("user_id"), "ts", Seq("mark_id"))
+      .select(col("event_id"), col("asof_next.mark_id"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .toMap
+  }
+
+  test("forward: picks the earliest right row at or after each left time") {
+    val marks = Seq((100L, 1L, 10L), (101L, 1L, 20L))
+    val events = Seq(
+      (1L, 1L, 5L),  // before both -> next is m100
+      (2L, 1L, 10L), // exactly at mark time -> visible (>=)
+      (3L, 1L, 15L), // between -> m101
+      (4L, 1L, 25L), // after both -> null
+      (5L, 2L, 30L)) // other key, no marks -> null
+    assert(runForward(events, marks) == Map(
+      1L -> Some(100L), 2L -> Some(100L), 3L -> Some(101L),
+      4L -> None, 5L -> None))
+  }
+
+  test("forward: equal-time ties resolve to the least payload") {
+    val marks = Seq((107L, 1L, 10L), (100L, 1L, 10L), (103L, 1L, 10L))
+    val events = Seq((1L, 1L, 10L), (2L, 1L, 5L))
+    assert(runForward(events, marks) ==
+      Map(1L -> Some(100L), 2L -> Some(100L)))
+  }
+
+  test("forward: random sweep matches the brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val events = Seq.fill(60)(
+        (rnd.nextLong(1000), rnd.nextLong(4), rnd.nextLong(20)))
+        .zipWithIndex.map { case ((_, u, t), i) => (i.toLong, u, t) }
+      val marks = Seq.fill(15)(
+        (100L + rnd.nextLong(100), rnd.nextLong(4), rnd.nextLong(20)))
+      val expected = events.map { case (id, u, t) =>
+        val cand = marks.filter(m => m._2 == u && m._3 >= t)
+        id -> (if (cand.isEmpty) None
+               else Some(cand.minBy(m => (m._3, m._1))._1))
+      }.toMap
+      assert(runForward(events, marks) == expected)
+    }
+  }
+
   test("random sweep matches the brute-force reference") {
     val rnd = new scala.util.Random(42)
     // small key/time domains force heavy collisions: equal-time ties,

@@ -151,6 +151,13 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.size == 200, s"regimes disagree: ${a.size} vs ${b.size}")
   }
 
+  test("q87 forward as-of plans zero join operators (tag-union + window)") {
+    val p = plan(Relational.q87(spark, dir))
+    assert(!p.contains("Join"),
+      s"the as-of family must stay join-free — a Join node appeared:\n$p")
+    assert(p.contains("Window"), s"expected the forward window:\n$p")
+  }
+
   test("q85 span dedup: pair generation is join-free (capped explode, no self-join)") {
     val p = plan(TextQueries.q85(spark, dir))
     assert(!p.contains("CartesianProduct") &&
