@@ -159,6 +159,23 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "document text is travelling through the shuffle")
   }
 
+  test("q87 forward as-of: same single-window budget as the backward form") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+    val nMarks = nEv / 10
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q87(spark, dir).queryExecution.toRdd.count()
+    }
+    // mirrored plan, identical budget law: one window exchange of the
+    // union plus the result orderBy — direction must not change cost
+    assert(s.writeRecords <= (1.1 * (2 * nEv + nMarks)).toLong,
+      s"forward as-of shuffled ${s.writeRecords} records for $nEv " +
+        s"events + $nMarks marks — the mirrored plan has regressed")
+    assert(s.writeRecords >= nEv + nMarks,
+      s"only ${s.writeRecords} records shuffled — the measured plan " +
+        "did not execute the forward window")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
