@@ -78,7 +78,12 @@ object Bench {
     val failed = best.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":$ran}""")
+    // "semantics" marks the r8 measurement change in the artifact
+    // itself: totals time plans AS DECLARED (toRdd) — earlier rounds'
+    // count()-based totals are NOT comparable 1:1 (SCALE.md bridge:
+    // 38.0 s count-semantics vs 69.5 s as-declared pre-optimization
+    // on one tree; 57.2 s after the r8 native scalars)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":$ran,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
     spark.stop()
   }
 }
