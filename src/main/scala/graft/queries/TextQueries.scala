@@ -1415,6 +1415,52 @@ object TextQueries {
        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
+  // ---- q88: URL/domain extraction + per-domain corpus stats ----
+  // The CommonCrawl-style curation step: every doc carries a source
+  // URL; corpus policy decisions (keep/drop/weight) are made per
+  // DOMAIN, so the pipeline needs domain extraction plus per-domain
+  // aggregates — doc count, distinct-text count (the domain's dup
+  // rate), token volume. URLs are planted deterministically from
+  // doc_id (the documents table's `source` is a synthetic label, not
+  // a URL): host = "h<doc_id%23>", registrable domain =
+  // "site<doc_id%7>.example", path from the id — identical in both
+  // engines, and the extraction regex stays in the RE2∩Java dialect
+  // (q78's rule). Map-only extraction; the aggregate shuffles one
+  // narrow row per (domain, digest) — never text.
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://h"), (col("doc_id") % 23).cast("string"),
+      lit(".site"), (col("doc_id") % 7).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string"))
+    val domainRe = "^https?://(?:[a-z0-9-]+\\.)*([a-z0-9-]+\\.[a-z]+)/"
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(url, domainRe, 1).as("domain"),
+        md5(col("text")).as("h"), size(toks).cast("long").as("n_toks"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .orderBy(col("domain"))
+  }
+
+  val q88Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://h' || CAST(doc_id % 23 AS VARCHAR) ||
+      |      '.site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |      '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    md5(text) AS h,
+      |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents
+      |)
+      |SELECT regexp_extract(url,
+      |    '^https?://(?:[a-z0-9-]+\.)*([a-z0-9-]+\.[a-z]+)/', 1) AS domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+      |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+      |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1684,7 +1730,8 @@ object TextQueries {
     "q82_bpe_subwords" -> (q82 _),
     "q83_cms_heavy" -> (q83 _),
     "q85_span_dedup" -> (q85 _),
-    "q86_span_cut" -> (q86 _)
+    "q86_span_cut" -> (q86 _),
+    "q88_domain_stats" -> (q88 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1719,6 +1766,7 @@ object TextQueries {
     "q82_bpe_subwords" -> q82Sql,
     "q83_cms_heavy" -> q83Sql,
     "q85_span_dedup" -> q85Sql,
-    "q86_span_cut" -> q86Sql
+    "q86_span_cut" -> q86Sql,
+    "q88_domain_stats" -> q88Sql
   )
 }
