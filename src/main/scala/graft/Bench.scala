@@ -20,6 +20,7 @@ object Bench {
       SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
       graft.queries.Relational.prepareBucketedTables(spark, sfDir)
       graft.queries.TextQueries.prepareJsonlCorpus(spark, sfDir)
+      graft.queries.TextQueries.prepareOrcCorpus(spark, sfDir)
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     // fixed name order: stable warm-up attribution across rounds

@@ -35,7 +35,13 @@ object ScaleBench {
     // and the two newly-native map-only scalars (pure scan
     // throughput — their decades pin the per-row cost constant)
     "q84_hll_distinct", "q85_span_dedup", "q86_span_cut",
-    "q37_fingerprint", "q49_simhash64")
+    "q37_fingerprint", "q49_simhash64",
+    // r9 additions: the quantile sketch (fixed bucket state vs the
+    // full-sort exact witness), unigram LM scoring (broadcast vocab
+    // probe + integer per-doc fold), bigram PMI (pair-agg volume),
+    // and the ORC read path (pushed-predicate scan throughput)
+    "q89_quantile_sketch", "q90_unigram_logprob", "q91_pmi_bigrams",
+    "q92_orc_roundtrip")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

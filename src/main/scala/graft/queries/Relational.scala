@@ -1242,6 +1242,116 @@ object Relational {
        |ORDER BY flag""".stripMargin
   }
 
+  // ---- q89: HDR-histogram quantile sketch (p50/p90/p99 per group) ----
+  // The quantile member of the sketch family (bloom q77 = membership,
+  // CMS q83 = frequency, HLL q84 = cardinality): per-group order
+  // statistics from a log2-bucketed histogram instead of an exact
+  // quantile's full sort. Prices are bucketed as integer CENTS by
+  // (scale, mantissa) where scale s = max(bitlen-1-6, 0) and mantissa
+  // m = cents >> s — the top 7 bits of the value, i.e. an HDR
+  // histogram with 64 sub-buckets per octave (relative error <= 1/64
+  // ~ 1.6%). EVERY bucket op is integer bit arithmetic (bitlen via
+  // length(bin(n)), >>, <<), so Spark and DuckDB agree to the bit —
+  // no libm anywhere, unlike a gamma-log DDSketch whose floor(ln x /
+  // ln gamma) flips at bucket boundaries on a 1-ulp disagreement.
+  //
+  // Estimate for percentile p: rank = ceil(p*n) (integer form
+  // (n*p + 99) DIV 100), walk the cumulative bucket counts to the
+  // first bucket with cum >= rank, report the bucket midpoint
+  // (lo+hi) DIV 2. The exact rank-th value rides along as the
+  // accuracy witness (err_e4 column) — and is the thing the sketch
+  // REPLACES at 100 TB: exact per-group quantiles need a full sort
+  // of every group (or a multi-pass select), while the sketch's
+  // state is <= ~64*58 bounded buckets per group regardless of row
+  // count, merged by count addition under any partitioning / AQE
+  // replay. One narrow shuffle of (group, s, m, partial count) rows;
+  // the witness's sort is the only wide work and is dropped in
+  // production (spec-pinned merge invariance in QuantileSketchSpec).
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("n"))
+    val e = (length(bin(col("n"))) - 1).cast("long")
+    val buckets = base
+      .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
+      .select(col("flag"), col("s"),
+        call_function("shiftright", col("n"), col("s")).as("m"))
+      .groupBy(col("flag"), col("s"), col("m"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lo", call_function("shiftleft", col("m"), col("s")))
+      .withColumn("hi",
+        call_function("shiftleft", col("m") + 1, col("s")) - 1)
+    // (s, m) buckets are disjoint value ranges, so ordering by lo is
+    // the value order; cum/total are a tiny per-group window over the
+    // bounded bucket table, not over rows
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("flag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = buckets
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wAll))
+    val est = cum
+      .select(col("flag"), col("cum"), col("total"),
+        ((col("lo") + col("hi")).cast("long")).as("lohi"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .withColumn("rank", expr("(total * p + 99) DIV 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("flag"), col("p"), col("total"), col("rank"))
+      .agg(min(expr("lohi DIV 2")).as("est_cents"))
+    // exact witness: the rank-th smallest cents per group (full sort —
+    // the cost the sketch exists to avoid); renamed columns keep the
+    // est/exact join free of same-lineage ambiguity
+    val exact = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("flag")).orderBy(col("n"))))
+      .select(col("flag").as("wflag"), col("n").as("wn"), col("rn"))
+    est.join(exact,
+        col("flag") === col("wflag") && col("rank") === col("rn"))
+      .select(col("flag"), col("p"), col("total").as("n_rows"),
+        col("est_cents"), col("wn").as("exact_cents"),
+        expr("abs(est_cents - wn) * 10000 DIV wn").as("err_e4"))
+      .orderBy(col("flag"), col("p"))
+  }
+
+  val q89Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS n
+      |  FROM lineitem
+      |), keyed AS (
+      |  SELECT flag, n,
+      |    CAST(greatest(length(bin(n)) - 1 - 6, 0) AS INT) AS s
+      |  FROM v
+      |), b AS (
+      |  SELECT flag, s, n >> s AS m, count(*) AS c
+      |  FROM keyed GROUP BY 1, 2, 3
+      |), bk AS (
+      |  SELECT flag, s, m, c, m << s AS lo, ((m + 1) << s) - 1 AS hi
+      |  FROM b
+      |), cw AS (
+      |  SELECT flag, lo, hi,
+      |    CAST(sum(c) OVER (PARTITION BY flag ORDER BY lo
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY flag) AS BIGINT) AS total
+      |  FROM bk
+      |), est AS (
+      |  SELECT flag, p, total, (total * p + 99) // 100 AS rank,
+      |    min((lo + hi) // 2) FILTER (
+      |      WHERE cum >= (total * p + 99) // 100) AS est_cents
+      |  FROM cw CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+      |  GROUP BY 1, 2, 3
+      |), ex AS (
+      |  SELECT flag, n,
+      |    row_number() OVER (PARTITION BY flag ORDER BY n) AS rn
+      |  FROM v
+      |)
+      |SELECT est.flag, CAST(p AS BIGINT) AS p, total AS n_rows,
+      |  CAST(est_cents AS BIGINT) AS est_cents, n AS exact_cents,
+      |  CAST(abs(est_cents - n) * 10000 // n AS BIGINT) AS err_e4
+      |FROM est JOIN ex ON est.flag = ex.flag AND est.rank = ex.rn
+      |ORDER BY est.flag, p""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1276,7 +1386,8 @@ object Relational {
     "q67_zorder" -> (q67 _),
     "q77_bloom_prejoin" -> (q77 _),
     "q84_hll_distinct" -> (q84 _),
-    "q87_asof_forward" -> (q87 _)
+    "q87_asof_forward" -> (q87 _),
+    "q89_quantile_sketch" -> (q89 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1312,6 +1423,7 @@ object Relational {
     "q67_zorder" -> q67Sql,
     "q77_bloom_prejoin" -> q77Sql,
     "q84_hll_distinct" -> q84Sql,
-    "q87_asof_forward" -> q87Sql
+    "q87_asof_forward" -> q87Sql,
+    "q89_quantile_sketch" -> q89Sql
   )
 }

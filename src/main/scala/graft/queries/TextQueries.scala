@@ -1083,6 +1083,53 @@ object TextQueries {
        |    AS text_hash_sum
        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- q92: ORC source round-trip (the warehouse handover format) ----
+  // q73's integrity contract on the OTHER interchange format: the
+  // corpus is staged once as ORC, read back through Spark's native
+  // vectorized ORC reader with an explicit schema, and reduced to the
+  // same order-independent per-group content checksum computed by the
+  // oracle from the ORIGINAL parquet — a green hash proves the ORC
+  // write+read preserved every doc byte-for-byte. Where q73's JSONL
+  // read is a full-scan text parse, this read exercises what makes
+  // ORC analytical: the `n_chars >= 200` predicate pushes into the
+  // scan (row-group min/max skipping; `PushedFilters` pinned by
+  // OrcSpec) and only the three referenced columns decode. Staged
+  // once per dataset in tmpdir (q48/q73's prep pattern); the timed
+  // query is read + aggregate, not the write.
+  private[graft] def prepareOrcCorpus(spark: SparkSession,
+      dir: String): String = {
+    val mt = new java.io.File(s"$dir/documents.parquet").lastModified
+    val tag = java.lang.Integer.toHexString(s"$dir:$mt".hashCode & 0x7fffffff)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_orc_$tag").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      graft.sources.Orc.writeOrc(tbl(spark, dir, "documents"), path)
+    path
+  }
+
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val path = prepareOrcCorpus(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    graft.sources.Orc.readOrc(spark, path, schema)
+      .filter(col("n_chars") >= 200)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(call_function("md5_long60", col("text")) % 1000000000000L)
+          .as("text_hash_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q92Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(${md5IntSql("text")} % 1000000000000) AS BIGINT)
+       |    AS text_hash_sum
+       |FROM documents WHERE n_chars >= 200
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- q75: chunk-level exact dedup (substring dedup lite) ----
   // Document-level dedup misses the dominant contamination mode of
   // web corpora: boilerplate blocks repeated inside otherwise-unique
@@ -1461,6 +1508,129 @@ object TextQueries {
       |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
       |FROM u GROUP BY 1 ORDER BY domain""".stripMargin
 
+  // ---- q90: unigram LM quality score (per-doc mean log-prob) ----
+  // The model-based quality filter between q35's surface heuristics
+  // and a real LM: score every document by the mean log-probability
+  // of its tokens under the corpus's own add-one-smoothed unigram
+  // distribution (CCNet/Gopher-style "perplexity bucket" signal —
+  // boilerplate and keyword-stuffed docs score high, rare-token noise
+  // scores low). Cross-engine exactness: each DISTINCT TERM gets one
+  // libm ln (identical doubles, q38's rule) immediately rounded to
+  // micro-nats (ll_e6 BIGINT); per-doc aggregation then sums
+  // INTEGERS — order-independent under any partitioning — and the
+  // normalizer ln(N+V) is one more rounded scalar. No float ever
+  // rides a shuffle. avg subtracts AFTER the positive integer
+  // division so truncation (Spark DIV) and floor (DuckDB //) agree.
+  //
+  // 100 TB posture: the vocab build is q56's two-phase agg (one
+  // narrow shuffle of (term, partial) pairs); scoring is a map-only
+  // broadcast-hash probe of the ~10^6-row (term, ll_e6) table plus a
+  // per-doc agg whose map-side partial collapses each partition's
+  // token stream to one (doc_id, n, sum) row before the shuffle.
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // ln(N + V) as a broadcast 1-row scalar folded into the plan
+    val z = vocab
+      .agg((sum(col("c")) + count(lit(1))).cast("double").as("z"))
+      .select(round(log(col("z")) * 1e6).cast("long").as("ln_z_e6"))
+    val termLl = vocab.select(col("term"),
+      round(log((col("c") + 1).cast("double")) * 1e6).cast("long")
+        .as("ll_e6"))
+    tok.join(broadcast(termLl), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("ll_e6")).as("sum_ll_e6"))
+      .crossJoin(broadcast(z))
+      .select(col("doc_id"), col("n_toks"), col("sum_ll_e6"),
+        (expr("sum_ll_e6 DIV n_toks") - col("ln_z_e6")).as("avg_ll_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), v AS (
+      |  SELECT term, count(*) AS c FROM tok GROUP BY term
+      |), z AS (
+      |  SELECT CAST(round(ln(CAST(sum(c) + count(*) AS DOUBLE)) * 1e6)
+      |    AS BIGINT) AS ln_z_e6 FROM v
+      |), tl AS (
+      |  SELECT term,
+      |    CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS ll_e6
+      |  FROM v
+      |)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(ll_e6) AS BIGINT) AS sum_ll_e6,
+      |  CAST(sum(ll_e6) // count(*) - (SELECT ln_z_e6 FROM z) AS BIGINT)
+      |    AS avg_ll_e6
+      |FROM tok JOIN tl USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q91: bigram PMI co-occurrence (collocation mining) ----
+  // The corpus-analysis op behind tokenizer audits and stopword/
+  // phrase discovery: pointwise mutual information over ADJACENT
+  // token pairs, marginals taken over bigram slots (cx = occurrences
+  // as left member, cy = as right), floor cxy >= 5 against sparse-
+  // count noise, top 100 by (pmi desc, x, y) — a total order, so the
+  // cut is deterministic. PMI touches floats only AFTER all counting:
+  // four libm lns of integer-valued doubles combined left-to-right in
+  // the same expression shape in both engines, rounded e6 (q38's
+  // rule); counts and ranks never leave integers.
+  //
+  // 100 TB posture: bigram enumeration rides the scan (one narrow
+  // (x, y) pair stream with map-side partial combine), marginals are
+  // two more narrow aggs REUSING the same exploded stream, and the
+  // floor cuts the survivor table to ~vocab size before the two
+  // broadcast-hash marginal joins; TakeOrderedAndProject hands the
+  // driver 100 rows. Nothing corpus-sized is ever wide.
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val bi = tbl(spark, dir, "documents")
+      .select(toks.as("t")).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS x, t[i + 1] AS y))")).as("g"))
+      .select(col("g.x").as("x"), col("g.y").as("y"))
+    val pairs = bi.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5)
+    val left = bi.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val right = bi.groupBy(col("y")).agg(count(lit(1)).as("cy"))
+    val n = bi.agg(count(lit(1)).cast("double").as("nbi"))
+    pairs.join(broadcast(left), "x").join(broadcast(right), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+        round((log(col("cxy").cast("double")) + log(col("nbi"))
+          - log(col("cx").cast("double"))
+          - log(col("cy").cast("double"))) * 1e6).cast("long")
+          .as("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("x"), col("y"))
+      .limit(100)
+  }
+
+  val q91Sql: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents
+      |), bi AS (
+      |  SELECT tk[u.i] AS x, tk[u.i + 1] AS y
+      |  FROM t, unnest(range(1, len(tk))) AS u(i)
+      |  WHERE len(tk) >= 2
+      |), p AS (
+      |  SELECT x, y, count(*) AS cxy FROM bi GROUP BY x, y
+      |  HAVING count(*) >= 5
+      |), l AS (SELECT x, count(*) AS cx FROM bi GROUP BY x),
+      |r AS (SELECT y, count(*) AS cy FROM bi GROUP BY y),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nbi FROM bi)
+      |SELECT x, y, CAST(cxy AS BIGINT) AS cxy, CAST(cx AS BIGINT) AS cx,
+      |  CAST(cy AS BIGINT) AS cy,
+      |  CAST(round((ln(CAST(cxy AS DOUBLE)) + ln(nbi)
+      |    - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE))) * 1e6)
+      |    AS BIGINT) AS pmi_e6
+      |FROM p JOIN l USING (x) JOIN r USING (y) CROSS JOIN n
+      |ORDER BY pmi_e6 DESC, x, y LIMIT 100""".stripMargin
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1731,7 +1901,10 @@ object TextQueries {
     "q83_cms_heavy" -> (q83 _),
     "q85_span_dedup" -> (q85 _),
     "q86_span_cut" -> (q86 _),
-    "q88_domain_stats" -> (q88 _)
+    "q88_domain_stats" -> (q88 _),
+    "q90_unigram_logprob" -> (q90 _),
+    "q91_pmi_bigrams" -> (q91 _),
+    "q92_orc_roundtrip" -> (q92 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1767,6 +1940,9 @@ object TextQueries {
     "q83_cms_heavy" -> q83Sql,
     "q85_span_dedup" -> q85Sql,
     "q86_span_cut" -> q86Sql,
-    "q88_domain_stats" -> q88Sql
+    "q88_domain_stats" -> q88Sql,
+    "q90_unigram_logprob" -> q90Sql,
+    "q91_pmi_bigrams" -> q91Sql,
+    "q92_orc_roundtrip" -> q92Sql
   )
 }
