@@ -176,6 +176,77 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "did not execute the forward window")
   }
 
+  test("q89 sketch path shuffles bounded buckets, not rows (witness excluded)") {
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("n"),
+        col("l_returnflag").as("flag"))
+    val nRows = base.count()
+    // the production path — q89 minus its exact-witness sort: bucket
+    // assignment is map-only, the agg's partial phase collapses each
+    // partition to its occupied buckets before the one exchange
+    val e = (length(bin(col("n"))) - 1).cast("long")
+    val sketch = base
+      .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
+      .withColumn("m", call_function("shiftright", col("n"), col("s")))
+      .groupBy(col("flag"), col("s"), col("m")).count()
+    val s = ShuffleMeter.measure(spark) {
+      sketch.queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the bucket agg to shuffle")
+    // the sketch's scaling law: partials <= partitions x occupied
+    // buckets — a bound that does NOT grow with the row count (at
+    // sf0.001's 6 k rows the two are close; at 100 TB the gap is the
+    // whole point). The +orderBy term is the re-shuffle of the final
+    // bucket rows.
+    val nBuckets = sketch.count()
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(s.writeRecords <= (parts + 1) * nBuckets,
+      s"sketch path shuffled ${s.writeRecords} records for $nBuckets " +
+        s"buckets x $parts partitions — the partial phase has regressed " +
+        s"to streaming rows ($nRows)")
+  }
+
+  test("q90 scoring never shuffles tokens or text — only per-doc partials") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val nToks = docs.selectExpr(
+      "sum(size(split(lower(trim(text)), '\\\\s+')))").head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q90(spark, dir).queryExecution.toRdd.count()
+    }
+    // wide work = vocab agg (term partials), the per-doc agg (one
+    // partial row per doc per partition — docs are not split, so ~one
+    // per doc), and the final orderBy; the exploded token stream
+    // itself must collapse map-side, never travel
+    assert(s.writeRecords <= nToks / 2,
+      s"q90 shuffled ${s.writeRecords} records for $nToks tokens — " +
+        "the token stream is travelling instead of folding map-side")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 120,
+      f"q90's shuffled rows average $avgRow%.0f B — wider than " +
+        "(term|doc_id, counts) partials should ever be")
+  }
+
+  test("q91 PMI shuffles narrow pair partials, text stays put") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nToks = docs.selectExpr(
+      "sum(size(split(lower(trim(text)), '\\\\s+')))").head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q91(spark, dir).queryExecution.toRdd.count()
+    }
+    // three aggs over the bigram stream (pairs, left marginal, right
+    // marginal), each with map-side combine; marginal joins broadcast,
+    // top-k is TakeOrdered — so the budget is a few narrow rows per
+    // bigram, never a join-shaped blowup
+    assert(s.writeRecords <= 4 * nToks,
+      s"q91 shuffled ${s.writeRecords} records for ~$nToks bigrams — " +
+        "a marginal join or the top-k has gone wide")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 120,
+      f"q91's shuffled rows average $avgRow%.0f B — more than two " +
+        "short tokens + a count per row")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
