@@ -1631,6 +1631,61 @@ object TextQueries {
       |FROM p JOIN l USING (x) JOIN r USING (y) CROSS JOIN n
       |ORDER BY pmi_e6 DESC, x, y LIMIT 100""".stripMargin
 
+  // ---- q93: weighted stratified sampling (Efraimidis–Spirakis) ----
+  // q68's quota sampling upgraded to WEIGHTED sampling — the corpus-
+  // mixing step that samples documents proportional to length (token
+  // budget), not uniformly: per stratum, keep the k docs maximizing
+  // u^(1/w) (equivalently ln(u)/w), the A-ES reservoir key, with
+  // u = (md5_long60("wsamp:"+doc_id)+1) / 2^60 — deterministic,
+  // reproducible, leakage-safe (same salt family as q46/q57/q68,
+  // its own salt string) — and w = n_chars. Cross-engine exactness:
+  // u is one power-of-two scale of an integer (exact), then ONE libm
+  // ln, one divide, one round to an e9 BIGINT key — both engines
+  // rank by the SAME rounded integer with doc_id tiebreak, so the
+  // cut is total-ordered and identical (q38's float rule; no float
+  // ever aggregated).
+  //
+  // 100 TB posture: scoring is map-only (hash + ln per row, no
+  // dependence on any other row); the per-stratum cut rides the
+  // native bounded `topk_by_score` partial aggregate — the shuffle
+  // carries <= k rows per (task, stratum), never the corpus, and the
+  // driver receives k rows per stratum. The full-sort window form
+  // this replaces shuffles every scored row per stratum.
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val h = call_function("md5_long60",
+      concat(lit("wsamp:"), col("doc_id").cast("string")))
+    val u = (h + 1).cast("double") / lit(1152921504606846976.0) // 2^60
+    val key = round(log(u) / col("n_chars").cast("double") * 1e9)
+      .cast("long")
+    tbl(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), key.as("key_e9"))
+      .groupBy(col("lang"))
+      .agg(call_function("topk_by_score",
+        col("key_e9"), col("doc_id"), lit(10)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("key_e9"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q93Sql: String = {
+    val h = md5IntSql("'wsamp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |    CAST(round(ln(CAST(($h) + 1 AS DOUBLE) / 1152921504606846976.0)
+       |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_e9
+       |  FROM documents
+       |), r AS (
+       |  SELECT lang, doc_id, key_e9,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY key_e9 DESC, doc_id) AS rk
+       |  FROM s
+       |)
+       |SELECT lang, CAST(rk AS INT) AS rank, doc_id, key_e9
+       |FROM r WHERE rk <= 10 ORDER BY lang, rank""".stripMargin
+  }
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1904,7 +1959,8 @@ object TextQueries {
     "q88_domain_stats" -> (q88 _),
     "q90_unigram_logprob" -> (q90 _),
     "q91_pmi_bigrams" -> (q91 _),
-    "q92_orc_roundtrip" -> (q92 _)
+    "q92_orc_roundtrip" -> (q92 _),
+    "q93_weighted_sample" -> (q93 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1943,6 +1999,7 @@ object TextQueries {
     "q88_domain_stats" -> q88Sql,
     "q90_unigram_logprob" -> q90Sql,
     "q91_pmi_bigrams" -> q91Sql,
-    "q92_orc_roundtrip" -> q92Sql
+    "q92_orc_roundtrip" -> q92Sql,
+    "q93_weighted_sample" -> q93Sql
   )
 }
