@@ -41,7 +41,7 @@ object ScaleBench {
     // probe + integer per-doc fold), bigram PMI (pair-agg volume),
     // and the ORC read path (pushed-predicate scan throughput)
     "q89_quantile_sketch", "q90_unigram_logprob", "q91_pmi_bigrams",
-    "q92_orc_roundtrip")
+    "q92_orc_roundtrip", "q93_weighted_sample")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

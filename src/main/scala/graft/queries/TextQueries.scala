@@ -1580,12 +1580,17 @@ object TextQueries {
   // the same expression shape in both engines, rounded e6 (q38's
   // rule); counts and ranks never leave integers.
   //
-  // 100 TB posture: bigram enumeration rides the scan (one narrow
-  // (x, y) pair stream with map-side partial combine), marginals are
-  // two more narrow aggs REUSING the same exploded stream, and the
-  // floor cuts the survivor table to ~vocab size before the two
-  // broadcast-hash marginal joins; TakeOrderedAndProject hands the
-  // driver 100 rows. Nothing corpus-sized is ever wide.
+  // 100 TB posture: ONE corpus pass — bigram enumeration rides the
+  // scan into a single (x, y) pair-count agg (map-side partial
+  // combine), cached at pair-table size (<= vocab², in practice ~the
+  // distinct-bigram count — orders of magnitude under the corpus).
+  // Marginals and the total are then SUMS OVER THE PAIR TABLE
+  // (cx = Σ_y cxy, cy = Σ_x cxy, N = Σ cxy), so no second corpus
+  // scan exists; the naive form re-derived the exploded bigram
+  // stream once per marginal — three corpus passes for one answer.
+  // The floor cuts the survivor table before the two broadcast-hash
+  // marginal joins; TakeOrderedAndProject hands the driver 100 rows.
+  // Nothing corpus-sized is ever wide.
   def q91(spark: SparkSession, dir: String): DataFrame = {
     val bi = tbl(spark, dir, "documents")
       .select(toks.as("t")).filter(size(col("t")) >= 2)
@@ -1593,11 +1598,12 @@ object TextQueries {
         "transform(sequence(0, size(t) - 2), " +
           "i -> struct(t[i] AS x, t[i + 1] AS y))")).as("g"))
       .select(col("g.x").as("x"), col("g.y").as("y"))
-    val pairs = bi.groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5)
-    val left = bi.groupBy(col("x")).agg(count(lit(1)).as("cx"))
-    val right = bi.groupBy(col("y")).agg(count(lit(1)).as("cy"))
-    val n = bi.agg(count(lit(1)).cast("double").as("nbi"))
+    val pairsAll = bi.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cxy")).persist()
+    val pairs = pairsAll.filter(col("cxy") >= 5)
+    val left = pairsAll.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val right = pairsAll.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val n = pairsAll.agg(sum(col("cxy")).cast("double").as("nbi"))
     pairs.join(broadcast(left), "x").join(broadcast(right), "y")
       .crossJoin(broadcast(n))
       .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
