@@ -1267,38 +1267,17 @@ object Relational {
   // replay. One narrow shuffle of (group, s, m, partial count) rows;
   // the witness's sort is the only wide work and is dropped in
   // production (spec-pinned merge invariance in QuantileSketchSpec).
+  // Geometry and extraction live in ONE place —
+  // operators/QuantileSketch.scala — shared with the streaming twin
+  // (SketchStream) and the DebugPerf decade probe.
   def q89(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
     val base = tbl(spark, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("n"))
-    val e = (length(bin(col("n"))) - 1).cast("long")
-    val buckets = base
-      .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
-      .select(col("flag"), col("s"),
-        call_function("shiftright", col("n"), col("s")).as("m"))
-      .groupBy(col("flag"), col("s"), col("m"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("lo", call_function("shiftleft", col("m"), col("s")))
-      .withColumn("hi",
-        call_function("shiftleft", col("m") + 1, col("s")) - 1)
-    // (s, m) buckets are disjoint value ranges, so ordering by lo is
-    // the value order; cum/total are a tiny per-group window over the
-    // bounded bucket table, not over rows
-    val wCum = Window.partitionBy(col("flag")).orderBy(col("lo"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("flag"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = buckets
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("total", sum(col("c")).over(wAll))
-    val est = cum
-      .select(col("flag"), col("cum"), col("total"),
-        ((col("lo") + col("hi")).cast("long")).as("lohi"),
-        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
-      .withColumn("rank", expr("(total * p + 99) DIV 100"))
-      .filter(col("cum") >= col("rank"))
-      .groupBy(col("flag"), col("p"), col("total"), col("rank"))
-      .agg(min(expr("lohi DIV 2")).as("est_cents"))
+    val buckets = QuantileSketch.bucketHistogram(base, col("n"), Seq("flag"))
+    val est = QuantileSketch.quantiles(buckets, Seq("flag"), Seq(50, 90, 99))
+      .withColumnRenamed("est", "est_cents")
     // exact witness: the rank-th smallest cents per group (full sort —
     // the cost the sketch exists to avoid); renamed columns keep the
     // est/exact join free of same-lineage ambiguity

@@ -1051,16 +1051,25 @@ object TextQueries {
   // — order-independent, content-sensitive. The JSONL corpus is
   // staged once per dataset in tmpdir (q48's prep pattern); the
   // timed query is read + aggregate, not the write.
-  private[graft] def prepareJsonlCorpus(spark: SparkSession,
-      dir: String): String = {
+  /** Stages the documents table once per (dataset, format) in
+    * tmpdir, keyed by the parquet's mtime so a regenerated dataset
+    * re-stages; shared by the JSONL (q73) and ORC (q92) round-trips
+    * so the staging contract has one definition.
+    */
+  private def stageCorpus(spark: SparkSession, dir: String, fmt: String)(
+      write: (DataFrame, String) => Unit): String = {
     val mt = new java.io.File(s"$dir/documents.parquet").lastModified
     val tag = java.lang.Integer.toHexString(s"$dir:$mt".hashCode & 0x7fffffff)
     val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_jsonl_$tag").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_${fmt}_$tag").getAbsolutePath
     if (!new java.io.File(s"$path/_SUCCESS").exists)
-      graft.sources.Jsonl.writeJsonl(tbl(spark, dir, "documents"), path)
+      write(tbl(spark, dir, "documents"), path)
     path
   }
+
+  private[graft] def prepareJsonlCorpus(spark: SparkSession,
+      dir: String): String =
+    stageCorpus(spark, dir, "jsonl")(graft.sources.Jsonl.writeJsonl)
 
   def q73(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1097,15 +1106,8 @@ object TextQueries {
   // once per dataset in tmpdir (q48/q73's prep pattern); the timed
   // query is read + aggregate, not the write.
   private[graft] def prepareOrcCorpus(spark: SparkSession,
-      dir: String): String = {
-    val mt = new java.io.File(s"$dir/documents.parquet").lastModified
-    val tag = java.lang.Integer.toHexString(s"$dir:$mt".hashCode & 0x7fffffff)
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_orc_$tag").getAbsolutePath
-    if (!new java.io.File(s"$path/_SUCCESS").exists)
-      graft.sources.Orc.writeOrc(tbl(spark, dir, "documents"), path)
-    path
-  }
+      dir: String): String =
+    stageCorpus(spark, dir, "orc")(graft.sources.Orc.writeOrc)
 
   def q92(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -1662,8 +1664,12 @@ object TextQueries {
     val h = call_function("md5_long60",
       concat(lit("wsamp:"), col("doc_id").cast("string")))
     val u = (h + 1).cast("double") / lit(1152921504606846976.0) // 2^60
-    val key = round(log(u) / col("n_chars").cast("double") * 1e9)
-      .cast("long")
+    // weight clamp: an empty or NULL-length doc gets weight 1 — the
+    // unguarded ln(u)/0 is ±Infinity, which Spark's long cast folds
+    // to a sentinel while DuckDB's CAST raises, silently (resp.
+    // loudly) corrupting the cut
+    val w = greatest(coalesce(col("n_chars"), lit(0L)), lit(1L))
+    val key = round(log(u) / w.cast("double") * 1e9).cast("long")
     tbl(spark, dir, "documents")
       .select(col("lang"), col("doc_id"), key.as("key_e9"))
       .groupBy(col("lang"))
@@ -1680,7 +1686,8 @@ object TextQueries {
     s"""WITH s AS (
        |  SELECT lang, doc_id,
        |    CAST(round(ln(CAST(($h) + 1 AS DOUBLE) / 1152921504606846976.0)
-       |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_e9
+       |      / CAST(greatest(coalesce(n_chars, 0), 1) AS DOUBLE) * 1e9)
+       |      AS BIGINT) AS key_e9
        |  FROM documents
        |), r AS (
        |  SELECT lang, doc_id, key_e9,

@@ -41,35 +41,18 @@ object DebugPerf {
     // no exact witness): the decade the full query can't show because
     // its witness sort dominates
     if (args.length > 1 && args(1) == "q89sketch") {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.QuantileSketch
       (1 to 3).foreach { i =>
         time(s"q89 sketch-only run$i") {
+          // exactly Relational.q89 minus the exact witness — the
+          // shared QuantileSketch module guarantees it stays the
+          // production path as q89 evolves
           val base = spark.read.parquet(s"$dir/lineitem.parquet")
             .select(col("l_returnflag").as("flag"),
               round(col("l_extendedprice") * 100).cast("long").as("n"))
-          val e = (length(bin(col("n"))) - 1).cast("long")
-          val buckets = base
-            .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
-            .withColumn("m", call_function("shiftright", col("n"), col("s")))
-            .groupBy(col("flag"), col("s"), col("m"))
-            .agg(count(lit(1)).as("c"))
-            .withColumn("lo", call_function("shiftleft", col("m"), col("s")))
-            .withColumn("hi",
-              call_function("shiftleft", col("m") + 1, col("s")) - 1)
-          val wCum = Window.partitionBy(col("flag")).orderBy(col("lo"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val wAll = Window.partitionBy(col("flag"))
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          buckets
-            .withColumn("cum", sum(col("c")).over(wCum))
-            .withColumn("total", sum(col("c")).over(wAll))
-            .select(col("flag"), col("cum"), col("total"),
-              ((col("lo") + col("hi")).cast("long")).as("lohi"),
-              explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
-            .withColumn("rank", expr("(total * p + 99) DIV 100"))
-            .filter(col("cum") >= col("rank"))
-            .groupBy(col("flag"), col("p"), col("total"), col("rank"))
-            .agg(min(expr("lohi DIV 2")).as("est_cents"))
+          QuantileSketch.quantiles(
+              QuantileSketch.bucketHistogram(base, col("n"), Seq("flag")),
+              Seq("flag"), Seq(50, 90, 99))
             .queryExecution.toRdd.count()
         }
         spark.catalog.clearCache()

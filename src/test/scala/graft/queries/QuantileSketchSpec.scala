@@ -15,19 +15,15 @@ class QuantileSketchSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** The q89 bucket pipeline on an arbitrary long column — the same
-    * expression shapes the query uses (bitlen via length(bin(n)),
-    * column shifts), exposed here to property-test the geometry.
+  /** The SHARED bucket pipeline (operators/QuantileSketch — the very
+    * code q89, SketchStream, and DebugPerf run) plus the lo/hi bounds
+    * under test.
     */
-  private def bucketed(values: org.apache.spark.sql.DataFrame) = {
-    val e = (length(bin(col("n"))) - 1).cast("long")
-    values
-      .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
-      .withColumn("m", call_function("shiftright", col("n"), col("s")))
+  private def bucketed(values: org.apache.spark.sql.DataFrame) =
+    graft.operators.QuantileSketch.withBuckets(values, col("n"))
       .withColumn("lo", call_function("shiftleft", col("m"), col("s")))
       .withColumn("hi",
         call_function("shiftleft", col("m") + 1, col("s")) - 1)
-  }
 
   test("bucket geometry: containment, 7-bit mantissa, 1/64 width bound") {
     import spark.implicits._

@@ -184,11 +184,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the production path — q89 minus its exact-witness sort: bucket
     // assignment is map-only, the agg's partial phase collapses each
     // partition to its occupied buckets before the one exchange
-    val e = (length(bin(col("n"))) - 1).cast("long")
-    val sketch = base
-      .withColumn("s", greatest(e - 6, lit(0L)).cast("int"))
-      .withColumn("m", call_function("shiftright", col("n"), col("s")))
-      .groupBy(col("flag"), col("s"), col("m")).count()
+    // (the SHARED QuantileSketch module, so this pins what q89 runs)
+    val sketch = graft.operators.QuantileSketch
+      .bucketHistogram(base, col("n"), Seq("flag"))
     val s = ShuffleMeter.measure(spark) {
       sketch.queryExecution.toRdd.count()
     }
@@ -231,6 +229,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nToks = docs.selectExpr(
       "sum(size(split(lower(trim(text)), '\\\\s+')))").head().getLong(0)
+    // another suite may have run q91 on the shared session and left
+    // its persisted pair table cached — the measured run would then
+    // skip the bigram-agg shuffle this test exists to pin
+    spark.catalog.clearCache()
     val s = ShuffleMeter.measure(spark) {
       TextQueries.q91(spark, dir).queryExecution.toRdd.count()
     }

@@ -19,7 +19,7 @@ class WeightedSampleSpec extends AnyFunSuite {
   private def refKey(docId: Long, nChars: Long): Long = {
     val h = HashUtil.md5Long60(UTF8String.fromString(s"wsamp:$docId"))
     val u = (h + 1).toDouble / 1152921504606846976.0
-    math.round(math.log(u) / nChars.toDouble * 1e9)
+    math.round(math.log(u) / math.max(nChars, 1L).toDouble * 1e9)
   }
 
   test("q93 matches a driver-side A-ES reference, row for row") {
