@@ -248,3 +248,86 @@ object HllRegSum {
     HllUtil.regSum(p, regs)
   }
 }
+
+/** `hll_merge(sketch)`: re-aggregate STORED sketches to a coarser
+  * grouping — the second half of the warehouse sketch pattern. The
+  * nightly job persists per-(day, segment) sketches via
+  * [[HllBuild]]; every later rollup (per-segment, per-month, global)
+  * runs on the sketch TABLE — KBs — and never touches the raw 100 TB
+  * again. Correct because register max is associative and
+  * idempotent: merging per-segment grids yields byte-for-byte the
+  * grid a direct build over the union of raw keys would produce
+  * (spec-asserted, and the q96 oracle replays the direct build).
+  *
+  * The buffer starts empty (p unknown until the first sketch
+  * arrives) and adopts the first input's geometry; mixing widths in
+  * one group is a pipeline bug and fails fast rather than silently
+  * estimating from a truncated grid. Empty groups (all-null input)
+  * evaluate to null, like every built-in binary aggregate.
+  */
+case class HllMerge(sketch: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    sketch.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hll_merge requires a binary sketch, got ${other.catalogString}")
+    }
+
+  // p = -1 sentinel: no sketch absorbed yet
+  override def createAggregationBuffer(): HllBuffer =
+    new HllBuffer(-1, Array.emptyByteArray)
+
+  private def absorb(buffer: HllBuffer, p: Int,
+      regs: Array[Byte]): HllBuffer =
+    if (buffer.p == -1) new HllBuffer(p, regs.clone())
+    else if (buffer.p != p)
+      throw new IllegalArgumentException(
+        s"hll_merge: mixed sketch widths in one group " +
+          s"(p=${buffer.p} vs p=$p) — rebuild the narrower side")
+    else { buffer.max(new HllBuffer(p, regs)); buffer }
+
+  override def update(buffer: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = sketch.eval(input)
+    if (v == null) buffer
+    else {
+      val (p, regs) = HllUtil.fromBytes(v.asInstanceOf[Array[Byte]])
+      absorb(buffer, p, regs)
+    }
+  }
+
+  override def merge(buffer: HllBuffer, other: HllBuffer): HllBuffer =
+    if (other.p == -1) buffer
+    else absorb(buffer, other.p, other.regs)
+
+  override def eval(buffer: HllBuffer): Any =
+    if (buffer.p == -1) null
+    else HllUtil.toBytes(buffer.p, buffer.regs)
+
+  // empty-buffer round trip: zero bytes <-> the p = -1 sentinel
+  override def serialize(buffer: HllBuffer): Array[Byte] =
+    if (buffer.p == -1) Array.emptyByteArray
+    else HllUtil.toBytes(buffer.p, buffer.regs)
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer =
+    if (bytes.isEmpty) new HllBuffer(-1, Array.emptyByteArray)
+    else {
+      val (p0, regs) = HllUtil.fromBytes(bytes)
+      new HllBuffer(p0, regs)
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMerge =
+    copy(sketch = newChildren(0))
+}

@@ -165,6 +165,13 @@ object GraftFunctions {
       s"md5_long60(<string>) takes exactly one argument — got ${other.length}")
   }
 
+  private[functions] val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => NfcNormalize(s)
+    case other => throw new IllegalArgumentException(
+      s"nfc_normalize(<string>) takes exactly one argument — " +
+        s"got ${other.length}")
+  }
+
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotF64(a, b)
     case other => throw new IllegalArgumentException(
@@ -197,6 +204,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "hll_build", hllBuilder, "built-in")
     registry.createOrReplaceTempFunction(
+      "hll_merge", hllMergeBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
       "hll_card", hllCardBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "hll_regsum", hllRegSumBuilder, "built-in")
@@ -204,6 +213,8 @@ object GraftFunctions {
       "char_gram_stats", charGramBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "simhash64", simHash64Builder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "nfc_normalize", nfcBuilder, "built-in")
   }
 
   private val bloomBuilder: Seq[Expression] => Expression = {
@@ -224,6 +235,13 @@ object GraftFunctions {
     case Seq(key, Literal(p: Int, IntegerType)) => HllBuild(key, p)
     case other => throw new IllegalArgumentException(
       s"hll_build(key, <int literal p>) — got $other")
+  }
+
+  private[functions] val hllMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(sk) => HllMerge(sk)
+    case other => throw new IllegalArgumentException(
+      s"hll_merge(<binary sketch>) takes exactly one argument — " +
+        s"got ${other.length}")
   }
 
   private[functions] val hllCardBuilder: Seq[Expression] => Expression = {
@@ -324,6 +342,9 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("hll_build"),
       new ExpressionInfo(classOf[HllBuild].getName, "hll_build"),
       GraftFunctions.hllBuilder))
+    ext.injectFunction((FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[HllMerge].getName, "hll_merge"),
+      GraftFunctions.hllMergeBuilder))
     ext.injectFunction((FunctionIdentifier("hll_card"),
       new ExpressionInfo(classOf[HllCard].getName, "hll_card"),
       GraftFunctions.hllCardBuilder))
@@ -336,5 +357,8 @@ class GraftExtensions
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       GraftFunctions.simHash64Builder))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      GraftFunctions.nfcBuilder))
   }
 }

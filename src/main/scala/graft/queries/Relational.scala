@@ -1331,6 +1331,138 @@ object Relational {
       |FROM est JOIN ex ON est.flag = ex.flag AND est.rank = ex.rn
       |ORDER BY est.flag, p""".stripMargin
 
+  // ---- q96: sketch re-aggregation — rollup over STORED sketches ----
+  // The second half of q84's warehouse pattern. q84 builds sketches
+  // from raw; q96 is the query that makes storing them worthwhile:
+  // the fine-grained per-(flag, linestatus) sketch table — what a
+  // nightly job persists — is re-aggregated to per-flag with
+  // `hll_merge` (elementwise register max), and the raw fact table
+  // is never read again. At 100 TB every rollup after the first
+  // build runs over KBs of sketches instead of the full corpus —
+  // legal ONLY for a max-merged sketch like HLL (idempotent:
+  // overlapping key sets across fine groups cannot double-count,
+  // which is exactly why the fine-grained exact counts CANNOT be
+  // rolled up this way). The oracle rebuilds the per-flag register
+  // grid directly from raw keys — max associativity means the
+  // merged grid must match it byte-for-byte (reg_sum pins every
+  // register, hll_nd the estimator arithmetic).
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the stored fine-grained sketch table (one 132-byte sketch per
+    // (flag, linestatus)) — built once here, persisted in production
+    val fine = tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"), col("l_orderkey").as("k"))
+      .groupBy(col("flag"), col("status"))
+      .agg(call_function("hll_build", col("k"), lit(7)).as("sk"))
+    // the rollup: sketches only, no raw data
+    fine.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_parts"),
+        call_function("hll_merge", col("sk")).as("msk"))
+      .select(col("flag"), col("n_parts"),
+        call_function("hll_card", col("msk")).as("hll_nd"),
+        call_function("hll_regsum", col("msk")).as("reg_sum"))
+      .orderBy(col("flag"))
+  }
+
+  val q96Sql: String = {
+    val h = TextQueries.md5IntSql("'hll:' || CAST(k AS VARCHAR)")
+    // direct per-flag replay of the register grid (q84's arithmetic,
+    // see the comment there) + the fine-group count; max-merge
+    // associativity is what makes direct == merged
+    s"""WITH keys AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k FROM lineitem
+       |), parts AS (
+       |  SELECT l_returnflag AS flag,
+       |    count(DISTINCT l_linestatus) AS n_parts
+       |  FROM lineitem GROUP BY 1
+       |), r AS (
+       |  SELECT flag, ($h) % 128 AS idx,
+       |    MAX(CASE WHEN ($h) // 128 = 0 THEN 54
+       |        ELSE 54 - length(bin(($h) // 128)) END) AS rho
+       |  FROM keys GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT flag,
+       |    SUM(1::BIGINT << (54 - rho)) AS z_filled,
+       |    COUNT(*) AS n_filled,
+       |    CAST(SUM((idx + 1) * rho) AS BIGINT) AS reg_sum
+       |  FROM r GROUP BY 1
+       |), est AS (
+       |  SELECT flag, reg_sum, n_filled,
+       |    (0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0 *
+       |      18014398509481984.0 /
+       |      CAST(z_filled + (128 - n_filled) * 18014398509481984 AS DOUBLE)
+       |      AS raw
+       |  FROM agg
+       |)
+       |SELECT est.flag, parts.n_parts,
+       |  CAST(FLOOR(CASE WHEN raw <= 320.0 AND n_filled < 128
+       |    THEN 128.0 * ln(128.0 / (128 - n_filled))
+       |    ELSE raw END) AS BIGINT) AS hll_nd,
+       |  reg_sum
+       |FROM est JOIN parts ON est.flag = parts.flag
+       |ORDER BY est.flag""".stripMargin
+  }
+
+  // ---- q94: date-partitioned layout + partition-pruned scan ----
+  // The scan-side complement to q48's bucketing: events laid out
+  // hive-partitioned by event date — the layout every production
+  // fact table gets (date/tenant/source) — and read back through a
+  // literal date-range predicate. The predicate must resolve at FILE
+  // LISTING time (PartitionFilters on the scan; RuntimePruningSpec
+  // pins the mechanism, PartitionLayoutSpec pins THIS query): at
+  // 100 TB a week out of a multi-year table is the difference
+  // between reading ~0.3 % of the files and reading all of them —
+  // partition pruning is the single biggest I/O lever a warehouse
+  // layout has, ahead of any operator choice. The aggregate on top
+  // is deliberately thin (per-day/type counts + exact user
+  // distinct) so the measured cost IS the pruned scan.
+
+  /** One-time prep for [[q94]]: events rewritten hive-partitioned by
+    * `event_date` under the system temp dir, keyed by the source
+    * parquet's mtime (regenerated data → fresh tag → rebuild; the
+    * q48/q73 staging contract). `repartition(event_date)` before the
+    * write keeps it one file per date directory instead of
+    * tasks × dates small files — the small-files discipline
+    * Compaction exists to repair, applied at write time.
+    */
+  def prepareDatePartitionedEvents(spark: SparkSession, dir: String): String = {
+    val mt = new java.io.File(s"$dir/events.parquet").lastModified
+    val tag = java.lang.Integer.toHexString(s"$dir:$mt".hashCode & 0x7fffffff)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_evdate_$tag").getAbsolutePath
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("event_date").parquet(path)
+    path
+  }
+
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val path = prepareDatePartitionedEvents(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(e6(col("value"))).as("sum_value_e6"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q94Sql: String =
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*1000000, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_e6,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP)::DATE
+      |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1366,7 +1498,9 @@ object Relational {
     "q77_bloom_prejoin" -> (q77 _),
     "q84_hll_distinct" -> (q84 _),
     "q87_asof_forward" -> (q87 _),
-    "q89_quantile_sketch" -> (q89 _)
+    "q89_quantile_sketch" -> (q89 _),
+    "q94_partition_prune" -> (q94 _),
+    "q96_sketch_rollup" -> (q96 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1403,6 +1537,8 @@ object Relational {
     "q77_bloom_prejoin" -> q77Sql,
     "q84_hll_distinct" -> q84Sql,
     "q87_asof_forward" -> q87Sql,
-    "q89_quantile_sketch" -> q89Sql
+    "q89_quantile_sketch" -> q89Sql,
+    "q94_partition_prune" -> q94Sql,
+    "q96_sketch_rollup" -> q96Sql
   )
 }

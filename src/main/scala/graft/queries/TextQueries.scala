@@ -1699,6 +1699,86 @@ object TextQueries {
        |FROM r WHERE rk <= 10 ORDER BY lang, rank""".stripMargin
   }
 
+  // ---- q95: Unicode-normalized exact dedup (NFC + casefold +
+  //      whitespace collapse) ----
+  // The normalization gate in front of q30's digest dedup: web
+  // corpora encode the SAME text in composed and decomposed Unicode
+  // (é vs e+U+0301), in case variants, and with whitespace noise —
+  // all of which hash apart under a raw-byte digest, so exact dedup
+  // silently misses them. The canonical form here is
+  // NFC -> lower -> trim -> collapse runs of whitespace; the native
+  // `nfc_normalize` expression (ASCII short-circuit, codegen'd) is
+  // oracled bit-for-bit by DuckDB's function of the same name.
+  // Planted twins make the collapse provably fire: every 37th doc
+  // gets a COMPOSED variant (precomposed É/é, upper-cased, doubled
+  // spaces) and a DECOMPOSED one (combining U+0301, lower, single
+  // spaces) — byte-different, canonically identical.
+  //
+  // 100 TB posture: normalization rides the scan (map-only, ASCII
+  // rows never even allocate), and the only wide work is q30's
+  // digest-keyed agg — 8-byte normalized digests shuffle, raw text
+  // never does (the raw-variant count is a digest countDistinct for
+  // the same reason).
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = tbl(spark, dir, "documents")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val every37 = docs.filter(col("doc_id") % 37 === 0)
+    // explicit \u escapes, not raw source bytes, so an editor or
+    // formatter renormalizing the file cannot silently change which
+    // encoding each variant plants: composed = precomposed
+    // U+00C9/U+00E9, decomposed = ASCII letters + combining U+0301
+    // — byte-different, NFC-equal
+    val composed = every37.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat(lit("R\u00C9SUM\u00C9  Caf\u00E9 "), col("text")).as("text"))
+    val decomposed = every37.select(
+      (col("doc_id") + lit(20000000L)).as("doc_id"),
+      concat(lit("re\u0301sume\u0301 cafe\u0301 "), col("text")).as("text"))
+    docs.unionByName(composed).unionByName(decomposed)
+      .select(col("doc_id"),
+        call_function("md5_long60", col("text")).as("raw_h"),
+        call_function("md5_long60",
+          regexp_replace(
+            trim(lower(call_function("nfc_normalize", col("text")))),
+            "\\s+", " ")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canon_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_variants"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("canon_id"))
+  }
+
+  val q95Sql: String = {
+    // the decomposed prefix is built from chr() so the oracle JSON
+    // stays ASCII-clean; 769 = U+0301 combining acute, 201/233 = É/é
+    val hNorm = md5IntSql(
+      "regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')")
+    val hRaw = md5IntSql("text")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |), planted AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    'R' || chr(201) || 'SUM' || chr(201) || '  Caf' || chr(233)
+       |      || ' ' || text
+       |  FROM base WHERE doc_id % 37 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000000,
+       |    're' || chr(769) || 'sume' || chr(769) || ' cafe' || chr(769)
+       |      || ' ' || text
+       |  FROM base WHERE doc_id % 37 = 0
+       |), keyed AS (
+       |  SELECT doc_id, ($hRaw) AS raw_h, ($hNorm) AS h FROM planted
+       |)
+       |SELECT h, min(doc_id) AS canon_id, count(*) AS n_docs,
+       |  count(DISTINCT raw_h) AS n_raw_variants
+       |FROM keyed GROUP BY h HAVING count(*) > 1
+       |ORDER BY canon_id""".stripMargin
+  }
+
   // ---- q81: BPE tokenizer training — the first k merge rounds ----
   // The step AFTER q56's vocabulary build in a real LLM data
   // pipeline: learn byte-pair-encoding merges from the corpus.
@@ -1973,7 +2053,8 @@ object TextQueries {
     "q90_unigram_logprob" -> (q90 _),
     "q91_pmi_bigrams" -> (q91 _),
     "q92_orc_roundtrip" -> (q92 _),
-    "q93_weighted_sample" -> (q93 _)
+    "q93_weighted_sample" -> (q93 _),
+    "q95_normalized_dedup" -> (q95 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2013,6 +2094,7 @@ object TextQueries {
     "q90_unigram_logprob" -> q90Sql,
     "q91_pmi_bigrams" -> q91Sql,
     "q92_orc_roundtrip" -> q92Sql,
-    "q93_weighted_sample" -> q93Sql
+    "q93_weighted_sample" -> q93Sql,
+    "q95_normalized_dedup" -> q95Sql
   )
 }

@@ -136,4 +136,59 @@ class HyperLogLogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("hll_build"), e.getMessage)
     }
   }
+
+  test("hll_merge of fine sketches equals a direct build, byte-for-byte") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // overlapping key ranges across fine groups — the case where
+    // rolling up exact counts double-counts and max-merge must not
+    val rows = (0 until 3).flatMap(g =>
+      (g * 500 until g * 500 + 1500).map(k => (g, k.toLong)))
+    val fine = rows.toDF("g", "k")
+      .groupBy(col("g"))
+      .agg(call_function("hll_build", col("k"), lit(7)).as("sk"))
+    val merged = fine
+      .agg(call_function("hll_merge", col("sk")).as("msk"))
+      .head().getAs[Array[Byte]]("msk")
+    val direct = rows.toDF("g", "k")
+      .agg(call_function("hll_build", col("k"), lit(7)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(merged.sameElements(direct),
+      "merged register grid diverged from the direct build")
+  }
+
+  test("hll_merge skips nulls and yields null on an all-null group") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sk = Seq(1L, 2L, 3L).toDF("k")
+      .agg(call_function("hll_build", col("k"), lit(7)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val mixed = Seq(Option(sk), None).toDF("sk")
+      .agg(call_function("hll_merge", col("sk")).as("m"))
+      .head().getAs[Array[Byte]]("m")
+    assert(mixed.sameElements(sk), "null input must not perturb the merge")
+    val allNull = Seq[Option[Array[Byte]]](None, None).toDF("sk")
+      .agg(call_function("hll_merge", col("sk")).as("m"))
+      .head()
+    assert(allNull.isNullAt(0), "all-null group must merge to null")
+  }
+
+  test("hll_merge rejects mixed sketch widths loudly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def skAt(p: Int) = Seq(1L, 2L).toDF("k")
+      .agg(call_function("hll_build", col("k"), lit(p)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val e = intercept[Exception] {
+      Seq(skAt(7), skAt(8)).toDF("sk")
+        .repartition(1)
+        .agg(call_function("hll_merge", col("sk")).as("m"))
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("mixed sketch widths") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("mixed sketch widths")),
+      s"expected the width-mismatch error, got: ${e.getMessage}")
+  }
 }

@@ -250,6 +250,50 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "short tokens + a count per row")
   }
 
+  test("q95 normalized dedup shuffles digests, never text (q30's budget)") {
+    graft.functions.GraftFunctions.register(spark)
+    // denominator = THE planted corpus q95 reads: base + two
+    // variants of every 37th doc
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val nRows = base.count() + 2 * base.filter(col("doc_id") % 37 === 0).count()
+    val textBytes = base.selectExpr("sum(length(text))").head().getLong(0)
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q95(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the digest agg to shuffle")
+    // normalization + both digests happen map-side; the distinct
+    // rewrite keys partials by (h, raw_h), so bound records by the
+    // input rows across the two agg exchanges + the orderBy range
+    // exchange on the collapsed groups
+    assert(s.writeRecords <= 3 * nRows,
+      s"q95 shuffled ${s.writeRecords} records for $nRows planted rows " +
+        "— a partial phase has been lost")
+    val avgDoc = textBytes.toDouble / base.count()
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < avgDoc / 2 && avgRow < 200,
+      f"q95's shuffled rows average $avgRow%.0f B vs $avgDoc%.0f B/doc " +
+        "— text is travelling through the shuffle instead of digests")
+  }
+
+  test("q96 rollup's exchanges carry register arrays, not keys") {
+    graft.functions.GraftFunctions.register(spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nKeys = li.select("l_orderkey").distinct().count()
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q96(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the two sketch aggs to shuffle")
+    // fine build: <= one partial sketch per (fine group, task);
+    // rollup + final sort: a handful of per-flag rows — never keys
+    assert(s.writeRecords <= nKeys / 100,
+      s"q96 shuffled ${s.writeRecords} rows for $nKeys distinct keys — " +
+        "a sketch exchange is shipping keys, not registers")
+    assert(s.writeBytes <= s.writeRecords * 1024,
+      s"q96's shuffled rows average ${s.writeBytes / s.writeRecords} B " +
+        "— far above the 132 B sketch payload")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
