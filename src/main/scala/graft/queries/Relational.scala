@@ -1463,6 +1463,128 @@ object Relational {
       |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // ---- q97: conversion funnel (view -> click -> purchase) ----
+  // The event-analytics staple on top of the engine's event table:
+  // how many users reached each ORDERED stage — a click only counts
+  // after that user's first view, a purchase only after that user's
+  // first qualifying click. BOTH engines compare and subtract
+  // µs-TRUNCATED time (ts DIV 1000 here, epoch_us there) — q60's
+  // rule, not q53's: this query ARITHMETICS on the timestamps
+  // (sum of tp-tv), and with DuckDB reading this parquet's ns
+  // column at µs precision, an ns-side subtraction loses a borrow
+  // µs for every user whose purchase sub-µs part is below the
+  // view's (measured: 73 of 150 users at sf0.01). Truncating both
+  // inputs makes comparisons AND differences engine-exact.
+  //
+  // Shape: running per-user window mins compute "first view so far" /
+  // "first qualifying click so far", so each event's stage
+  // qualification is decided in ONE pass over one hash-partition of
+  // the events — no self-joins, no per-stage re-scans (the naive
+  // funnel is k joins for k stages). ONE data shuffle total: the
+  // window's user partitioning is reused by the per-user aggregate
+  // (same key), and the final reduction to a single stats row is a
+  // 150-rows-per-task partial. The oracle is deliberately the OTHER
+  // formulation (per-stage filtered joins) so the window algebra is
+  // checked against independent semantics, not itself.
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("qc",
+        when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts")))
+      .withColumn("t_click", min(col("qc")).over(w))
+      .withColumn("qp",
+        when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts")))
+    staged.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(col("qc")).as("tc"),
+        min(col("qp")).as("tp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click_after_view"),
+        count(col("tp")).as("n_purchase_after_click"),
+        sum(when(col("tp").isNotNull,
+          col("tp") - col("tv"))).as("sum_conv_us"))
+  }
+
+  val q97Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tns
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN tns END) AS tv
+      |  FROM ev GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.tns) AS tc
+      |  FROM ev e JOIN u USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.tns > u.tv
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.tns) AS tp
+      |  FROM ev e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.tns > c.tc
+      |  GROUP BY 1
+      |)
+      |SELECT count(*) AS n_users, count(u.tv) AS n_view,
+      |  count(c.tc) AS n_click_after_view,
+      |  count(p.tp) AS n_purchase_after_click,
+      |  CAST(sum(CASE WHEN p.tp IS NOT NULL
+      |    THEN p.tp - u.tv END) AS BIGINT) AS sum_conv_us
+      |FROM u
+      |LEFT JOIN c USING (user_id)
+      |LEFT JOIN p USING (user_id)""".stripMargin
+
+  // ---- q98: cohort retention (weekly, first-seen cohorts) ----
+  // The other event-analytics staple: users grouped by first-seen
+  // date, counted by how many weeks after their cohort day they were
+  // still active. Date granularity, so the µs-normalized timestamp
+  // is exact (q15's rule).
+  //
+  // Shape chosen for the calendar bound, not the data bound: per-user
+  // distinct-activity-dates collapse via collect_set in the FIRST
+  // (and only) per-user shuffle — the set is bounded by the calendar
+  // window (<= 30 here, <= 365/yr in production), so partial
+  // aggregation dedups map-side and the exchange carries one bounded
+  // array per user instead of one row per (user, day). The cohort
+  // day is then array_min — free, no second per-user pass — and the
+  // only other wide work is the tiny (cohort, week) count. A
+  // distinct-then-window formulation would shuffle (user, day) rows
+  // twice; this does it once.
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val sets = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("ds"))
+    sets.select(col("user_id"), array_min(col("ds")).as("cd"),
+        explode(col("ds")).as("d"))
+      .groupBy(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        expr("CAST(datediff(d, cd) DIV 7 AS BIGINT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  val q98Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS d
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cd
+      |  FROM ud
+      |)
+      |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+      |  CAST((d - cd) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1500,7 +1622,9 @@ object Relational {
     "q87_asof_forward" -> (q87 _),
     "q89_quantile_sketch" -> (q89 _),
     "q94_partition_prune" -> (q94 _),
-    "q96_sketch_rollup" -> (q96 _)
+    "q96_sketch_rollup" -> (q96 _),
+    "q97_funnel" -> (q97 _),
+    "q98_cohorts" -> (q98 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1539,6 +1663,8 @@ object Relational {
     "q87_asof_forward" -> q87Sql,
     "q89_quantile_sketch" -> q89Sql,
     "q94_partition_prune" -> q94Sql,
-    "q96_sketch_rollup" -> q96Sql
+    "q96_sketch_rollup" -> q96Sql,
+    "q97_funnel" -> q97Sql,
+    "q98_cohorts" -> q98Sql
   )
 }

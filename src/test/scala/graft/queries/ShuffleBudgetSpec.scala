@@ -294,6 +294,50 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "— far above the 132 B sketch payload")
   }
 
+  test("q97 funnel: one narrow per-user data shuffle, no per-stage joins") {
+    val nEvents = Relational.eventsNs(spark, dir).count()
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q97(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the window's user exchange")
+    // the naive k-stage funnel is k self-joins = k data shuffles; the
+    // window form moves each event ONCE (both windows and the
+    // per-user agg reuse the same user partitioning), plus a
+    // rows-per-task trickle for the final single-row reduction
+    assert(s.writeRecords <= (1.2 * nEvents).toLong + 100,
+      s"q97 shuffled ${s.writeRecords} records for $nEvents events — " +
+        "a second data shuffle (per-stage join?) has appeared")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 120,
+      f"q97's shuffled rows average $avgRow%.0f B — wider than the " +
+        "four projected columns; a lost projection is shipping props")
+  }
+
+  test("q98 cohorts: the per-user exchange carries bounded date sets") {
+    val ev = Relational.eventsNs(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q98(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the collect_set exchange")
+    // partial collect_set dedups map-side: <= one bounded-array row
+    // per (user, task) + the tiny (cohort, week) agg + final sort —
+    // never a row per event
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    assert(s.writeRecords <= 2L * nUsers * tasks + 400,
+      s"q98 shuffled ${s.writeRecords} records for $nUsers users — " +
+        "the per-user partial collapse has been lost")
+    assert(s.writeRecords < nEvents,
+      s"q98 shuffled ${s.writeRecords} records for $nEvents events — " +
+        "shipping per-event rows instead of per-user date sets")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 400,
+      f"q98's shuffled rows average $avgRow%.0f B — the date set is " +
+        "calendar-bounded (<= 30 ints) and must stay so")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
