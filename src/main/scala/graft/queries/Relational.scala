@@ -1585,6 +1585,61 @@ object Relational {
       |  count(DISTINCT user_id) AS n_users
       |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
 
+  // ---- q101: JDBC round-trip (S1/S6 as a LIVE path, not a footnote) ----
+  // The reference's real I/O boundary is a MySQL connection (work-list
+  // scan main.py:27, batched upsert FlightAnalysis.py:400-431). This
+  // query drives the engine's JDBC source AND upsert sink end-to-end
+  // against an embedded in-memory Derby: load the customer dim through
+  // the batched upsert (twice — the second pass re-upserts a slice, so
+  // the UPDATE branch runs, converging to the same state), then read
+  // it back through the PARTITIONED JDBC source with the nation
+  // predicate pushed into the database, exactly the reference's
+  // `WHERE approach_analysis = 0` shape. The oracle never sees Derby:
+  // it computes the same answer from the parquet directly, so any
+  // row torn, typed, or dropped by the JDBC path hash-fails.
+  //
+  // Scale posture: the partitioned read is 8 stride predicates on the
+  // key (each task one slice-sized connection); the upsert is
+  // per-partition batched statements. In-memory Derby makes this a
+  // local[k]-only demonstration (executors share the JVM) — against a
+  // networked RDBMS the same code fans out, bounded by the DB's
+  // connection budget, not Spark (see sources/Jdbc.scala). Like
+  // q43/q81 (documented precedent), query CONSTRUCTION runs work:
+  // the DDL + upsert happen eagerly so the returned frame is the
+  // readback.
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftq101;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute("DROP TABLE customer_j")
+      catch { case _: java.sql.SQLException => () }
+      st.execute("CREATE TABLE customer_j (c_custkey BIGINT PRIMARY KEY, " +
+        "c_name VARCHAR(32), bal_cents BIGINT, c_nationkey INT)")
+      st.close()
+    } finally c.close()
+    val cust = tbl(spark, dir, "customer").select(col("c_custkey"),
+      col("c_name"), cents(col("c_acctbal")).as("bal_cents"),
+      col("c_nationkey"))
+    graft.sinks.JdbcUpsert.upsert(cust.repartition(8), url, "customer_j",
+      Seq("c_custkey"))
+    graft.sinks.JdbcUpsert.upsert(cust.filter(col("c_nationkey") < 5), url,
+      "customer_j", Seq("c_custkey"))
+    val hi = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1
+    graft.sources.Jdbc
+      .readPartitioned(spark, url, "customer_j", "c_custkey", 0L, hi, 8)
+      .filter(col("C_NATIONKEY") < 10)
+      .select(col("C_CUSTKEY").as("c_custkey"), col("C_NAME").as("c_name"),
+        col("BAL_CENTS").as("bal_cents"),
+        col("C_NATIONKEY").as("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q101Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents, c_nationkey
+      |FROM customer WHERE c_nationkey < 10 ORDER BY c_custkey""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1624,7 +1679,8 @@ object Relational {
     "q94_partition_prune" -> (q94 _),
     "q96_sketch_rollup" -> (q96 _),
     "q97_funnel" -> (q97 _),
-    "q98_cohorts" -> (q98 _)
+    "q98_cohorts" -> (q98 _),
+    "q101_jdbc_roundtrip" -> (q101 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1665,6 +1721,7 @@ object Relational {
     "q94_partition_prune" -> q94Sql,
     "q96_sketch_rollup" -> q96Sql,
     "q97_funnel" -> q97Sql,
-    "q98_cohorts" -> q98Sql
+    "q98_cohorts" -> q98Sql,
+    "q101_jdbc_roundtrip" -> q101Sql
   )
 }
