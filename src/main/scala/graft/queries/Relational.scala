@@ -29,29 +29,57 @@ object Relational {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table with its TIMESTAMP(NANOS) column normalized to a
-    * Spark µs timestamp. Spark has no ns timestamp type: the parquet
-    * reader rejects NANOS unless `nanosAsLong` is set, so read ns as
-    * long and truncate with integer division (`DIV`, not `/` — double
-    * division loses µs precision at 1.7e18 ns). Matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` ns->µs truncation.
+  /** The raw events parquet. The generator has shipped `ts` two ways
+    * across rounds — TIMESTAMP(NANOS) (read as a ns long under
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    * — so both event entry points sniff the resolved type instead of
+    * assuming a layout; a third layout fails loudly here rather than
+    * as a type error deep inside a query.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = tbl(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected ns long or µs timestamp)")
+    }
   }
 
-  /** The events table with `ts` kept as the RAW nanosecond long.
-    * For operators whose semantics hinge on time ORDERING (as-of,
-    * range joins): the µs truncation above ties ns-distinct instants,
-    * and which of two "simultaneous" rows counts as later then
-    * diverges from an engine that keeps ns. DuckDB twin:
-    * `epoch_ns(ts)`.
+  /** The events table with `ts` normalized to a Spark µs timestamp.
+    * NANOS layout: Spark has no ns timestamp type (the reader rejects
+    * NANOS unless `nanosAsLong` is set), so read ns as long and
+    * truncate with integer division (`DIV`, not `/` — double division
+    * loses µs precision at 1.7e18 ns), matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)` ns->µs truncation. MICROS layout: the
+    * NTZ wall-clock IS the µs instant under the UTC session the whole
+    * suite pins, so the NTZ->TZ cast relabels without shifting.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** The events table with `ts` as the RAW epoch-nanosecond long.
+    * For operators whose semantics hinge on time ORDERING and
+    * timestamp ARITHMETIC (as-of, range joins, funnel deltas): a ns
+    * long compares and subtracts exactly in both engines. Under the
+    * MICROS layout the ns value is `unix_micros * 1000` — zero
+    * sub-µs part, still exactly DuckDB's `epoch_ns(ts)`.
     */
   def eventsNs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000)
+    }
   }
 
   /** 2-decimal money double -> exact integer cents. */
