@@ -38,15 +38,43 @@ object Relational {
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The MICROS layout is read as TIMESTAMP_NTZ and relabeled to an
+    // instant by events(); that relabel is session-timezone-dependent,
+    // so pin UTC HERE rather than trusting every driver's builder
+    // (Bench/QTime/ScaleBench/DbgPlan historically didn't pin it).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = tbl(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.TimestampNTZType |
+      case org.apache.spark.sql.types.LongType =>
+        // A plain INT64 column COULD be micros (or anything) — downstream
+        // scales it as epoch NANOS, so a mis-labeled layout would be
+        // silently 1000x off. Probe one value per dir (memoized — one
+        // ~50 ms job per path, not per query) and demand it lands in the
+        // plausible epoch-ns window [2000-01-01, 2100-01-01).
+        eventsNsChecked.computeIfAbsent(dir, _ => {
+          raw.select("ts").limit(1).collect().headOption.foreach { r =>
+            if (!r.isNullAt(0)) {
+              val v = r.getLong(0)
+              if (v < 946684800000000000L || v >= 4102444800000000000L)
+                throw new IllegalStateException(
+                  s"events.ts is INT64 but value $v is not plausible epoch " +
+                  "nanoseconds (expected [2000-01-01, 2100-01-01) in ns); " +
+                  "a micros-scaled long would be silently 1000x off")
+            }
+          }
+          java.lang.Boolean.TRUE
+        })
+        raw
+      case org.apache.spark.sql.types.TimestampNTZType |
           org.apache.spark.sql.types.TimestampType => raw
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other (expected ns long or µs timestamp)")
     }
   }
+
+  /** Dirs whose INT64 `ts` passed the epoch-ns range probe (see above). */
+  private val eventsNsChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The events table with `ts` normalized to a Spark µs timestamp.
     * NANOS layout: Spark has no ns timestamp type (the reader rejects
@@ -54,8 +82,9 @@ object Relational {
     * truncate with integer division (`DIV`, not `/` — double division
     * loses µs precision at 1.7e18 ns), matching DuckDB's
     * `CAST(ts AS TIMESTAMP)` ns->µs truncation. MICROS layout: the
-    * NTZ wall-clock IS the µs instant under the UTC session the whole
-    * suite pins, so the NTZ->TZ cast relabels without shifting.
+    * NTZ wall-clock IS the µs instant under the UTC session that
+    * eventsRaw itself pins, so the NTZ->TZ cast relabels without
+    * shifting on any host.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = eventsRaw(spark, dir)
