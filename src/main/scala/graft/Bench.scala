@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC at construction: otherwise timestamp-literal queries (q01/q02
+      // l_shipdate filters) would evaluate under host-local tz until the
+      // first events query pins UTC mid-run — workload-order-dependent
+      // results on non-UTC hosts (ADVICE r9)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,35 +45,82 @@ object Bench {
     // (same tree, both semantics). Cache teardown sits OUTSIDE the
     // timed window, matching ScaleBench, so a query that persists an
     // intermediate is not billed for dropping it.
-    def runPass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case _: Throwable => false }
-        val secs = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // drop per-query persisted intermediates
-        (name, secs, ok)
-      }
-    // Contention robustness: per-query time at sf0.1 carries ±50%
-    // shared-VM noise, and same-commit spikes of 4-10x on untouched
-    // queries have been observed twice (SCALE.md "Measurement
-    // hygiene"). Best-of-N is the standard answer: run the suite
-    // again and keep each query's minimum over SUCCESSFUL runs — the
-    // min estimates the code's cost, the spread is the environment's.
-    // The extra pass is skipped only when pass 1 ran pathologically
-    // (> 200 s — the quiet total is ~36 s, so that is deep contention
-    // already), bounding worst-case wall time.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    def runOne(name: String): (Double, Boolean) = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop per-query persisted intermediates
+      (secs, ok)
+    }
+    // Contention robustness (reworked r10 — the old design skipped the
+    // second pass when pass 1 exceeded 200 s, i.e. precisely when the
+    // window was contended and the re-run mattered most; that inversion
+    // is how BENCH_r08 shipped as a single contaminated pass):
+    //   1. ALL configured passes run unconditionally — a slow pass 1 is
+    //      a reason FOR pass 2, never against it.
+    //   2. A committed per-query expectation file (bench-expect.json,
+    //      quiet-window best-of-2 on this tree) drives targeted
+    //      re-runs: any query whose best-so-far still exceeds 3x its
+    //      expectation gets individual extra runs, worst offender
+    //      first, bounded by a 120 s total re-run budget so deep
+    //      contention cannot run away.
+    //   3. The artifact names its own suspects: "contended" lists
+    //      queries whose observed spread across successful runs
+    //      exceeded 2x (with a 0.2 s absolute floor so micro-query
+    //      jitter isn't flagged), plus any still over 3x expectation
+    //      after re-runs. A clean run has "contended":[].
+    // Best-of-N over successful runs remains the estimator: the min
+    // estimates the code's cost, the spread is the environment's.
+    val expect: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/graft/bench-expect.json")
+      if (in == null) Map.empty
+      else try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally in.close()
+    }
     val passes = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt).getOrElse(2))
-    var best = runPass()
-    var ran = 1
-    while (ran < passes && best.map(_._2).sum < 200.0) {
-      best = best.zip(runPass()).map { case ((n, a, aOk), (m, b, bOk)) =>
-        require(n == m)
-        if (aOk == bOk) (n, math.min(a, b), aOk)
-        else if (aOk) (n, a, true) else (n, b, true)
+    val obs = scala.collection.mutable.Map[String,
+      List[(Double, Boolean)]]().withDefaultValue(Nil)
+    for (_ <- 1 to passes; name <- names) obs(name) ::= runOne(name)
+    var reruns = 0
+    var rerunSpent = 0.0
+    def bestOf(name: String): (Double, Boolean) = {
+      val good = obs(name).collect { case (t, true) => t }
+      if (good.nonEmpty) (good.min, true) else (obs(name).map(_._1).min, false)
+    }
+    def overExpect(name: String): Double =
+      expect.get(name).filter(_ > 0) match {
+        case Some(e) => bestOf(name)._1 / e
+        case None => 0.0
       }
-      ran += 1
+    var suspects = names.filter(n => bestOf(n)._2 && overExpect(n) > 3.0)
+      .sortBy(-overExpect(_))
+    while (suspects.nonEmpty && rerunSpent < 120.0) {
+      val name = suspects.head
+      val r = runOne(name)
+      obs(name) ::= r
+      reruns += 1
+      rerunSpent += r._1
+      // re-rank: drop any suspect the re-runs (or this one) cleared
+      suspects = suspects.filter(n => overExpect(n) > 3.0)
+        .sortBy(-overExpect(_))
+      // give each suspect at most 2 extra attempts total
+      if (obs(name).size >= passes + 2)
+        suspects = suspects.filterNot(_ == name)
+    }
+    val best = names.map { n => val (t, ok) = bestOf(n); (n, t, ok) }
+    val contended = names.filter { n =>
+      val good = obs(n).collect { case (t, true) => t }
+      val spread = good.nonEmpty &&
+        good.max / math.max(good.min, 1e-9) > 2.0 &&
+        good.max - good.min > 0.2
+      spread || (bestOf(n)._2 && overExpect(n) > 3.0)
     }
     // a query that threw in EVERY pass must not masquerade as a fast
     // success: report it as -1 (and name it in "failed") instead of
@@ -78,13 +130,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = best.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val contendedJson = contended.map(n => s"\"" + n + "\"")
+      .mkString("[", ",", "]")
     val total = best.collect { case (_, v, true) => v }.sum
     // "semantics" marks the r8 measurement change in the artifact
     // itself: totals time plans AS DECLARED (toRdd) — earlier rounds'
     // count()-based totals are NOT comparable 1:1 (SCALE.md bridge:
     // 38.0 s count-semantics vs 69.5 s as-declared pre-optimization
     // on one tree; 57.2 s after the r8 native scalars)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":$ran,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"contended":$contendedJson,"reruns":$reruns,"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
     spark.stop()
   }
 }

@@ -48,10 +48,17 @@ object Relational {
       case org.apache.spark.sql.types.LongType =>
         // A plain INT64 column COULD be micros (or anything) — downstream
         // scales it as epoch NANOS, so a mis-labeled layout would be
-        // silently 1000x off. Probe one value per dir (memoized — one
-        // ~50 ms job per path, not per query) and demand it lands in the
-        // plausible epoch-ns window [2000-01-01, 2100-01-01).
-        eventsNsChecked.computeIfAbsent(dir, _ => {
+        // silently 1000x off. Probe one value per (dir, mtime) —
+        // memoized, one ~50 ms job per layout generation, not per
+        // query — and demand it lands in the plausible epoch-ns window
+        // [2000-01-01, 2100-01-01). The mtime in the key means
+        // regenerated data at the same path re-validates (matching
+        // prepareBucketedTables); the probe runs OUTSIDE the map (plain
+        // get → job → putIfAbsent) so the Spark job never executes
+        // under a ConcurrentHashMap bin lock.
+        val key = dir + "@" +
+          new java.io.File(s"$dir/events.parquet").lastModified
+        if (!eventsNsChecked.containsKey(key)) {
           raw.select("ts").limit(1).collect().headOption.foreach { r =>
             if (!r.isNullAt(0)) {
               val v = r.getLong(0)
@@ -62,8 +69,8 @@ object Relational {
                   "a micros-scaled long would be silently 1000x off")
             }
           }
-          java.lang.Boolean.TRUE
-        })
+          eventsNsChecked.putIfAbsent(key, java.lang.Boolean.TRUE)
+        }
         raw
       case org.apache.spark.sql.types.TimestampNTZType |
           org.apache.spark.sql.types.TimestampType => raw
@@ -72,7 +79,10 @@ object Relational {
     }
   }
 
-  /** Dirs whose INT64 `ts` passed the epoch-ns range probe (see above). */
+  /** `dir@mtime` keys whose INT64 `ts` passed the epoch-ns range probe
+    * (see above). Concurrent first touches may both run the ~50 ms
+    * probe (benign duplicate work); neither blocks the other.
+    */
   private val eventsNsChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -1642,6 +1652,100 @@ object Relational {
       |  count(DISTINCT user_id) AS n_users
       |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin
 
+  // ---- q99: full outer join (SURVEY §2.3 "standard joins" charter) ----
+  // The last classic join type missing from the inventory. Per-nation
+  // debtor rollups from BOTH dims, full-outer-joined on nationkey.
+  // The thresholds are deliberately asymmetric — customers at the
+  // extreme-debt tail (< -980, ~0.2%), suppliers at any debt (< 0,
+  // ~9%) — so at BOTH gate SFs some nations appear on only one side
+  // (sf0.01: 3 customer-only + 4 supplier-only; sf0.1: 2 + 6 with 17
+  // overlapping): genuine both-side NULLs, preserved (not coalesced
+  // to 0) so the oracle checks the outer semantics, not a
+  // papered-over inner join. The nation name attaches AFTER the
+  // outer join via a broadcast lookup on the coalesced key.
+  //
+  // Scale posture: both inputs are pre-aggregated to ≤ |nation| rows
+  // before the join, so the full outer join — which Spark must
+  // sort-merge (broadcast full-outer can't null-extend the broadcast
+  // side) — moves nation-count rows, not table-count rows. At 100 TB
+  // the aggregates are the only big shuffles and they combine
+  // map-side.
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val cd = tbl(spark, dir, "customer").filter(col("c_acctbal") < -980)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_debtors"),
+        sum(cents(col("c_acctbal"))).as("cust_debt_cents"))
+    val sd = tbl(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("supp_debtors"),
+        sum(cents(col("s_acctbal"))).as("supp_debt_cents"))
+    val nation = tbl(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cd.join(sd, cd("c_nationkey") === sd("s_nationkey"), "full_outer")
+      .withColumn("nationkey",
+        coalesce(col("c_nationkey"), col("s_nationkey")))
+      .join(broadcast(nation), col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"), col("cust_debtors"),
+        col("cust_debt_cents"), col("supp_debtors"),
+        col("supp_debt_cents"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q99Sql: String =
+    """WITH cd AS (
+      |  SELECT c_nationkey, count(*) AS cust_debtors,
+      |    CAST(sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cust_debt_cents
+      |  FROM customer WHERE c_acctbal < -980 GROUP BY c_nationkey
+      |), sd AS (
+      |  SELECT s_nationkey, count(*) AS supp_debtors,
+      |    CAST(sum(CAST(round(s_acctbal*100, 0) AS BIGINT)) AS BIGINT)
+      |      AS supp_debt_cents
+      |  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+      |)
+      |SELECT coalesce(cd.c_nationkey, sd.s_nationkey) AS nationkey,
+      |  n.n_name, cd.cust_debtors, cd.cust_debt_cents,
+      |  sd.supp_debtors, sd.supp_debt_cents
+      |FROM cd FULL OUTER JOIN sd ON cd.c_nationkey = sd.s_nationkey
+      |JOIN nation n ON n.n_nationkey = coalesce(cd.c_nationkey, sd.s_nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  // ---- q100: correlated scalar subquery (SURVEY §2.3 charter) ------
+  // Customers above their own nation's average balance — the textbook
+  // correlated-scalar shape a warehouse user writes weekly. Expressed
+  // as SQL on purpose: the point is that Catalyst's
+  // RewriteCorrelatedScalarSubquery de-correlates it into an
+  // aggregate + join (PlanSpec pins that no per-row subquery
+  // execution survives into the physical plan — the naive form would
+  // be O(n) subqueries). Balances compare as integer cents: the
+  // per-nation avg is one IEEE division of exactly-representable
+  // longs, bit-identical in both engines, so no boundary row can
+  // flip between Spark and DuckDB.
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("bal_cents"), col("c_nationkey"))
+      .createOrReplaceTempView("q100_customer")
+    spark.sql(
+      """SELECT c_custkey, c_name, bal_cents
+        |FROM q100_customer c
+        |WHERE bal_cents > (SELECT avg(c2.bal_cents) FROM q100_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q100Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents, c_nationkey
+      |  FROM customer
+      |)
+      |SELECT c_custkey, c_name, bal_cents
+      |FROM c
+      |WHERE bal_cents > (SELECT avg(c2.bal_cents) FROM c c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- q101: JDBC round-trip (S1/S6 as a LIVE path, not a footnote) ----
   // The reference's real I/O boundary is a MySQL connection (work-list
   // scan main.py:27, batched upsert FlightAnalysis.py:400-431). This
@@ -1737,6 +1841,8 @@ object Relational {
     "q96_sketch_rollup" -> (q96 _),
     "q97_funnel" -> (q97 _),
     "q98_cohorts" -> (q98 _),
+    "q99_full_outer" -> (q99 _),
+    "q100_correlated_subquery" -> (q100 _),
     "q101_jdbc_roundtrip" -> (q101 _)
   )
 
@@ -1779,6 +1885,8 @@ object Relational {
     "q96_sketch_rollup" -> q96Sql,
     "q97_funnel" -> q97Sql,
     "q98_cohorts" -> q98Sql,
+    "q99_full_outer" -> q99Sql,
+    "q100_correlated_subquery" -> q100Sql,
     "q101_jdbc_roundtrip" -> q101Sql
   )
 }

@@ -242,6 +242,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Relational.q05(spark, dir)).contains("SortMergeJoin"))
   }
 
+  test("q99 full outer join moves aggregate rows, name lookup broadcasts") {
+    val p = plan(Relational.q99(spark, dir))
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    // the nation-name attach must broadcast, not shuffle the rollup
+    assert(p.contains("BroadcastHashJoin"), s"nation lookup shuffles:\n$p")
+    assertNoAllPairs(Relational.q99(spark, dir), "q99")
+  }
+
+  test("q100 correlated scalar subquery de-correlates to an aggregate + join") {
+    val df = Relational.q100(spark, dir)
+    // RewriteCorrelatedScalarSubquery must fire: no scalar-subquery
+    // node may survive optimization (the naive form would execute one
+    // subquery per outer row)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated subquery not rewritten:\n$opt")
+    val p = plan(df)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), s"expected the de-correlated join:\n$p")
+    assertNoAllPairs(df, "q100")
+  }
+
   test("q02 filter reaches the parquet scan (pushdown + pruning)") {
     val p = plan(Relational.q02(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),

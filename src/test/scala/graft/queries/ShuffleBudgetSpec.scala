@@ -338,6 +338,44 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "calendar-bounded (<= 30 ints) and must stay so")
   }
 
+  test("q99 full outer join shuffles nation-count rollups, not table rows") {
+    val nNations = spark.read.parquet(s"$dir/nation.parquet").count()
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q99(spark, dir).queryExecution.toRdd.count()
+    }
+    // both sides pre-aggregate map-side: the agg exchanges carry at
+    // most one partial row per (nation, task); the outer join and
+    // final sort then move <= |nation| rows each. Never a row per
+    // customer/supplier.
+    assert(s.writeRecords <= 4L * nNations * tasks,
+      s"q99 shuffled ${s.writeRecords} records for $nNations nations — " +
+        "a pre-join partial aggregate has been lost")
+  }
+
+  test("q100 de-correlated subquery shuffles customer rows a bounded number of times") {
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q100(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the de-correlated join exchanges")
+    // the rewrite is agg + join on c_nationkey: per-nation partials
+    // (<= nations x tasks), the join's two sides (<= 2n), and the
+    // filtered survivors' final sort (<= n) — the naive correlated
+    // form would be n subquery executions, not expressible as a
+    // bounded shuffle at all
+    assert(s.writeRecords <= 4L * nCust + 25L * tasks,
+      s"q100 shuffled ${s.writeRecords} records for $nCust customers — " +
+        "the de-correlation has regressed")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 150,
+      f"q100's shuffled rows average $avgRow%.0f B — wider than the " +
+        "four projected columns")
+  }
+
   test("q20 flagship's one data shuffle moves per-FLIGHT rows, not per-sample") {
     val flights = FlightGen.flights(spark, dir)
     val nSamples = flights.count()
