@@ -41,7 +41,17 @@ object ScaleBench {
     // probe + integer per-doc fold), bigram PMI (pair-agg volume),
     // and the ORC read path (pushed-predicate scan throughput)
     "q89_quantile_sketch", "q90_unigram_logprob", "q91_pmi_bigrams",
-    "q92_orc_roundtrip", "q93_weighted_sample")
+    "q92_orc_roundtrip", "q93_weighted_sample",
+    // r10 additions: the partition-pruned scan (pruning must hold the
+    // read constant per day as total volume grows), the normalized
+    // dedup (map-only normalize + digest agg), the sketch rollup
+    // (fine sketch build grows, the rollup-over-sketches must not),
+    // funnel + cohorts (per-user window volume), and the two classic
+    // relational stragglers (pre-aggregated full outer; de-correlated
+    // subquery join)
+    "q94_partition_prune", "q95_normalized_dedup", "q96_sketch_rollup",
+    "q97_funnel", "q98_cohorts", "q99_full_outer",
+    "q100_correlated_subquery")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
@@ -62,9 +72,13 @@ object ScaleBench {
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     }
-    if (missing("part"))
-      spark.read.parquet(s"$sfDir/part.parquet")
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    // dims grow with the catalog, not the event volume: copy through
+    // unchanged (part for q77; customer/supplier/nation for q99/q100 —
+    // their cost law is the dim-sized aggregate, measured as such)
+    for (dim <- Seq("part", "customer", "supplier", "nation"))
+      if (missing(dim))
+        spark.read.parquet(s"$sfDir/$dim.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
 
     if (missing("documents")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -503,11 +503,21 @@ object TextOps {
     //      ~10 rounds to re-truncate lineage.
     val nodes = edges.select(col("id_a").as("id"))
       .union(edges.select(col("id_b").as("id"))).distinct()
+    // localCheckpoint, not persist (r10): persist caches the DATA but
+    // every round's hop/doubling plan still carries bidir's FULL
+    // logical lineage (the whole pairs pipeline), and re-analyzing +
+    // re-planning that tree per round cost ~2 s/round at sf0.1 — 10x
+    // the rounds' actual job time. The eager local checkpoint runs
+    // the pairs pipeline exactly once (same single-computation
+    // property the exchange-reuse note above argues) and hands back a
+    // LogicalRDD that PRESERVES the repartition's id_a hash
+    // partitioning (unlike a raw .rdd re-wrap), so each round still
+    // plans an exchange-free join — over a one-node logical tree.
     val bidir = edges
       .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
       .repartition(col("id_a"))
-      .persist()
+      .localCheckpoint()
     // Seed labels from bidir's OWN self-loop rows, not from `edges`
     // (which is unpersisted once the loop starts — a labels plan
     // rooted at it would recompute the entire upstream pairs pipeline
@@ -542,7 +552,7 @@ object TextOps {
     // nodes per round at the cost of one narrow (id, label) exchange
     // re-keying the labels side of the hop join
     var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    while (!converged && iters < maxIters) {
+    while (!converged && iters < maxIters) timed(s"fullround $iters") {
       // hop: per-node min label over self ∪ neighbors — shuffles only
       // the narrow (id, label) message table, never the edge list
       val hop = bidir.join(labels, bidir("id_a") === labels("id"))
@@ -595,7 +605,7 @@ object TextOps {
     // between queries; a raw RDD persist would outlive clearCache) and
     // release the loop's RDD once the copy is filled
     val out = labels.persist()
-    out.count()
+    timed("outfill")(out.count())
     if (labelsRdd != null) labelsRdd.unpersist(blocking = false)
     out
   }

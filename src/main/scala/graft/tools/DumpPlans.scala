@@ -60,7 +60,15 @@ object DumpPlans {
       "q90_unigram_logprob" -> "unigram LM scoring (broadcast vocab probe, integer per-doc fold)",
       "q91_pmi_bigrams" -> "bigram PMI (narrow pair aggs, broadcast marginals, TakeOrdered top-k)",
       "q92_orc_roundtrip" -> "ORC read (pushed predicate + pruned columns) + checksum agg",
-      "q93_weighted_sample" -> "A-ES weighted sampling (map-only ln-key scoring, bounded topk_by_score cut)")
+      "q93_weighted_sample" -> "A-ES weighted sampling (map-only ln-key scoring, bounded topk_by_score cut)",
+      "q94_partition_prune" -> "date-partitioned scan (PartitionFilters prune, no full-table scan)",
+      "q95_normalized_dedup" -> "NFC-normalized dedup (native codegen'd normalize, digest-only agg)",
+      "q96_sketch_rollup" -> "HLL rollup re-aggregating STORED sketches (register partials, never keys)",
+      "q97_funnel" -> "conversion funnel (one per-user window shuffle, no per-stage self-joins)",
+      "q98_cohorts" -> "cohort retention (per-user bounded date-set collapse + tiny cohort agg)",
+      "q99_full_outer" -> "full outer join (pre-aggregated both sides, broadcast name lookup)",
+      "q100_correlated_subquery" -> "correlated scalar subquery (de-correlated to aggregate + join)",
+      "q101_jdbc_roundtrip" -> "JDBC partitioned read-back (stride predicates pushed per slice)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
