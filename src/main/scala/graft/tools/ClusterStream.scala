@@ -1,0 +1,175 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.streaming.AsOfStream
+import graft.streaming.AsOfStream.{Event, Mark}
+import graft.streaming.FunnelStream
+import graft.streaming.FunnelStream.FEvent
+
+/** Multi-JVM STREAMING proof (SCALE.md "Round-10: multi-JVM
+  * execution") — the batch gate's local-cluster run covers query
+  * serde, but stateful streams have their own cross-process surface:
+  * the state store lives in the EXECUTORS (RocksDB instances on
+  * executor disks, state rows serialized into them), watermarks and
+  * timeouts coordinate driver-to-executor, and `MemoryStream` data
+  * ships from the driver each batch. This tool runs the two
+  * flatMapGroupsWithState streams (as-of enrichment, funnel) under a
+  * real local-cluster master with the RocksDB provider and asserts
+  * (1) exact parity with their batch twins / an independent fold,
+  * (2) RocksDB custom metrics present — the conf was honored, state
+  * genuinely crossed a process boundary.
+  *
+  * Usage:
+  *   sbt package   # executors need the classes as a jar
+  *   SPARK_SCALA_VERSION=2.13 sbt "runMain graft.tools.ClusterStream"
+  */
+object ClusterStream {
+
+  def main(args: Array[String]): Unit = {
+    val master =
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
+    val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
+      "target/scala-2.13/ngafid_cpatspark_2.13-0.1.0.jar")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.jars", jar)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    var failed = false
+
+    def ts(s: Long) = new Timestamp(s * 1000)
+
+    // ---- scenario 1: as-of enrichment, out-of-order mark across
+    // batches, 40 users — parity vs the batch asofJoin ----
+    locally {
+      val evIn = MemoryStream[Event]
+      val mkIn = MemoryStream[Mark]
+      val q = AsOfStream
+        .asofEnrichStream(evIn.toDS(), mkIn.toDS(), "10 seconds")
+        .writeStream.format("memory").queryName("cs_asof")
+        .option("checkpointLocation",
+          s"/tmp/graft_cs_asof_${System.nanoTime()}")
+        .outputMode("append").start()
+      val events = (1 to 40).flatMap(u =>
+        Seq((u * 10L, u.toLong, 5L), (u * 10 + 1L, u.toLong, 15L),
+          (u * 10 + 2L, u.toLong, 25L)))
+      val marks = (1 to 40).flatMap(u =>
+        Seq((u * 100L, u.toLong, 10L), (u * 100 + 1L, u.toLong, 22L)))
+      try {
+        evIn.addData(events.map { case (e, u, t) => Event(e, u, ts(t)) })
+        mkIn.addData(marks.filter(_._3 == 10L)
+          .map { case (m, u, t) => Mark(m, u, ts(t)) })
+        q.processAllAvailable()
+        // the out-of-order half: every t=22 mark arrives AFTER the
+        // t=25 events were ingested — above the watermark (15), so
+        // the buffered events must still pick them up
+        mkIn.addData(marks.filter(_._3 == 22L)
+          .map { case (m, u, t) => Mark(m, u, ts(t)) })
+        q.processAllAvailable()
+        evIn.addData(Event(9000, 999, ts(200)))
+        q.processAllAvailable()
+        evIn.addData(Event(9001, 999, ts(300)))
+        q.processAllAvailable()
+        val rocks = q.lastProgress.stateOperators.head.customMetrics
+          .keySet.stream.anyMatch(k => k.startsWith("rocksdb"))
+        val got = spark.table("cs_asof").filter(col("user_id") =!= 999)
+          .select("event_id", "asof_mark_id").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val expected = AsOfJoin.asofJoin(
+            events.toDF("event_id", "user_id", "tsec"),
+            marks.toDF("mark_id", "user_id", "tsec")
+              .select(col("user_id"), col("tsec"), col("mark_id")),
+            Seq("user_id"), "tsec", Seq("mark_id"))
+          .select(col("event_id"), col("asof.mark_id")).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val ok = got == expected && rocks
+        if (!ok) {
+          failed = true
+          (got.keySet ++ expected.keySet).toSeq.sorted
+            .filter(k => got.get(k) != expected.get(k)).take(5)
+            .foreach(k => println(
+              s"  asof diff event=$k got=${got.get(k)} expected=${expected.get(k)}"))
+        }
+        println(s"CLUSTERSTREAM asof ${if (ok) "PASS" else "FAIL"} " +
+          s"rows=${got.size} rocksdbMetrics=$rocks master=$master")
+      } finally q.stop()
+    }
+
+    // ---- scenario 2: funnel, jittered arrival across batches, 30
+    // users — parity vs an independent driver-side fold ----
+    locally {
+      val stages = Seq("view", "click", "purchase")
+      def fev(u: Long, t: String, sec: Long) =
+        FEvent(u, t, ts(sec), sec * 1000000L)
+      // user u: view@u, click@u+7 (qualifies), purchase@u+3 (too
+      // early), purchase@u+11 (qualifies); every third user viewless
+      val all = (1 to 30).flatMap { u =>
+        val base = u * 20L
+        if (u % 3 == 0) Seq(fev(u, "click", base + 7))
+        else Seq(fev(u, "view", base), fev(u, "click", base + 7),
+          fev(u, "purchase", base + 3), fev(u, "purchase", base + 11))
+      }
+      // arrival: reverse event-time order inside each half, split
+      // across two batches — folds must wait for the watermark
+      val (h1, h2) = all.splitAt(all.size / 2)
+      val in = MemoryStream[FEvent]
+      val q = FunnelStream
+        .funnelStream(in.toDS(), stages, idleGapMs = 5000L, "20 minutes")
+        .writeStream.format("memory").queryName("cs_funnel")
+        .option("checkpointLocation",
+          s"/tmp/graft_cs_funnel_${System.nanoTime()}")
+        .outputMode("append").start()
+      try {
+        in.addData(h1.reverse)
+        q.processAllAvailable()
+        in.addData(h2.reverse)
+        q.processAllAvailable()
+        in.addData(fev(999, "view", 100000))
+        q.processAllAvailable()
+        in.addData(fev(999, "view", 200000))
+        q.processAllAvailable()
+        val rocks = q.lastProgress.stateOperators.head.customMetrics
+          .keySet.stream.anyMatch(k => k.startsWith("rocksdb"))
+        val got = spark.table("cs_funnel").filter(col("user_id") =!= 999)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        // independent fold: first view; first click strictly after;
+        // first purchase strictly after that
+        val expected = all.groupBy(_.user_id).map { case (u, evs) =>
+          val s = evs.sortBy(_.us)
+          var tv = -1L; var tc = -1L; var tp = -1L
+          s.foreach { e =>
+            if (e.event_type == "view" && tv == -1L) tv = e.us
+            else if (e.event_type == "click" && tc == -1L && tv != -1L &&
+              e.us > tv) tc = e.us
+            else if (e.event_type == "purchase" && tp == -1L &&
+              tc != -1L && e.us > tc) tp = e.us
+          }
+          u -> Seq(tv, tc, tp)
+        }
+        val ok = got == expected && rocks
+        if (!ok) failed = true
+        println(s"CLUSTERSTREAM funnel ${if (ok) "PASS" else "FAIL"} " +
+          s"rows=${got.size} rocksdbMetrics=$rocks master=$master")
+      } finally q.stop()
+    }
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
