@@ -4,16 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // UTC at construction: otherwise timestamp-literal queries (q01/q02
-      // l_shipdate filters) would evaluate under host-local tz until the
-      // first events query pins UTC mid-run — workload-order-dependent
-      // results on non-UTC hosts (ADVICE r9)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     // warm-up: exercise the scan/codegen/JIT paths once so the first
@@ -74,10 +65,20 @@ object Bench {
     //      after re-runs. A clean run has "contended":[].
     // Best-of-N over successful runs remains the estimator: the min
     // estimates the code's cost, the spread is the environment's.
+    // the expectation file records ABSOLUTE seconds at the default
+    // config (sf0.1, 32 threads) — against any other SF/cpu the 3x
+    // gate would either flag the whole suite or nothing meaningful,
+    // so it simply doesn't apply there (passes still run; spread
+    // flagging still works). Queries MISSING from the file are named
+    // in the artifact ("no_expect") so a new query can't silently
+    // dodge the expectation clause until the file is refreshed.
+    val expectApplicable = sfDir.endsWith("sf0.1") && cpus == "32"
     val expect: Map[String, Double] = {
       val in = getClass.getResourceAsStream("/graft/bench-expect.json")
-      if (in == null) Map.empty
-      else try {
+      if (!expectApplicable || in == null) {
+        if (in != null) in.close()
+        Map.empty
+      } else try {
         val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
         """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -132,13 +133,16 @@ object Bench {
       .mkString("[", ",", "]")
     val contendedJson = contended.map(n => s"\"" + n + "\"")
       .mkString("[", ",", "]")
+    val noExpect =
+      (if (expectApplicable) names.filterNot(expect.contains) else Nil)
+        .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
     val total = best.collect { case (_, v, true) => v }.sum
     // "semantics" marks the r8 measurement change in the artifact
     // itself: totals time plans AS DECLARED (toRdd) — earlier rounds'
     // count()-based totals are NOT comparable 1:1 (SCALE.md bridge:
     // 38.0 s count-semantics vs 69.5 s as-declared pre-optimization
     // on one tree; 57.2 s after the r8 native scalars)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"contended":$contendedJson,"reruns":$reruns,"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
     spark.stop()
   }
 }

@@ -7,10 +7,7 @@ package graft
   */
 object DbgPlan {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC") // see Bench.scala
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")

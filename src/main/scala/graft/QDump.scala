@@ -12,10 +12,7 @@ object QDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sfDir = args(1)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     for (name <- args.drop(2)) {

@@ -46,12 +46,14 @@ object ScaleBench {
     // read constant per day as total volume grows), the normalized
     // dedup (map-only normalize + digest agg), the sketch rollup
     // (fine sketch build grows, the rollup-over-sketches must not),
-    // funnel + cohorts (per-user window volume), and the two classic
-    // relational stragglers (pre-aggregated full outer; de-correlated
-    // subquery join)
+    // and funnel + cohorts (per-user window volume). q99/q100 are
+    // deliberately NOT here: they read only dims, and buildScaled
+    // copies dims through unchanged (catalog-sized, not
+    // volume-sized), so their "scaled" ratio would be 1.0 by
+    // construction — a measurement that cannot detect a regression
+    // is not a measurement
     "q94_partition_prune", "q95_normalized_dedup", "q96_sketch_rollup",
-    "q97_funnel", "q98_cohorts", "q99_full_outer",
-    "q100_correlated_subquery")
+    "q97_funnel", "q98_cohorts")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
@@ -147,12 +149,7 @@ object ScaleBench {
           s"set is ${Heavy.mkString(", ")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC") // see Bench.scala
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     buildScaled(spark, sfDir, out, factor)

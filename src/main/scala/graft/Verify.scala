@@ -16,11 +16,7 @@ object Verify {
     // SPARK_GRAFT_JARS names it (sbt package output).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val multiJvm = master.startsWith("local-cluster")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val builder = GraftSession.builder(master, cpus)
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -112,7 +112,15 @@ object FunnelStream {
         maxSeenMs = math.max(maxSeenMs, e.us / 1000)
       }
       val wm = state.getCurrentWatermarkMs()
-      val (ripe, keep) = buf.partition(_._1 / 1000 <= wm)
+      // ripeness compares in MICROSECONDS: `us/1000 <= wm` would fold
+      // events up to 999 µs past the watermark, and an admissible
+      // earlier-microsecond event in that same millisecond (late rows
+      // are dropped only below wm) could still arrive after a later
+      // event in it was folded — breaking the event-time-order
+      // invariant. `us <= wm*1000` folds only what nothing
+      // still-admissible can precede (equality is safe: all stage
+      // comparisons are strict, so same-instant order is immaterial).
+      val (ripe, keep) = buf.partition(_._1 <= wm * 1000L)
       fold(stageTs, ripe)
       state.update(FunnelState(stageTs.toList, keep.map(_._1),
         keep.map(_._2), maxSeenMs))

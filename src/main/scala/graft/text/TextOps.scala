@@ -590,7 +590,16 @@ object TextOps {
       labelsRdd = nextRdd
       iters += 1
     }
-    bidir.unpersist()
+    // Dataset.unpersist would be a silent NO-OP here: it only drops
+    // CacheManager entries, and localCheckpoint's blocks are a raw
+    // RDD persist the CacheManager never sees — release the
+    // checkpointed RDD itself (the function's largest intermediate;
+    // leaking it would also survive the harness's clearCache)
+    bidir.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     // no silent caps: partially-propagated labels are WRONG component
     // ids — fail loudly rather than hand back a truncated fixpoint
     // (maxIters bounds log2 of component DIAMETER up to the doubling;

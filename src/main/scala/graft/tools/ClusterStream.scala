@@ -36,15 +36,11 @@ object ClusterStream {
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,2048]")
     val jar = sys.env.getOrElse("SPARK_GRAFT_JARS",
       "target/scala-2.13/ngafid_cpatspark_2.13-0.1.0.jar")
-    val spark = SparkSession.builder()
-      .master(master)
+    val spark = graft.GraftSession.builder(master, "4")
       .config("spark.jars", jar)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -356,6 +356,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
 
   test("q100 de-correlated subquery shuffles customer rows a bounded number of times") {
     val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val nNations = spark.read.parquet(s"$dir/nation.parquet").count()
     val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
       .max(spark.sparkContext.defaultParallelism)
     val s = ShuffleMeter.measure(spark) {
@@ -367,7 +368,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // filtered survivors' final sort (<= n) — the naive correlated
     // form would be n subquery executions, not expressible as a
     // bounded shuffle at all
-    assert(s.writeRecords <= 4L * nCust + 25L * tasks,
+    assert(s.writeRecords <= 4L * nCust + nNations * tasks,
       s"q100 shuffled ${s.writeRecords} records for $nCust customers — " +
         "the de-correlation has regressed")
     val avgRow = s.writeBytes.toDouble / s.writeRecords
