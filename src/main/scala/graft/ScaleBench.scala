@@ -53,7 +53,12 @@ object ScaleBench {
     // construction — a measurement that cannot detect a regression
     // is not a measurement
     "q94_partition_prune", "q95_normalized_dedup", "q96_sketch_rollup",
-    "q97_funnel", "q98_cohorts")
+    "q97_funnel", "q98_cohorts",
+    // q103: the candidate volume grows with the corpus, so the
+    // verify stage's cost law is measurable (q102 is dim-only, same
+    // exclusion as q99/q100; q104 is a single lineitem aggregate
+    // already represented by the q01-family law)
+    "q103_edit_verify")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

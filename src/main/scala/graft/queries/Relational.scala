@@ -1801,6 +1801,109 @@ object Relational {
       |  CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents, c_nationkey
       |FROM customer WHERE c_nationkey < 10 ORDER BY c_custkey""".stripMargin
 
+  // ---- q102: bag-semantics set operations (INTERSECT/EXCEPT ALL) ----
+  // q13 covers the DISTINCT set ops; the ALL variants are a separate
+  // operator family with different plans — Spark implements them via
+  // replicate-count aggregates + Generate (no row dedup), and a
+  // warehouse user reaches for them whenever multiplicity IS the
+  // signal (here: per-nation multiset overlap of customer vs supplier
+  // rosters — min(count_c, count_s) copies survive INTERSECT ALL,
+  // count_c - count_s survive EXCEPT ALL). Output aggregates the
+  // surviving bags to (op, nk, n) so the compare is deterministic.
+  //
+  // Scale posture: both ALL variants shuffle once on the value key
+  // with map-side partial counts (the replicate step happens after
+  // the aggregate, on count-sized rows) — same law as any groupBy.
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val cn = tbl(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nk"))
+    val sn = tbl(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nk"))
+    val i = cn.intersectAll(sn).groupBy(col("nk"))
+      .agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"),
+        col("nk"), col("n"))
+    val e = cn.exceptAll(sn).groupBy(col("nk"))
+      .agg(count(lit(1)).as("n")).select(lit("except_all").as("op"),
+        col("nk"), col("n"))
+    i.union(e).orderBy(col("op"), col("nk"))
+  }
+
+  val q102Sql: String =
+    """WITH cn AS (SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer),
+      |sn AS (SELECT CAST(s_nationkey AS INTEGER) AS nk FROM supplier),
+      |i AS (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn),
+      |e AS (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn)
+      |SELECT 'intersect_all' AS op, nk, count(*) AS n FROM i GROUP BY nk
+      |UNION ALL
+      |SELECT 'except_all' AS op, nk, count(*) AS n FROM e GROUP BY nk
+      |ORDER BY op, nk""".stripMargin
+
+  // ---- q104: column profiling (data-quality pass) --------------------
+  // The standard first query against any new table: per-column row/
+  // null/distinct counts and min/max, in long format. One scan, one
+  // aggregate — every per-column stat is an expression over the same
+  // pass (count(col) counts non-nulls; the nullable example column is
+  // nullif(l_discount, 0) since the synthetic data ships null-free).
+  // Numerics travel as exact integer cents/e4 so min/max/distinct
+  // hash identically cross-engine.
+  //
+  // Scale posture: count_distinct adds one expand-style exchange per
+  // distinct column; at 100 TB swap them for the HLL sketch (q84) —
+  // the shape is otherwise a single map-side-combined aggregate.
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val p = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("qty_n"),
+      countDistinct(col("l_quantity")).as("qty_d"),
+      min(col("l_quantity")).cast("long").as("qty_min"),
+      max(col("l_quantity")).cast("long").as("qty_max"),
+      count(cents(col("l_extendedprice"))).as("price_n"),
+      countDistinct(cents(col("l_extendedprice"))).as("price_d"),
+      min(cents(col("l_extendedprice"))).as("price_min"),
+      max(cents(col("l_extendedprice"))).as("price_max"),
+      count(nullif(e4(col("l_discount")), lit(0L))).as("disc_n"),
+      countDistinct(nullif(e4(col("l_discount")), lit(0L))).as("disc_d"),
+      min(nullif(e4(col("l_discount")), lit(0L))).as("disc_min"),
+      max(nullif(e4(col("l_discount")), lit(0L))).as("disc_max"))
+    p.selectExpr(
+      """stack(3,
+        |'l_quantity', n_rows, n_rows - qty_n, qty_d, qty_min, qty_max,
+        |'l_extendedprice_cents', n_rows, n_rows - price_n, price_d, price_min, price_max,
+        |'l_discount_nz_e4', n_rows, n_rows - disc_n, disc_d, disc_min, disc_max)
+        | AS (column, n_rows, n_null, n_distinct, min_v, max_v)""".stripMargin)
+      .orderBy(col("column"))
+  }
+
+  val q104Sql: String =
+    """WITH p AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(l_quantity) AS qty_n,
+      |    count(DISTINCT l_quantity) AS qty_d,
+      |    CAST(min(l_quantity) AS BIGINT) AS qty_min,
+      |    CAST(max(l_quantity) AS BIGINT) AS qty_max,
+      |    count(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_n,
+      |    count(DISTINCT CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_d,
+      |    min(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_min,
+      |    max(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_max,
+      |    count(nullif(CAST(round(l_discount*10000, 0) AS BIGINT), 0)) AS disc_n,
+      |    count(DISTINCT nullif(CAST(round(l_discount*10000, 0) AS BIGINT), 0)) AS disc_d,
+      |    min(nullif(CAST(round(l_discount*10000, 0) AS BIGINT), 0)) AS disc_min,
+      |    max(nullif(CAST(round(l_discount*10000, 0) AS BIGINT), 0)) AS disc_max
+      |  FROM lineitem
+      |)
+      |SELECT u.* FROM p, LATERAL (
+      |  SELECT 'l_quantity' AS "column", n_rows, n_rows - qty_n AS n_null,
+      |    qty_d AS n_distinct, qty_min AS min_v, qty_max AS max_v
+      |  UNION ALL
+      |  SELECT 'l_extendedprice_cents', n_rows, n_rows - price_n,
+      |    price_d, price_min, price_max
+      |  UNION ALL
+      |  SELECT 'l_discount_nz_e4', n_rows, n_rows - disc_n,
+      |    disc_d, disc_min, disc_max
+      |) u
+      |ORDER BY "column"""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1843,7 +1946,9 @@ object Relational {
     "q98_cohorts" -> (q98 _),
     "q99_full_outer" -> (q99 _),
     "q100_correlated_subquery" -> (q100 _),
-    "q101_jdbc_roundtrip" -> (q101 _)
+    "q101_jdbc_roundtrip" -> (q101 _),
+    "q102_setops_all" -> (q102 _),
+    "q104_profile" -> (q104 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1887,6 +1992,8 @@ object Relational {
     "q98_cohorts" -> q98Sql,
     "q99_full_outer" -> q99Sql,
     "q100_correlated_subquery" -> q100Sql,
-    "q101_jdbc_roundtrip" -> q101Sql
+    "q101_jdbc_roundtrip" -> q101Sql,
+    "q102_setops_all" -> q102Sql,
+    "q104_profile" -> q104Sql
   )
 }

@@ -2016,6 +2016,51 @@ object TextQueries {
        |ORDER BY exact_n DESC, term""".stripMargin
   }
 
+  // ---- q103: edit-distance verification of near-dup candidates ----
+  // The verify stage a production dedup pipeline runs AFTER candidate
+  // generation: shingle-Jaccard (q33's machinery, threshold lowered to
+  // 0.3 for recall) proposes pairs, and exact Levenshtein over the
+  // candidate texts confirms them — kept when the edit distance is at
+  // most 20% of the longer text. Character-exact where Jaccard is
+  // token-approximate, and O(len_a x len_b) per pair, which is why it
+  // can only ever run on CANDIDATES: the scale story is that the
+  // quadratic scorer touches |candidate pairs| (LSH/inverted-index
+  // bounded), never n^2 — the same candidates->verify split as q42's
+  // ANN near-dup. Both engines compute unit-cost codepoint
+  // Levenshtein (Spark `levenshtein`, DuckDB `levenshtein`).
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+    val cand = jaccardPairs(docs, 0.3)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .filter(col("lev") * 5 <= col("max_len"))
+      .select(col("id_a"), col("id_b"), col("lev"), col("max_len"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q103Sql: String =
+    s"""WITH $nearPairsCte,
+      |cand AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE 1.0 * common / (na + nb - common) >= 0.3
+      |)
+      |SELECT c.id_a, c.id_b,
+      |  levenshtein(da.text, db.text) AS lev,
+      |  greatest(length(da.text), length(db.text)) AS max_len
+      |FROM cand c
+      |JOIN docs da ON da.doc_id = c.id_a
+      |JOIN docs db ON db.doc_id = c.id_b
+      |WHERE levenshtein(da.text, db.text) * 5 <=
+      |  greatest(length(da.text), length(db.text))
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -2054,7 +2099,8 @@ object TextQueries {
     "q91_pmi_bigrams" -> (q91 _),
     "q92_orc_roundtrip" -> (q92 _),
     "q93_weighted_sample" -> (q93 _),
-    "q95_normalized_dedup" -> (q95 _)
+    "q95_normalized_dedup" -> (q95 _),
+    "q103_edit_verify" -> (q103 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2095,6 +2141,7 @@ object TextQueries {
     "q91_pmi_bigrams" -> q91Sql,
     "q92_orc_roundtrip" -> q92Sql,
     "q93_weighted_sample" -> q93Sql,
-    "q95_normalized_dedup" -> q95Sql
+    "q95_normalized_dedup" -> q95Sql,
+    "q103_edit_verify" -> q103Sql
   )
 }

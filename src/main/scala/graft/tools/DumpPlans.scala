@@ -66,7 +66,10 @@ object DumpPlans {
       "q98_cohorts" -> "cohort retention (per-user bounded date-set collapse + tiny cohort agg)",
       "q99_full_outer" -> "full outer join (pre-aggregated both sides, broadcast name lookup)",
       "q100_correlated_subquery" -> "correlated scalar subquery (de-correlated to aggregate + join)",
-      "q101_jdbc_roundtrip" -> "JDBC partitioned read-back (stride predicates pushed per slice)")
+      "q101_jdbc_roundtrip" -> "JDBC partitioned read-back (stride predicates pushed per slice)",
+      "q102_setops_all" -> "bag-semantics set ops (replicate-count aggregates, no row dedup)",
+      "q103_edit_verify" -> "edit-distance verify over LSH candidates (quadratic scorer bounded to candidate pairs)",
+      "q104_profile" -> "column profiling (one scan, one aggregate, long-format stack)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

@@ -264,6 +264,15 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(df, "q100")
   }
 
+  test("q103 edit-distance verify joins candidates, never all pairs") {
+    val df = TextQueries.q103(spark, dir)
+    assertNoAllPairs(df, "q103")
+    // the quadratic Levenshtein may only run on candidate pairs: the
+    // text-fetch joins must be equi joins on doc ids
+    val p = plan(df)
+    assert(p.contains("Join"), s"expected the candidate text joins:\n$p")
+  }
+
   test("q02 filter reaches the parquet scan (pushdown + pruning)") {
     val p = plan(Relational.q02(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"),
