@@ -95,6 +95,9 @@ object TextQueries {
   /** documents ∪ planted near-copies (last 3 tokens dropped) of every
     * 7th doc with > 10 tokens.
     */
+  /** Dev-tool window into the fixture (tools.CandCount). */
+  def withNearCopiesPublic(docs: DataFrame): DataFrame = withNearCopies(docs)
+
   private def withNearCopies(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     d.union(d

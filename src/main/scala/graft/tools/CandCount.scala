@@ -1,0 +1,22 @@
+package graft.tools
+
+/** Dev probe: candidate-pair count of the q103 verify stage at a
+  * given data dir — the denominator of its scaling law (cost per
+  * CANDIDATE, not per doc; see SCALE.md round-10 decade notes).
+  * Usage: runMain graft.tools.CandCount <dir> [minJaccard]
+  */
+object CandCount {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val minJ = args.lift(1).map(_.toDouble).getOrElse(0.3)
+    val spark = graft.GraftSession.builder("local[32]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.queries.TextQueries.withNearCopiesPublic(
+      graft.queries.Relational.tbl(spark, dir, "documents"))
+    val n = graft.text.TextOps.jaccardPairs(docs, minJ).count()
+    println(s"CANDCOUNT dir=$dir minJaccard=$minJ candidates=$n " +
+      s"docs=${docs.count()}")
+    spark.stop()
+  }
+}
