@@ -58,7 +58,15 @@ object ScaleBench {
     // verify stage's cost law is measurable (q102 is dim-only, same
     // exclusion as q99/q100; q104 is a single lineitem aggregate
     // already represented by the q01-family law)
-    "q103_edit_verify")
+    "q103_edit_verify",
+    // q106: one per-key count over the growing event stream — the
+    // map-side-combine law, measurable. q105 is deliberately NOT
+    // here: its exact baseline is q40's by-design quadratic over a
+    // fixed-RATE query sample, so a decade at constant rate measures
+    // 100x pair volume by construction; the production knob is a
+    // fixed sample SIZE (n_queries constant), under which the exact
+    // pass is linear in n — the plan/budget specs pin that shape
+    "q106_key_skew")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

