@@ -2040,10 +2040,21 @@ object TextQueries {
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        // banded Levenshtein: the keep condition lev*5 <= max_len is
+        // exactly lev <= floor(max_len/5) (integer lev), so passing
+        // that bound as the threshold makes the scorer O(len x k)
+        // instead of O(len^2) — Spark's thresholded form walks only a
+        // 2k+1-wide diagonal band and short-circuits on length
+        // difference alone. Within the bound it returns the EXACT
+        // distance (identical output rows); past it, -1 (the rows the
+        // filter dropped anyway). The oracle keeps the unbounded form
+        // + filter: same relation, engine-independent.
+        expr("levenshtein(ta, tb, " +
+          "cast((greatest(length(ta), length(tb)) div 5) as int))")
+          .cast("long").as("lev"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
-      .filter(col("lev") * 5 <= col("max_len"))
+      .filter(col("lev") =!= -1L)
       .select(col("id_a"), col("id_b"), col("lev"), col("max_len"))
       .orderBy(col("id_a"), col("id_b"))
   }
