@@ -1911,8 +1911,17 @@ object Relational {
   // combined, the q01 cost law) produces the per-key counts; everything
   // after runs on |distinct keys| rows: the top-10 heavy hitters
   // (TakeOrdered — no global sort of the counts), total/distinct/max,
-  // and the skew ratio max/mean as exact integer x1000 (max * d * 1000
-  // DIV total — integer arithmetic so both engines hash identically).
+  // and the skew ratio max/mean as exact integer x1000, computed as
+  // max * 1000 DIV (total DIV d) — i.e. against the FLOOR of the mean.
+  // Divide-first matters: the algebraic form max * d * 1000 / total
+  // overflows BIGINT exactly at the scale this audit is pitched for
+  // (d ~1e9 keys x max ~1e7 rows -> 1e19 > 2^63, an ANSI-mode
+  // ArithmeticException in Spark and a BIGINT error in DuckDB),
+  // while max * 1000 only overflows past 9e15 rows on ONE key. Both
+  // engines run the identical integer sequence, so the compare stays
+  // hash-exact; the floor-mean denominator overstates skew by < 1
+  // part in mean, which a x1000 readout cannot even resolve once
+  // mean >= 1000.
   // skew_x1000 = 1000 means perfectly uniform; AQE's default skew
   // trigger (5x median partition) is roughly skew_x1000 > 5000 when
   // keys spread evenly over partitions. At 100 TB this is the cheap
@@ -1936,7 +1945,7 @@ object Relational {
         |'total_rows', CAST(NULL AS BIGINT), total,
         |'distinct_keys', CAST(NULL AS BIGINT), d,
         |'max_cnt', CAST(NULL AS BIGINT), mx,
-        |'skew_x1000', CAST(NULL AS BIGINT), mx * d * 1000L div total)
+        |'skew_x1000', CAST(NULL AS BIGINT), mx * 1000L div (total div d))
         | AS (metric, key_id, n)""".stripMargin)
     top.unionAll(summary).orderBy(col("metric"), col("key_id"))
   }
@@ -1960,7 +1969,7 @@ object Relational {
       |  UNION ALL
       |  SELECT 'max_cnt', NULL, mx FROM stats
       |  UNION ALL
-      |  SELECT 'skew_x1000', NULL, mx * d * 1000 // total FROM stats
+      |  SELECT 'skew_x1000', NULL, mx * 1000 // (total // d) FROM stats
       |) u
       |ORDER BY metric, key_id""".stripMargin
 

@@ -52,35 +52,55 @@ object VectorQueries {
   // (task, query) — the previous `row_number` window shuffled and
   // sorted ALL n x q scored rows. Same rows out (PlanSpec pins the
   // window-free plan; the oracle still ranks with row_number).
-  def q40(spark: SparkSession, dir: String): DataFrame = {
-    // norms computed ONCE per row before the pair join (the composed
-    // cosine() would re-fold sqrt(dot(x,x)) per PAIR — n x q times);
-    // sqrt-then-multiply-then-divide is the identical FP sequence, so
-    // scores are bit-equal to the composed form and the oracle
-    val all = vecs(spark, dir)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    val queries = all.filter(col("vec_id") % 100 === 0)
+  // norms computed ONCE per row before the pair join (the composed
+  // cosine() would re-fold sqrt(dot(x,x)) per PAIR — n x q times);
+  // sqrt-then-multiply-then-divide is the identical FP sequence, so
+  // scores are bit-equal to the composed form and the oracle
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nv", sqrt(dot(col("v"), col("v"))))
+
+  /** The baseline/audit query sample: every 100th vector, renamed for
+    * the broadcast side of the scoring cross join.
+    */
+  private def querySample(all: DataFrame): DataFrame =
+    all.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nv").as("nq"))
-    val scored = all.crossJoin(broadcast(queries))
+
+  /** Exact-cosine bounded top-k per sample query: `(query_id,
+    * top: array<struct<id,score>>)` — the brute-force baseline shared
+    * by q40 (ranked output) and q105 (recall claim set). Ties break
+    * (score DESC, id ASC), matching the oracles' `row_number` order.
+    */
+  private def exactTopK(all: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    all.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
           .cast("long").as("cos_e6"))
-    scored.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(call_function("topk_by_score",
-        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+        col("cos_e6"), col("neighbor_id"), lit(k)).as("top"))
+
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(vecs(spark, dir))
+    exactTopK(all, querySample(all), 3)
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cos_e6"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q40Sql: String = {
+  /** DuckDB CTE chain for the exact baseline — `e` (vectors), `q`
+    * (the 1% sample), `scored`, `ranked` — shared by q40Sql/q105Sql
+    * so the FP sequence and tie order live in exactly one place.
+    */
+  private val exactRankedCte: String = {
     val d = dotSql("q.qv", "e.v")
     val nq = dotSql("q.qv", "q.qv")
     val ne = dotSql("e.v", "e.v")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
        |), q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
@@ -93,10 +113,13 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  val q40Sql: String =
+    s"""WITH $exactRankedCte
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_e6
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---- q41: SRP-LSH bucket assignment (the ANN scale path) ----
   def q41(spark: SparkSession, dir: String): DataFrame =
@@ -104,20 +127,12 @@ object VectorQueries {
       .select(col("vec_id"), srpBucket(col("v"), signs).cast("int").as("bucket"))
       .orderBy(col("vec_id"))
 
-  /** DuckDB literal for one hyperplane's ±1 coefficients. */
-  private def planeSql(p: Int): String =
-    signs(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-
-  val q41Sql: String = {
-    val bits = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("v", s"(${planeSql(p)})")} > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString(" +\n    ")
+  val q41Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
        |)
-       |SELECT vec_id, CAST($bits AS INT) AS bucket
+       |SELECT vec_id, CAST(${bucketBitsSql(signs)} AS INT) AS bucket
        |FROM e ORDER BY vec_id""".stripMargin
-  }
 
   // ---- q42: LSH-bucketed cosine near-dup with planted positives ----
   // Every 25th vector gets a perturbed twin (+0.05 on dim 1) at
@@ -174,9 +189,7 @@ object VectorQueries {
     * thresholded at 0.99 cosine.
     */
   private val annPairsCteSql: String = {
-    val bits = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("v", s"(${planeSql(p)})")} > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString(" +\n    ")
+    val bits = bucketBitsSql(signs)
     val d = dotSql("a.v", "b.v")
     val na = dotSql("a.v", "a.v")
     val nb = dotSql("b.v", "b.v")
@@ -270,10 +283,17 @@ object VectorQueries {
   private def planeSqlT(tab: Seq[Seq[Double]], p: Int): String =
     tab(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
-  val q62Sql: String = {
-    def bits(tab: Seq[Seq[Double]]) = (0 until Planes).map { p =>
+  /** DuckDB: the SRP bucket id of list column `v` under hyperplane
+    * table `tab` — the one place the bucket bit encoding is spelled
+    * in SQL (q41Sql single table, q62Sql bands, q105Sql audit keys).
+    */
+  private def bucketBitsSql(tab: Seq[Seq[Double]]): String =
+    (0 until Planes).map { p =>
       s"CASE WHEN ${dotSql("v", s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" +\n    ")
+
+  val q62Sql: String = {
+    def bits(tab: Seq[Seq[Double]]) = bucketBitsSql(tab)
     val d = dotSql("a.v", "b.v")
     val na = dotSql("a.v", "a.v")
     val nb = dotSql("b.v", "b.v")
@@ -842,39 +862,38 @@ object VectorQueries {
   // Scale posture: the exact baseline is the audit's cost and it runs
   // on a SAMPLE of queries by construction (n scored rows per query,
   // top-3 via the bounded `topk_by_score` partial aggregate — never a
-  // window over all scored rows). Everything after the baseline is
-  // tiny-side: bucket keys are a map-only projection, and both key
-  // joins stream the full table once against a BROADCAST claim set
-  // (top-3 rows, then query keys), so no shuffle of the big side
-  // anywhere. At 100 TB the sample rate is the knob; the shape holds.
+  // window over all scored rows). After the baseline, ONE pass over
+  // the table harvests the claim-set vectors (a broadcast join on the
+  // ~4 ids per query that matter), and the SRP bucket keys are
+  // computed on those survivors only — never on all n rows, and the
+  // big side never shuffles anywhere. At 100 TB the sample rate is
+  // the knob; the shape holds.
   def q105(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-      .persist()
-    all.count() // eager: top3 + two key scans are sibling stages
-    val queries = all.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nv").as("nq"))
-    val top3 = all.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
-          .cast("long").as("cos_e6"))
-      .groupBy(col("query_id"))
-      .agg(call_function("topk_by_score",
-        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+    val all = withNorm(vecs(spark, dir)).persist()
+    all.count() // eager: the exact pass + claim harvest are siblings
+    val queries = querySample(all)
+    val top3 = exactTopK(all, queries, 3)
       .select(col("query_id"), explode(col("top")).as("hit"))
       .select(col("query_id"), col("hit.id").as("neighbor_id"))
       .persist()
-    top3.count() // eager: nk/qk below otherwise both recompute it
-    // one (table, bucket) key per band table per vector — map-only
-    val keys = all.select(col("vec_id"),
-      explode(array(bandTables.zipWithIndex.map { case (tab, t) =>
-        struct(lit(t).as("t"), srpBucket(col("v"), tab).cast("int").as("b"))
-      }: _*)).as("k"))
+    top3.count() // eager: claimIds + nex below otherwise recompute it
+    // the only vectors whose buckets matter: the sampled queries and
+    // their exact top-3 neighbors (~4 per query)
+    val claimIds = top3.select(col("neighbor_id").as("vid"))
+      .union(top3.select(col("query_id").as("vid"))).distinct()
+    // one full-table pass: keep claim-set vectors, THEN key them —
+    // one (table, bucket) key per band table per surviving vector
+    val claimKeys = all
+      .join(broadcast(claimIds), col("vec_id") === col("vid"))
+      .select(col("vec_id"),
+        explode(array(bandTables.zipWithIndex.map { case (tab, t) =>
+          struct(lit(t).as("t"), srpBucket(col("v"), tab).cast("int").as("b"))
+        }: _*)).as("k"))
       .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b"))
+      .persist()
+    claimKeys.count() // eager: both configs' nk/qk read this
     def hitsFor(cfg: String, tmax: Int): DataFrame = {
-      val k = keys.filter(col("t") <= tmax)
+      val k = claimKeys.filter(col("t") <= tmax)
       val nk = k.join(broadcast(top3), col("vec_id") === col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("t"), col("b"))
       val qk = k.join(
@@ -902,29 +921,10 @@ object VectorQueries {
   }
 
   val q105Sql: String = {
-    val d = dotSql("q.qv", "e.v")
-    val nq = dotSql("q.qv", "q.qv")
-    val ne = dotSql("e.v", "e.v")
-    def bits(tab: Seq[Seq[Double]]) = (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("v", s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString(" +\n    ")
     val keySel = bandTables.zipWithIndex.map { case (tab, t) =>
-      s"SELECT vec_id, $t AS t, CAST(${bits(tab)} AS INT) AS b FROM e"
+      s"SELECT vec_id, $t AS t, CAST(${bucketBitsSql(tab)} AS INT) AS b FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (
-       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
-       |), q AS (
-       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
-       |), scored AS (
-       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-       |    CAST(round(1000000.0 * ($d / (sqrt($nq) * sqrt($ne))), 0) AS BIGINT) AS cos_e6
-       |  FROM e, q WHERE e.vec_id <> q.query_id
-       |), ranked AS (
-       |  SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
-       |  FROM scored
-       |), top3 AS (
+    s"""WITH $exactRankedCte, top3 AS (
        |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
        |), keys AS (
        |  $keySel

@@ -10,6 +10,8 @@ import java.nio.file.{Files, Paths}
   */
 object DumpOracle {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2)
+      sys.error("usage: DumpOracle <outDir> <q1> [q2 ...]")
     val outDir = args(0)
     new java.io.File(outDir).mkdirs()
     args.drop(1).foreach { name =>
