@@ -66,7 +66,14 @@ object ScaleBench {
     // 100x pair volume by construction; the production knob is a
     // fixed sample SIZE (n_queries constant), under which the exact
     // pass is linear in n — the plan/budget specs pin that shape
-    "q106_key_skew")
+    "q106_key_skew",
+    // r10 batch 2: delta-vs-base near-dup (delta grows with the
+    // corpus — a bigger base gets a bigger crawl batch — so the
+    // band-join + confirm volume law is measurable), the hashed
+    // classifier and the length histogram (both map-only scans whose
+    // decades pin the per-row scoring/bucketing cost constant)
+    "q107_delta_neardup", "q108_quality_classifier",
+    "q109_length_histogram")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

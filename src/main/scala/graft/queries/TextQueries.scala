@@ -2075,6 +2075,241 @@ object TextQueries {
       |  greatest(length(da.text), length(db.text))
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q107: incremental (delta-vs-base) NEAR-dup admission ----
+  // The near-dup twin of q80: a new crawl batch is admitted against
+  // the EXISTING corpus by MinHash-LSH, without pairwise work on the
+  // base and without ever shuffling base text or shingles. Delta
+  // fixture (built identically in both engines): near-copies (every
+  // 7th base doc, last 3 tokens dropped — must match their source) ∪
+  // genuinely fresh synthetic docs (must admit).
+  //
+  // Scale shape (the 100 TB base): the base is touched by exactly TWO
+  // map-only passes — pass 1 streams base band keys into a join
+  // against the BROADCAST delta band keys (delta is micro-batch-sized
+  // by construction; past that cap the q80 guard pattern
+  // [[TextOps.matchedBaseDigests]] applies — documented, not
+  // replicated here); pass 2 semi-joins base signatures against the
+  // broadcast candidate id set, so only the ≤|delta|·bands matched
+  // base rows ever carry their shingle arrays into the confirm stage.
+  // The only exchanges are delta-sized (candidate distinct + best-of
+  // aggregate); ReuseExchange dedupes the shared candidate broadcast.
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = tbl(spark, dir, "documents")
+    val near = docs.filter(col("doc_id") % 7 === 0 && size(toks) > 10)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text"))
+    val fresh = docs.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(lit("fresh doc about topic "),
+          (col("doc_id") % 40).cast("string")).as("text"))
+    val delta = near.union(fresh)
+    def sig(d: DataFrame): DataFrame = d
+      .withColumn("sh", hashedShingles(tokens(col("text")), 5))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: col("sh") +: minHash(col("sh"), 8): _*)
+    def banded(s: DataFrame, idOut: String): DataFrame = s
+      .select(col("doc_id").as(idOut),
+        explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2))
+          .as("bk"))
+    val baseSig = sig(docs)
+    val deltaSig = sig(delta)
+    // pass 1: candidate (base, delta) pairs via the band-bucket join;
+    // distinct both dedupes multi-band hits (mirroring the oracle's
+    // OR-join, one row per pair) and barriers the delta-sized result
+    val cands = banded(baseSig, "id_b")
+      .join(broadcast(banded(deltaSig, "id_d")), Seq("bk"))
+      .select(col("id_b"), col("id_d")).distinct()
+    // pass 2: fetch shingle sets for MATCHED base docs only
+    val candBaseSh = baseSig
+      .join(broadcast(cands.select(col("id_b").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    val scored = candBaseSh
+      .join(broadcast(cands), Seq("id_b"))
+      .join(broadcast(deltaSig.select(col("doc_id").as("id_d"),
+        col("sh").as("shd"))), Seq("id_d"))
+      .withColumn("jac", TextOps.jaccard(col("shb"), col("shd")))
+      .filter(col("jac") >= 0.5)
+    // best base match per delta doc: max jaccard, ties to the lowest
+    // base id (negated inside the struct-max). Exact-rational double
+    // compares: |sh| < 2^10 keeps a/b vs c/d well past double rounding
+    val best = scored
+      .groupBy(col("id_d"))
+      .agg(max(struct(col("jac").as("j"), (-col("id_b")).as("nid")))
+        .as("m"))
+      .select(col("id_d"), (-col("m.nid")).as("best_base"),
+        round(col("m.j") * 10000).cast("long").as("jaccard_e4"))
+    delta.select(col("doc_id"))
+      .join(broadcast(best), col("doc_id") === col("id_d"), "left")
+      .select(col("doc_id"), col("best_base"), col("jaccard_e4"),
+        col("best_base").isNull.as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q107Sql: String = {
+    val bands = (b: String) => (0 until 4).map { i =>
+      s"md5(mh${2 * i} || '|' || mh${2 * i + 1}) AS $b$i"
+    }.mkString(",\n    ")
+    val orJoin = (0 until 4).map(i => s"b.b$i = d.d$i").mkString(" OR ")
+    val jac = "1.0 * len(list_intersect(b.sh, d.sh)) / " +
+      "(len(b.sh) + len(d.sh) - len(list_intersect(b.sh, d.sh)))"
+    s"""WITH delta AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(toks[1:len(toks)-3], ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    'fresh doc about topic ' || CAST(doc_id % 40 AS VARCHAR)
+       |  FROM documents WHERE doc_id % 11 = 5
+       |), sh_base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |), sh_delta AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM delta)
+       |), sig_base AS (
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
+       |  FROM sh_base WHERE len(sh) > 0
+       |), sig_delta AS (
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
+       |  FROM sh_delta WHERE len(sh) > 0
+       |), banded_base AS (
+       |  SELECT doc_id, sh, ${bands("b")}
+       |  FROM sig_base
+       |), banded_delta AS (
+       |  SELECT doc_id, sh, ${bands("d")}
+       |  FROM sig_delta
+       |), scored AS (
+       |  SELECT d.doc_id AS id_d, b.doc_id AS id_b, $jac AS jac
+       |  FROM banded_base b JOIN banded_delta d ON ($orJoin)
+       |  WHERE $jac >= 0.5
+       |), best AS (
+       |  SELECT id_d, id_b AS best_base,
+       |    CAST(round(jac * 10000, 0) AS BIGINT) AS jaccard_e4,
+       |    row_number() OVER (PARTITION BY id_d ORDER BY jac DESC, id_b)
+       |      AS rn
+       |  FROM scored
+       |)
+       |SELECT dd.doc_id, b.best_base, b.jaccard_e4,
+       |  b.best_base IS NULL AS admit
+       |FROM delta dd
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON dd.doc_id = b.id_d
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q108: hashed linear quality classifier (fastText-style) ----
+  // A learned-model-style quality gate: word unigrams + adjacent
+  // bigrams feature-hashed into 4096 buckets, scored by a linear
+  // model. The weight table is a pure function of the bucket id (a
+  // Knuth-hash residue centred on zero) standing in for trained
+  // weights, so the oracle replays the model exactly and the whole
+  // path stays integer arithmetic — bit-exact across engines, no
+  // sigmoid/float drift. In production the weight column swaps for a
+  // broadcast Map[Int, Float] lookup; the plan shape (one scan,
+  // map-only score, zero shuffles before the oracle-determinism sort)
+  // is identical.
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val D = 4096
+    def wInt(b: Column): Column = (b * 2654435761L) % 8191L - 4095L
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("uni",
+        transform(col("t"), t => call_function("md5_long60", t) % D))
+      .withColumn("big",
+        when(size(col("t")) < 2, array().cast("array<long>"))
+          .otherwise(transform(sequence(lit(1), size(col("t")) - 1),
+            i => call_function("md5_long60",
+              concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1))) % D)))
+      .select(col("doc_id"),
+        (size(col("uni")) + size(col("big"))).cast("long").as("n_feat"),
+        (aggregate(col("uni"), lit(0L), (acc, b) => acc + wInt(b)) +
+          aggregate(col("big"), lit(0L), (acc, b) => acc + wInt(b)))
+          .as("score_int"))
+      .withColumn("keep", col("score_int") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val q108Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, tok -> ${md5IntSql("tok")} % 4096) AS uni,
+       |    CASE WHEN len(toks) < 2 THEN []::BIGINT[]
+       |         ELSE list_transform(range(1, len(toks)),
+       |                i -> ${md5IntSql("toks[i] || ' ' || toks[i+1]")} % 4096)
+       |         END AS big
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(len(uni) + len(big) AS BIGINT) AS n_feat,
+       |    CAST(coalesce(list_sum(list_transform(uni,
+       |           b -> (b * 2654435761) % 8191 - 4095)), 0)
+       |       + coalesce(list_sum(list_transform(big,
+       |           b -> (b * 2654435761) % 8191 - 4095)), 0) AS BIGINT)
+       |      AS score_int
+       |  FROM f
+       |)
+       |SELECT doc_id, n_feat, score_int, score_int > 0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- q109: token-length histogram + cumulative token share ----
+  // The packing planner's input: log2 buckets of per-doc token count,
+  // per-bucket doc/token totals, and the running cumulative share of
+  // all tokens (e4 fixed point) — "what max_seq_len covers 99% of
+  // tokens". One scan, map-side partials into a ~12-group aggregate;
+  // the unpartitioned cumsum window runs on BUCKET-COUNT rows (≤64 —
+  // single-partition by size, not by accident). Bucket = bit length
+  // minus one (exact integers both engines; no float log2).
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = tbl(spark, dir, "documents")
+      .select(size(toks).cast("long").as("n"))
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_toks"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("cum_share_e4",
+        floor(sum(col("n_toks")).over(cum) * 10000 /
+          sum(col("n_toks")).over(all)).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  val q109Sql: String =
+    s"""WITH t AS (
+       |  SELECT len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+       |  FROM documents
+       |), a AS (
+       |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+       |    count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_toks
+       |  FROM t GROUP BY 1
+       |)
+       |SELECT bucket, n_docs, n_toks,
+       |  CAST(sum(n_toks) OVER (ORDER BY bucket) * 10000
+       |    // sum(n_toks) OVER () AS BIGINT) AS cum_share_e4
+       |FROM a ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -2114,7 +2349,10 @@ object TextQueries {
     "q92_orc_roundtrip" -> (q92 _),
     "q93_weighted_sample" -> (q93 _),
     "q95_normalized_dedup" -> (q95 _),
-    "q103_edit_verify" -> (q103 _)
+    "q103_edit_verify" -> (q103 _),
+    "q107_delta_neardup" -> (q107 _),
+    "q108_quality_classifier" -> (q108 _),
+    "q109_length_histogram" -> (q109 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2156,6 +2394,9 @@ object TextQueries {
     "q92_orc_roundtrip" -> q92Sql,
     "q93_weighted_sample" -> q93Sql,
     "q95_normalized_dedup" -> q95Sql,
-    "q103_edit_verify" -> q103Sql
+    "q103_edit_verify" -> q103Sql,
+    "q107_delta_neardup" -> q107Sql,
+    "q108_quality_classifier" -> q108Sql,
+    "q109_length_histogram" -> q109Sql
   )
 }

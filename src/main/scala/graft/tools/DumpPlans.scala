@@ -71,7 +71,10 @@ object DumpPlans {
       "q103_edit_verify" -> "edit-distance verify over LSH candidates (quadratic scorer bounded to candidate pairs)",
       "q104_profile" -> "column profiling (one scan, one aggregate, long-format stack)",
       "q105_ann_recall" -> "ANN recall audit (exact baseline on a query sample, broadcast-only key joins)",
-      "q106_key_skew" -> "join-key skew audit (one pruned-column agg, TakeOrdered heavy hitters)")
+      "q106_key_skew" -> "join-key skew audit (one pruned-column agg, TakeOrdered heavy hitters)",
+      "q107_delta_neardup" -> "delta-vs-base near-dup admission (two map-only base passes, delta-sized exchanges only)",
+      "q108_quality_classifier" -> "hashed linear quality classifier (map-only integer scoring, zero data shuffle)",
+      "q109_length_histogram" -> "token-length histogram (map-side partials into bucket-count rows, tiny cumsum window)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

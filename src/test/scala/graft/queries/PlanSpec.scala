@@ -380,6 +380,41 @@ class PlanSpec extends AnyFunSuite {
       s"q106 grew an unexpected join:\n$p")
   }
 
+  test("q107 delta near-dup: bucketed band join, base never sort-merges") {
+    val df = TextQueries.q107(spark, dir)
+    assertNoAllPairs(df, "q107")
+    val p = plan(df)
+    // every base access is a map-only pass probing a broadcast (band
+    // join, candidate semi join); a SortMergeJoin would mean the base
+    // itself got shuffled
+    assert(!p.contains("SortMergeJoin"),
+      s"q107 shuffles the base corpus into a join:\n$p")
+    // the only shuffles are delta-sized: candidate distinct (x2,
+    // pair-set + base-id set), best-match aggregate, final orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 5, s"q107 grew a base-sized shuffle:\n$p")
+  }
+
+  test("q108 classifier is map-only: the one exchange is the oracle sort") {
+    val p = plan(TextQueries.q108(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q108 scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"q108 grew a join:\n$p")
+  }
+
+  test("q109 histogram combines map-side into bucket-count rows") {
+    val p = plan(TextQueries.q109(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q109 per-bucket totals must combine map-side:\n$p")
+    // agg exchange + single-partition window exchange (bucket-count
+    // rows by design) + final orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"q109 shuffles more than agg+window+sort:\n$p")
+  }
+
   test("flagship approach pipeline has exactly one shuffle") {
     val p = plan(ApproachQueries.q20(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -

@@ -448,4 +448,27 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       f"q106's shuffled rows average $avgRow%.0f B — wider than " +
         "(key, count); a lost projection is shipping event payloads")
   }
+
+  test("q107 delta near-dup shuffles delta-sized id rows, never shingles") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the q107 fixture's own delta size (near-copies + fresh docs)
+    val nDelta = docs.filter(
+        expr("doc_id % 7 = 0 AND size(split(lower(trim(text)), '\\\\s+')) > 10"))
+      .count() + docs.filter(expr("doc_id % 11 = 5")).count()
+    val s = ShuffleMeter.measure(spark) {
+      TextQueries.q107(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the candidate distinct exchange")
+    // base text/shingles must never travel: every exchange (candidate
+    // pair distinct, base-id distinct, best-match agg, final sort) is
+    // bounded by delta rows x 4 band keys x a small candidate fan-out
+    assert(s.writeRecords <= 60L * nDelta + 400,
+      s"q107 shuffled ${s.writeRecords} records for a $nDelta-doc " +
+        "delta — a base-sized relation has entered an exchange")
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 200,
+      f"q107's shuffled rows average $avgRow%.0f B — shingle arrays " +
+        "or document text are travelling through a shuffle")
+  }
 }
