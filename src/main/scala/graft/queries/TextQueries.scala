@@ -2096,6 +2096,17 @@ object TextQueries {
   def q107(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = tbl(spark, dir, "documents")
+    val delta = q107Delta(docs)
+    nearDupVerdicts(delta.select(col("doc_id")),
+      minHashSig(docs), minHashSig(delta))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q107 delta fixture: near-copies (every 7th base doc, last 3
+    * tokens dropped) ∪ genuinely fresh synthetic docs — shared with
+    * NearDupStreamSpec so stream/batch parity runs on THE fixture.
+    */
+  private[graft] def q107Delta(docs: DataFrame): DataFrame = {
     val near = docs.filter(col("doc_id") % 7 === 0 && size(toks) > 10)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text"))
@@ -2103,17 +2114,36 @@ object TextQueries {
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(lit("fresh doc about topic "),
           (col("doc_id") % 40).cast("string")).as("text"))
-    val delta = near.union(fresh)
-    def sig(d: DataFrame): DataFrame = d
-      .withColumn("sh", hashedShingles(tokens(col("text")), 5))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: col("sh") +: minHash(col("sh"), 8): _*)
+    near.union(fresh)
+  }
+
+  /** (doc_id, sh, mh0-7) MinHash signatures for a (doc_id, text)
+    * relation — the q31/q107 signature scheme (5-word shingles, k=8).
+    * Rows with zero shingles (< 5 tokens after the distinct) drop:
+    * they have no signature and can never band-collide. Shared with
+    * [[graft.streaming.NearDupStream]], whose base INDEX is exactly
+    * this relation persisted.
+    */
+  private[graft] def minHashSig(d: DataFrame): DataFrame = d
+    .withColumn("sh", hashedShingles(tokens(col("text")), 5))
+    .filter(size(col("sh")) > 0)
+    .select(col("doc_id") +: col("sh") +: minHash(col("sh"), 8): _*)
+
+  /** Per-delta-doc near-dup verdicts against a base signature
+    * relation — the shared core of q107 (batch) and
+    * [[graft.streaming.NearDupStream]] (per micro-batch). `deltaIds`
+    * is the full delta id set (docs too short to sign still get an
+    * admit verdict); `baseSig`/`deltaSig` are [[minHashSig]] outputs.
+    * Scale posture (assuming a corpus-sized base and a
+    * micro-batch-sized delta): base touched by two map-only passes,
+    * every exchange delta-sized — see q107's header comment.
+    */
+  private[graft] def nearDupVerdicts(deltaIds: DataFrame,
+      baseSig: DataFrame, deltaSig: DataFrame): DataFrame = {
     def banded(s: DataFrame, idOut: String): DataFrame = s
       .select(col("doc_id").as(idOut),
         explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2))
           .as("bk"))
-    val baseSig = sig(docs)
-    val deltaSig = sig(delta)
     // pass 1: candidate (base, delta) pairs via the band-bucket join;
     // distinct both dedupes multi-band hits (mirroring the oracle's
     // OR-join, one row per pair) and barriers the delta-sized result
@@ -2140,11 +2170,10 @@ object TextQueries {
         .as("m"))
       .select(col("id_d"), (-col("m.nid")).as("best_base"),
         round(col("m.j") * 10000).cast("long").as("jaccard_e4"))
-    delta.select(col("doc_id"))
+    deltaIds
       .join(broadcast(best), col("doc_id") === col("id_d"), "left")
       .select(col("doc_id"), col("best_base"), col("jaccard_e4"),
         col("best_base").isNull.as("admit"))
-      .orderBy(col("doc_id"))
   }
 
   val q107Sql: String = {

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.TextQueries
+
+/** Streaming near-duplicate admission against a static base corpus —
+  * the standing-service twin of q107's batch delta admission, and the
+  * LSH step Ingest's header deliberately leaves out of the exact-dedup
+  * ingest ("near-dup across batches stays LSH territory").
+  *
+  * Shape: the base's MinHash SIGNATURE INDEX is computed once
+  * ([[buildBaseIndex]] = `TextQueries.minHashSig` over the corpus) and
+  * persisted by the caller; each arriving micro-batch is a crawl
+  * batch, admitted in `foreachBatch` through the SAME core as q107
+  * (`TextQueries.nearDupVerdicts`): batch signatures band-join the
+  * index with the batch side broadcast, candidates confirm by exact
+  * Jaccard, and per-doc verdicts land under a per-batch output dir.
+  *
+  * Why foreachBatch and not stateful operators: admission is
+  * batch-vs-BASE by definition — there is no cross-batch state and no
+  * event-time ordering to respect, so a watermarked aggregation would
+  * add state for nothing. (Batch-vs-batch near-dup across the stream's
+  * own history is a different operator: grow the index with admitted
+  * docs — a caller-policy choice this twin deliberately does not make.)
+  *
+  * Exactly-once: the file-source/MemoryStream checkpoint replays a
+  * crashed micro-batch, whose verdicts OVERWRITE the same
+  * `batch=<id>` dir — idempotent, the Ingest-quarantine protocol.
+  *
+  * 100 TB posture: per batch, the index is touched by two map-only
+  * passes (band keys → broadcast batch probe; signature fetch →
+  * broadcast candidate semi join) and never enters an exchange; all
+  * shuffles are micro-batch-sized. Index passes read (doc_id, mh*)
+  * and (doc_id, sh) respectively — columnar pruning keeps the band
+  * pass off the shingle arrays entirely.
+  */
+object NearDupStream {
+
+  /** The base signature index: (doc_id, sh, mh0-7) — persist this as
+    * parquet once per corpus build; admission re-reads it per batch
+    * with column pruning (band pass never reads `sh`).
+    */
+  def buildBaseIndex(docs: DataFrame): DataFrame =
+    TextQueries.minHashSig(docs)
+
+  /** Verdicts for one crawl batch against the index — exposed for
+    * batch callers and the spec; [[admissionStream]] runs this per
+    * micro-batch.
+    */
+  def admitBatch(batch: DataFrame, baseIndex: DataFrame): DataFrame =
+    TextQueries.nearDupVerdicts(batch.select(col("doc_id")),
+      baseIndex, TextQueries.minHashSig(batch))
+
+  /** Start the admission stream. `docs` is a streaming (doc_id, text)
+    * Dataset; verdict rows (doc_id, best_base, jaccard_e4, admit)
+    * append under `outPath/batch=<id>`.
+    */
+  def admissionStream(spark: SparkSession, docs: DataFrame,
+      baseIndex: DataFrame, outPath: String,
+      checkpointDir: String): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // empty micro-batches happen (trigger with no new files);
+        // writing an empty dir per tick would litter the output table
+        if (!batch.isEmpty)
+          admitBatch(batch, baseIndex)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+  }
+}
