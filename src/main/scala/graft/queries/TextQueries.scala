@@ -2137,6 +2137,16 @@ object TextQueries {
     * Scale posture (assuming a corpus-sized base and a
     * micro-batch-sized delta): base touched by two map-only passes,
     * every exchange delta-sized — see q107's header comment.
+    *
+    * The DELTA lineage is deliberately left unbarriered and recomputes
+    * per consuming branch (id set, band keys, shingle fetch): it is
+    * micro-batch-sized by contract, so the recompute is small, while a
+    * q31-style repartition barrier would put the delta's shingle
+    * arrays into an exchange for nothing. The cost that matters — the
+    * base passes — is bounded by the ReuseExchange-shared candidate
+    * broadcast below. Callers whose delta derivation is expensive to
+    * recompute (a streaming file source) persist it instead
+    * ([[graft.streaming.NearDupStream]] does).
     */
   private[graft] def nearDupVerdicts(deltaIds: DataFrame,
       baseSig: DataFrame, deltaSig: DataFrame): DataFrame = {
@@ -2150,16 +2160,18 @@ object TextQueries {
     val cands = banded(baseSig, "id_b")
       .join(broadcast(banded(deltaSig, "id_d")), Seq("bk"))
       .select(col("id_b"), col("id_d")).distinct()
-    // pass 2: fetch shingle sets for MATCHED base docs only
-    val candBaseSh = baseSig
-      .join(broadcast(cands.select(col("id_b").as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("id_b"), col("sh").as("shb"))
-    val scored = candBaseSh
-      .join(broadcast(cands), Seq("id_b"))
+    // pass 2: fetch shingle sets for MATCHED base docs and attach
+    // their candidate pairs in ONE inner join against the single
+    // broadcast of cands — a separate semi-join-then-pair-join would
+    // broadcast cands twice with DIFFERENT column prunings (the semi
+    // probe prunes id_d), so ReuseExchange cannot dedupe them and the
+    // whole band pass (pass 1, inside cands' lineage) executes again:
+    // 3 base scans instead of 2 (caught by executed-plan inspection)
+    val scored = baseSig
+      .join(broadcast(cands), col("doc_id") === col("id_b"))
       .join(broadcast(deltaSig.select(col("doc_id").as("id_d"),
         col("sh").as("shd"))), Seq("id_d"))
-      .withColumn("jac", TextOps.jaccard(col("shb"), col("shd")))
+      .withColumn("jac", TextOps.jaccard(col("sh"), col("shd")))
       .filter(col("jac") >= 0.5)
     // best base match per delta doc: max jaccard, ties to the lowest
     // base id (negated inside the struct-max). Exact-rational double
@@ -2319,9 +2331,16 @@ object TextQueries {
     val all = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     agg
-      .withColumn("cum_share_e4",
-        floor(sum(col("n_toks")).over(cum) * 10000 /
-          sum(col("n_toks")).over(all)).cast("long"))
+      .withColumn("__cum", sum(col("n_toks")).over(cum))
+      .withColumn("__tot", sum(col("n_toks")).over(all))
+      // integer `div`, matching the oracle's `//` exactly: `/` on
+      // longs is DOUBLE division, which rounds across integer
+      // boundaries once cum*10000 passes 2^53 — within this query's
+      // own target regime (~2e13 tokens at 100 TB; long overflow
+      // itself is ~9e14 tokens, still clear)
+      .withColumn("cum_share_e4", expr("__cum * 10000 div __tot"))
+      .select(col("bucket"), col("n_docs"), col("n_toks"),
+        col("cum_share_e4"))
       .orderBy(col("bucket"))
   }
 

@@ -66,12 +66,19 @@ object NearDupStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // empty micro-batches happen (trigger with no new files);
-        // writing an empty dir per tick would litter the output table
-        if (!batch.isEmpty)
-          admitBatch(batch, baseIndex)
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$outPath/batch=$batchId")
+        // persisted: the emptiness probe plus admitBatch's delta
+        // branches (id set, banded signatures, shingle fetch) would
+        // otherwise each re-read and re-tokenize the micro-batch's
+        // source files — the Ingest `parsed` precedent
+        val b = batch.persist()
+        try {
+          // empty micro-batches happen (trigger with no new files);
+          // writing an empty dir per tick would litter the output
+          if (!b.isEmpty)
+            admitBatch(b, baseIndex)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$outPath/batch=$batchId")
+        } finally b.unpersist()
       }
       .start()
   }

@@ -452,10 +452,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   test("q107 delta near-dup shuffles delta-sized id rows, never shingles") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // the q107 fixture's own delta size (near-copies + fresh docs)
-    val nDelta = docs.filter(
-        expr("doc_id % 7 = 0 AND size(split(lower(trim(text)), '\\\\s+')) > 10"))
-      .count() + docs.filter(expr("doc_id % 11 = 5")).count()
+    // THE fixture, not a re-spelling of it (withExactCopies rule:
+    // budget denominators must track fixture changes)
+    val nDelta = TextQueries.q107Delta(docs).count()
     val s = ShuffleMeter.measure(spark) {
       TextQueries.q107(spark, dir).queryExecution.toRdd.count()
     }
