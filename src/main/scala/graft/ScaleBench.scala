@@ -73,7 +73,11 @@ object ScaleBench {
     // classifier and the length histogram (both map-only scans whose
     // decades pin the per-row scoring/bucketing cost constant)
     "q107_delta_neardup", "q108_quality_classifier",
-    "q109_length_histogram")
+    "q109_length_histogram",
+    // r10 batch 3: importance resampling (vocab aggs + broadcast
+    // probe + bounded top-k — the q90+q93 composition's law) and the
+    // drift monitor (one tagged (term, counts) agg)
+    "q110_importance_resample", "q111_drift_stats")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

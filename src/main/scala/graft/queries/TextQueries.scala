@@ -2358,6 +2358,187 @@ object TextQueries {
        |    // sum(n_toks) OVER () AS BIGINT) AS cum_share_e4
        |FROM a ORDER BY bucket""".stripMargin
 
+  // ---- q110: importance resampling (DSIR-shaped, Gumbel top-k) ----
+  // The data-selection operator behind DSIR (Xie et al., 2023):
+  // resample the corpus toward a TARGET distribution (here: the 'en'
+  // subset as the exemplar domain) with importance weights from the
+  // target-vs-background unigram LM ratio. Sampling ∝ exp(score) is
+  // realized EXACTLY as top-k of score + Gumbel noise (the Gumbel-max
+  // trick), which composes with the integer micro-nat machinery: the
+  // per-doc mean log-ratio is q90's integer fold (one rounded libm ln
+  // per distinct term PER SIDE, integers ever after), the Gumbel key
+  // -ln(-ln(u)) uses q93's deterministic salted u, and both engines
+  // rank by the SAME rounded BIGINT with doc_id tiebreak.
+  //
+  // Integer-division portability: Spark DIV truncates toward zero,
+  // DuckDB // floors — they agree only on non-negative operands, and
+  // a log-RATIO sum can be negative. The per-term ratio is therefore
+  // offset by +50e6 micro-nats before the per-doc sum (ln of any
+  // BIGINT count is < 44 nats, so the offset keeps every term
+  // non-negative at any conceivable corpus size) and the offset is
+  // subtracted back AFTER the division.
+  //
+  // 100 TB posture: two narrow (term, count) vocab aggs, the ratio
+  // table broadcast-probed (q90's shape), per-doc sums collapsing
+  // map-side, and the global cut riding the bounded topk_by_score
+  // partial aggregate — ≤ k rows per task cross the final exchange.
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val Offset = 50000000L
+    val docs = tbl(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks).as("term"))
+    val vb = tok.groupBy(col("term")).agg(count(lit(1)).as("cb"))
+    val vt = tok.filter(col("lang") === "en")
+      .groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    def zE6(v: DataFrame, c: String, out: String): DataFrame = v
+      .agg((sum(col(c)) + count(lit(1))).cast("double").as("z"))
+      .select(round(log(col("z")) * 1e6).cast("long").as(out))
+    val zb = zE6(vb, "cb", "ln_zb_e6")
+    val zt = zE6(vt, "ct", "ln_zt_e6")
+    // per-side add-one smoothing; a term unseen in the target gets
+    // ln(0+1) = 0 exactly via the left join's NULL -> 0 count
+    val termLr = vb.join(vt, Seq("term"), "left")
+      .select(col("term"),
+        (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")) * 1e6)
+          .cast("long")
+          - round(log((col("cb") + 1).cast("double")) * 1e6).cast("long")
+          + Offset).as("lrk_e6"))
+    val h = call_function("md5_long60",
+      concat(lit("isamp:"), col("doc_id").cast("string")))
+    // u in (0, 1): clamped one double-ulp below 1 (identically in
+    // both engines) so -ln(-ln(u)) never hits the u = 1 pole
+    val u = least((h + 1).cast("double") / lit(1152921504606846976.0),
+      lit(0.9999999999999999))
+    val gE6 = round(-log(-log(u)) * 1e6).cast("long")
+    tok.join(broadcast(termLr), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lrk_e6")).as("sum_lrk_e6"))
+      .crossJoin(broadcast(zt)).crossJoin(broadcast(zb))
+      .select(col("doc_id"),
+        (expr("sum_lrk_e6 DIV n_toks") - Offset
+          - (col("ln_zt_e6") - col("ln_zb_e6")) + gE6).as("key_e6"))
+      .agg(call_function("topk_by_score",
+        col("key_e6"), col("doc_id"), lit(20)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("key_e6"))
+      .orderBy(col("rank"))
+  }
+
+  val q110Sql: String = {
+    val h = md5IntSql("'isamp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), vb AS (
+       |  SELECT term, count(*) AS cb FROM tok GROUP BY term
+       |), vt AS (
+       |  SELECT term, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY term
+       |), zb AS (
+       |  SELECT CAST(round(ln(CAST(sum(cb) + count(*) AS DOUBLE)) * 1e6)
+       |    AS BIGINT) AS ln_zb_e6 FROM vb
+       |), zt AS (
+       |  SELECT CAST(round(ln(CAST(sum(ct) + count(*) AS DOUBLE)) * 1e6)
+       |    AS BIGINT) AS ln_zt_e6 FROM vt
+       |), tl AS (
+       |  SELECT vb.term,
+       |    CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |    - CAST(round(ln(CAST(cb + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+       |    + 50000000 AS lrk_e6
+       |  FROM vb LEFT JOIN vt USING (term)
+       |), d AS (
+       |  SELECT doc_id, count(*) AS n_toks,
+       |    CAST(sum(lrk_e6) AS BIGINT) AS sum_lrk_e6
+       |  FROM tok JOIN tl USING (term) GROUP BY doc_id
+       |), sc AS (
+       |  SELECT doc_id,
+       |    sum_lrk_e6 // n_toks - 50000000
+       |    - ((SELECT ln_zt_e6 FROM zt) - (SELECT ln_zb_e6 FROM zb))
+       |    + CAST(round(-ln(-ln(least(CAST(($h) + 1 AS DOUBLE)
+       |        / 1152921504606846976.0, 0.9999999999999999))) * 1e6)
+       |      AS BIGINT) AS key_e6
+       |  FROM d
+       |), r AS (
+       |  SELECT doc_id, key_e6,
+       |    row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS rk
+       |  FROM sc
+       |)
+       |SELECT CAST(rk AS INT) AS rank, doc_id, CAST(key_e6 AS BIGINT) AS key_e6
+       |FROM r WHERE rk <= 20 ORDER BY rank""".stripMargin
+  }
+
+  // ---- q111: corpus drift monitor (delta vs base token rates) ----
+  // The standing check a continuously-fed corpus runs on every crawl
+  // batch: which terms' rates moved most between the incoming delta
+  // (q107's fixture batch) and the base? Ranked by the EXACT
+  // cross-multiplied rate difference |cd*Nb - cb*Nd| — pure integer,
+  // no logs, no floats, so both engines rank identically down to the
+  // term tiebreak. Computed join-free: the two sides union with a tag
+  // and collapse in ONE (term, conditional-count) aggregate.
+  //
+  // Arithmetic bounds: the cross product is computed in
+  // decimal(38,0)/HUGEINT, exact past any BIGINT corpus (cd*Nb at
+  // 1e12 x 2e13 overflows int64 exactly in the regime the monitor
+  // targets); the e6 rates use BIGINT (cd*1e6 < 2^63 until a single
+  // TERM exceeds ~9e12 occurrences — beyond any real vocabulary).
+  //
+  // 100 TB posture: one narrow (term, cd, cb) shuffle with map-side
+  // partials, a single-row totals broadcast, TakeOrdered top-20.
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val tagged = docs.select(explode(toks).as("term"), lit(0L).as("side"))
+      .union(q107Delta(docs)
+        .select(explode(toks).as("term"), lit(1L).as("side")))
+    val agg = tagged.groupBy(col("term")).agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cd"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("cb"))
+    val tot = agg.agg(sum(col("cd")).as("nd"), sum(col("cb")).as("nb"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("term"), col("cd"), col("cb"),
+        abs(col("cd").cast("decimal(19,0)") * col("nb")
+          - col("cb").cast("decimal(19,0)") * col("nd"))
+          .cast("decimal(38,0)").as("diff_x"),
+        expr("cd * 1000000 DIV nd").as("rate_d_e6"),
+        expr("cb * 1000000 DIV nb").as("rate_b_e6"))
+      .orderBy(col("diff_x").desc, col("term"))
+      .limit(20)
+  }
+
+  val q111Sql: String =
+    s"""WITH delta AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(toks[1:len(toks)-3], ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    'fresh doc about topic ' || CAST(doc_id % 40 AS VARCHAR)
+       |  FROM documents WHERE doc_id % 11 = 5
+       |), tok AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term,
+       |    0 AS side
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')), 1
+       |  FROM delta
+       |), a AS (
+       |  SELECT term,
+       |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cd,
+       |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb
+       |  FROM tok GROUP BY term
+       |), t AS (
+       |  SELECT sum(cd) AS nd, sum(cb) AS nb FROM a
+       |)
+       |SELECT term, CAST(cd AS BIGINT) AS cd, CAST(cb AS BIGINT) AS cb,
+       |  abs(CAST(cd AS HUGEINT) * nb - CAST(cb AS HUGEINT) * nd) AS diff_x,
+       |  CAST(cd * 1000000 // nd AS BIGINT) AS rate_d_e6,
+       |  CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_e6
+       |FROM a, t
+       |ORDER BY diff_x DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -2400,7 +2581,9 @@ object TextQueries {
     "q103_edit_verify" -> (q103 _),
     "q107_delta_neardup" -> (q107 _),
     "q108_quality_classifier" -> (q108 _),
-    "q109_length_histogram" -> (q109 _)
+    "q109_length_histogram" -> (q109 _),
+    "q110_importance_resample" -> (q110 _),
+    "q111_drift_stats" -> (q111 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2445,6 +2628,8 @@ object TextQueries {
     "q103_edit_verify" -> q103Sql,
     "q107_delta_neardup" -> q107Sql,
     "q108_quality_classifier" -> q108Sql,
-    "q109_length_histogram" -> q109Sql
+    "q109_length_histogram" -> q109Sql,
+    "q110_importance_resample" -> q110Sql,
+    "q111_drift_stats" -> q111Sql
   )
 }

@@ -74,7 +74,9 @@ object DumpPlans {
       "q106_key_skew" -> "join-key skew audit (one pruned-column agg, TakeOrdered heavy hitters)",
       "q107_delta_neardup" -> "delta-vs-base near-dup admission (two map-only base passes, delta-sized exchanges only)",
       "q108_quality_classifier" -> "hashed linear quality classifier (map-only integer scoring, zero data shuffle)",
-      "q109_length_histogram" -> "token-length histogram (map-side partials into bucket-count rows, tiny cumsum window)")
+      "q109_length_histogram" -> "token-length histogram (map-side partials into bucket-count rows, tiny cumsum window)",
+      "q110_importance_resample" -> "DSIR importance resampling (broadcast LM-ratio probe, Gumbel key, bounded top-k)",
+      "q111_drift_stats" -> "corpus drift monitor (tagged-union single agg, exact integer rate diff, TakeOrdered)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

@@ -415,6 +415,28 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"q109 shuffles more than agg+window+sort:\n$p")
   }
 
+  test("q110 importance resample rides the bounded top-k, never a window") {
+    val p = plan(TextQueries.q110(spark, dir))
+    assert(!p.contains("Window"),
+      s"q110 ranks through a window over every scored doc:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"q110 lost the bounded map-side top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q110 materializes a cartesian product:\n$p")
+  }
+
+  test("q111 drift monitor is one tagged agg + TakeOrdered, no vocab join") {
+    val p = plan(TextQueries.q111(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q111 top-20 must not globally sort the vocab:\n$p")
+    assert(p.contains("partial_sum"),
+      s"q111 per-term counts must combine map-side:\n$p")
+    // the two sides collapse in ONE aggregate over a tagged union —
+    // a SortMergeJoin would mean the vocabularies got joined instead
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q111 grew a vocab-sized join:\n$p")
+  }
+
   test("flagship approach pipeline has exactly one shuffle") {
     val p = plan(ApproachQueries.q20(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -
