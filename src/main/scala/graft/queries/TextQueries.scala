@@ -2491,9 +2491,16 @@ object TextQueries {
     val tagged = docs.select(explode(toks).as("term"), lit(0L).as("side"))
       .union(q107Delta(docs)
         .select(explode(toks).as("term"), lit(1L).as("side")))
-    val agg = tagged.groupBy(col("term")).agg(
+    driftReadout(tagged.groupBy(col("term")).agg(
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("cd"),
-      sum(when(col("side") === 0, 1L).otherwise(0L)).as("cb"))
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("cb")))
+  }
+
+  /** The drift readout over a collapsed (term, cd, cb) count table —
+    * shared by q111 (batch) and [[graft.streaming.DriftStream]]'s
+    * finisher. Runs on vocab-sized rows, never the token stream.
+    */
+  private[graft] def driftReadout(agg: DataFrame): DataFrame = {
     val tot = agg.agg(sum(col("cd")).as("nd"), sum(col("cb")).as("nb"))
     agg.crossJoin(broadcast(tot))
       .select(col("term"), col("cd"), col("cb"),
@@ -2505,6 +2512,14 @@ object TextQueries {
       .orderBy(col("diff_x").desc, col("term"))
       .limit(20)
   }
+
+  /** (term, `out`) token counts for a (doc_id, text) relation — the
+    * count-table half of the drift decomposition (counts ADD, so
+    * per-micro-batch partials re-aggregate exactly).
+    */
+  private[graft] def termCounts(docs: DataFrame, out: String): DataFrame =
+    docs.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
 
   val q111Sql: String =
     s"""WITH delta AS (
