@@ -57,10 +57,27 @@ object NearDupStream {
   /** Start the admission stream. `docs` is a streaming (doc_id, text)
     * Dataset; verdict rows (doc_id, best_base, jaccard_e4, admit)
     * append under `outPath/batch=<id>`.
+    *
+    * `growIndexPath`: optional admit-and-grow mode — the continuous
+    * crawl's real policy, where batch N must also dedup against docs
+    * ADMITTED in batches < N, not just the release-time base. When
+    * set, each batch (1) reads the accumulated growth dir alongside
+    * `baseIndex`, and (2) appends the signatures of its own ADMITTED
+    * docs under `growIndexPath/batch=<id>`. Both writes are per-batch
+    * overwrites, so a crash-replayed batch converges: its re-run sees
+    * the same base ∪ batches<N index (its own half-written growth
+    * shard is keyed by ITS id and excluded from its read by the
+    * same-batch filter below), re-derives identical verdicts, and
+    * rewrites both dirs.
+    *
+    * Growth keeps the index honest without rebuilds; the signature
+    * relation is what [[buildBaseIndex]] emits, so compaction of the
+    * accrued `batch=` shards into the next corpus release is a plain
+    * parquet rewrite.
     */
   def admissionStream(spark: SparkSession, docs: DataFrame,
       baseIndex: DataFrame, outPath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, growIndexPath: String = null): StreamingQuery = {
     graft.functions.GraftFunctions.register(spark)
     docs.writeStream
       .outputMode("append")
@@ -74,10 +91,42 @@ object NearDupStream {
         try {
           // empty micro-batches happen (trigger with no new files);
           // writing an empty dir per tick would litter the output
-          if (!b.isEmpty)
-            admitBatch(b, baseIndex)
-              .write.mode(SaveMode.Overwrite)
-              .parquet(s"$outPath/batch=$batchId")
+          if (!b.isEmpty) {
+            val index =
+              if (growIndexPath == null) baseIndex
+              else {
+                val fs = new org.apache.hadoop.fs.Path(growIndexPath)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                val shards = if (!fs.exists(
+                    new org.apache.hadoop.fs.Path(growIndexPath))) Nil
+                  else fs.listStatus(
+                    new org.apache.hadoop.fs.Path(growIndexPath))
+                    .toSeq.map(_.getPath)
+                    .filter(_.getName.startsWith("batch="))
+                    // a replayed batch must not read its own (possibly
+                    // half-written) growth shard from the crashed run
+                    .filterNot(_.getName == s"batch=$batchId")
+                    .map(_.toString)
+                if (shards.isEmpty) baseIndex
+                else baseIndex.unionByName(
+                  spark.read.parquet(shards: _*))
+              }
+            // verdicts evaluate several times below (write + growth
+            // filter); persisted so the band join runs once per batch
+            val verdicts = admitBatch(b, index).persist()
+            try {
+              verdicts.write.mode(SaveMode.Overwrite)
+                .parquet(s"$outPath/batch=$batchId")
+              if (growIndexPath != null) {
+                val admitted = b.join(
+                  broadcast(verdicts.filter(col("admit"))
+                    .select(col("doc_id"))), Seq("doc_id"))
+                TextQueries.minHashSig(admitted)
+                  .write.mode(SaveMode.Overwrite)
+                  .parquet(s"$growIndexPath/batch=$batchId")
+              }
+            } finally verdicts.unpersist()
+          }
         } finally b.unpersist()
       }
       .start()

@@ -55,6 +55,50 @@ class NearDupStreamSpec extends AnyFunSuite {
       "streamed verdicts diverge from q107's batch verdicts")
   }
 
+  test("admit-and-grow: later batches dedup against earlier ADMITTED docs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = NearDupStream.buildBaseIndex(docs)
+    // batch 1: a fresh doc F (admits; no base match). batch 2: an
+    // exact copy of F under a new id (must now REJECT with
+    // best_base = F's id — only possible if F's signature grew the
+    // index) and a fresh doc G (must still admit).
+    val f = NDoc(7000001L,
+      "aurora borealis shimmered over the quiet fjord all night long")
+    val fCopy = NDoc(7000002L, f.text)
+    val g = NDoc(7000003L,
+      "seven silver submarines circled the coral atoll at dawn today")
+    val out = Files.createTempDirectory("neardup_grow_out").toString
+    val ckpt = Files.createTempDirectory("neardup_grow_ckpt").toString
+    val grow = Files.createTempDirectory("neardup_grow_idx").toString
+    val in = MemoryStream[NDoc]
+    val q = NearDupStream.admissionStream(
+      spark, in.toDS().toDF(), index, out, ckpt, grow)
+    try {
+      in.addData(f)
+      q.processAllAvailable()
+      in.addData(fCopy, g)
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out)
+      .select("doc_id", "best_base", "admit").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(v.toSeq == Seq(
+      (7000001L, None, true),
+      (7000002L, Some(7000001L), false),
+      (7000003L, None, true)),
+      s"admit-and-grow verdicts wrong: ${v.toSeq}")
+    // the growth dir holds signatures for exactly the admitted docs
+    val grown = spark.read.parquet(grow).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(grown.toSeq == Seq(7000001L, 7000003L),
+      s"growth index must hold exactly the admitted docs: ${grown.toSeq}")
+  }
+
   test("a crash-replayed batch overwrites its own verdicts (idempotent)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
