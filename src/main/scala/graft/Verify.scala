@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev
+    // iteration on one query without the full 100+-query dump; the
+    // driver always invokes the 2-arg form)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Multi-JVM proof mode (SCALE.md "Multi-JVM execution"): the
     // driver gate runs local[k] (one JVM — broadcasts never cross a
@@ -30,7 +36,8 @@ object Verify {
     // its oracle entry so the compare skips rather than reds it.
     val skip: Set[String] = if (multiJvm) Set("q101_jdbc_roundtrip") else Set.empty
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => skip(n) }.foreach { case (name, fn) =>
+      .filterNot { case (n, _) => skip(n) }
+      .filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +60,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql.filterNot { case (k, _) => skip(k) }
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

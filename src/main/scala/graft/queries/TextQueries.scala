@@ -2554,6 +2554,65 @@ object TextQueries {
        |FROM a, t
        |ORDER BY diff_x DESC, term LIMIT 20""".stripMargin
 
+  // ---- q112: containment near-dup (asymmetric excerpt detection) ----
+  // The pass a dedup pipeline runs BESIDE Jaccard (q33): containment
+  // `common / min(na, nb)` flags a short excerpt embedded in a long
+  // parent — a relationship whose Jaccard is only ~len(excerpt) /
+  // len(parent), structurally below any near-dup threshold. Fixture:
+  // every 11th doc with > 20 tokens plants its FIRST-HALF excerpt at
+  // doc_id + 2000000; a contiguous half's 5-shingles are a subset of
+  // the parent's, so each planted pair confirms at containment 1.0
+  // while its Jaccard sits near 0.5 — exactly the gap the metric
+  // exists to close. Same capped inverted-index core as q33
+  // (TextOps.shinglePairCounts); both metrics are emitted per pair.
+  def q112(spark: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(withExcerpts(tbl(spark, dir, "documents")), 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** documents ∪ planted first-half excerpts of every 11th doc with
+    * > 20 tokens (at doc_id + 2000000).
+    */
+  private def withExcerpts(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.union(d
+      .filter(col("doc_id") % 11 === 0 && size(toks) > 20)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat_ws(" ",
+          slice(toks, lit(1), floor(size(toks) / 2).cast("int"))).as("text")))
+  }
+
+  val q112Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, array_to_string(toks[1:len(toks)//2], ' ')
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 11 = 0 AND len(toks) > 20
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM docs)
+       |), inv AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+       |  FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, common,
+       |  CAST(round(10000.0 * common / least(na, nb), 0) AS BIGINT) AS containment_e4,
+       |  CAST(round(10000.0 * common / (na + nb - common), 0) AS BIGINT) AS jaccard_e4
+       |FROM pairs
+       |WHERE 1.0 * common / least(na, nb) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -2598,7 +2657,8 @@ object TextQueries {
     "q108_quality_classifier" -> (q108 _),
     "q109_length_histogram" -> (q109 _),
     "q110_importance_resample" -> (q110 _),
-    "q111_drift_stats" -> (q111 _)
+    "q111_drift_stats" -> (q111 _),
+    "q112_containment" -> (q112 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2645,6 +2705,7 @@ object TextQueries {
     "q108_quality_classifier" -> q108Sql,
     "q109_length_histogram" -> q109Sql,
     "q110_importance_resample" -> q110Sql,
-    "q111_drift_stats" -> q111Sql
+    "q111_drift_stats" -> q111Sql,
+    "q112_containment" -> q112Sql
   )
 }

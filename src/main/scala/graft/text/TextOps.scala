@@ -203,6 +203,52 @@ object TextOps {
     * scores skew low; the default never binds on organic corpora.
     */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
+      shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame =
+    shinglePairCounts(docs, shingleN, maxDf)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+
+  /** Candidate pairs with CONTAINMENT confirm: `common / min(na, nb)`
+    * — the asymmetric near-dup metric. A short excerpt embedded in a
+    * long parent shares nearly ALL of its own shingles with the parent
+    * while Jaccard (common over the UNION) stays near the length
+    * ratio, so a Jaccard threshold that catches same-length near-dups
+    * structurally misses quotes, excerpts, and boilerplate wrappers —
+    * the standard reason dedup pipelines run a containment pass beside
+    * the Jaccard one (this is Broder's containment coefficient).
+    * Same inverted-index core as [[jaccardPairs]] (one digest pass,
+    * capped buckets); only the confirm arithmetic differs, so both
+    * metrics are emitted for the pair and the 100 TB posture is
+    * identical. Ties to the min side: containment 1.0 means the
+    * smaller shingle set is a subset of the larger.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+      shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame =
+    // multiply-before-divide: the cross-engine oracle folds
+    // `10000.0 * common / d` — same sequence here so the rounded
+    // e4 values are bit-equal (counts are exact ints; the one
+    // division is the only inexact step in both engines)
+    shinglePairCounts(docs, shingleN, maxDf)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common").cast("double") * 10000 /
+          least(col("na"), col("nb")))
+          .cast("long").as("containment_e4"),
+        round(col("common").cast("double") * 10000 /
+          (col("na") + col("nb") - col("common")))
+          .cast("long").as("jaccard_e4"))
+
+  /** The shared inverted-shingle-index pair-count core of
+    * [[jaccardPairs]] / [[containmentPairs]]: per candidate pair, the
+    * distinct-shingle counts of both sides and the exact common count.
+    * Returns (id_a < id_b, na, nb, common).
+    */
+  def shinglePairCounts(docs: DataFrame,
       shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // Shuffle-barrier the hashed-shingle table: the consumers below
@@ -233,11 +279,6 @@ object TextOps {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("common"),
-        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
   }
 
   /** Benchmark-contamination probe — the decontamination step of a

@@ -34,6 +34,10 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(TextQueries.q33(spark, dir), "q33")
   }
 
+  test("q112 containment pair generation is a bucketed equi join") {
+    assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
+  }
+
   test("q42 ANN near-dup pair generation is a bucketed equi join") {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }

@@ -166,6 +166,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("containmentPairs: flags the excerpt Jaccard misses, skips partial overlap") {
+    import spark.implicits._
+    // doc 2 = the first third of doc 1 (an excerpt): every shingle of
+    // 2 appears in 1, so containment = 1.0 while Jaccard ~ 1/3 — the
+    // asymmetric case a Jaccard-only pass structurally misses. doc 3
+    // shares a few tokens with 1 but not 90% of its shingles.
+    val parent = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val docs = Seq(
+      (1L, parent),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma unrelated tokens padding words here")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.containmentPairs(docs, 0.9, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 10000L,
+      math.round(10000.0 * 5 / (20 + 5 - 5)))))
+    // the same corpus under the Jaccard pass at the NEAR-DUP bar: the
+    // excerpt pair is invisible — the reason containment exists
+    val jac = jaccardPairs(docs, 0.5, shingleN = 3).collect()
+    assert(jac.isEmpty)
+  }
+
   test("contaminationPairs: asymmetric overlap, threshold, bench self-exclusion") {
     import spark.implicits._
     // bench doc 100 = a 9-token "eval item"; doc 1 embeds it verbatim
