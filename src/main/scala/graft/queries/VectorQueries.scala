@@ -949,6 +949,158 @@ object VectorQueries {
        |ORDER BY c.cfg, n.query_id""".stripMargin
   }
 
+  // ---- q113: semantic decontamination (embedding eval-overlap) ----
+  // The embedding-space complement of q63's n-gram decontamination:
+  // flag every corpus vector whose cosine to ANY benchmark (eval)
+  // vector clears the near-dup bar — paraphrased leaks that share no
+  // 5-gram can still sit at cosine ~1 in embedding space, which is
+  // why pipelines run both passes. Eval set = every 97th vector (a
+  // fixed small suite); fixture plants a perturbed copy of each eval
+  // vector into the corpus (the q42 twin construction), so the
+  // planted leaks confirm at >= 0.99 while the organic corpus tops
+  // out near 0.47 on this data — clean separation.
+  //
+  // 100 TB posture: the eval suite is small and FIXED, so it
+  // broadcasts; the corpus side is one map-only scoring pass (never
+  // shuffled), and the per-vector best-match is the bounded
+  // `topk_by_score` k=1 partial — the only exchange carries one
+  // 24-byte row per corpus vector into the final aggregate, the q40
+  // shape. No index build, no candidate generation: decontamination
+  // reads every vector exactly once by design.
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir)
+    val eval = withNorm(base.filter(col("vec_id") % 97 === 0))
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+    val planted = base.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
+          .as("v"))
+    val corpus = withNorm(base.filter(col("vec_id") % 97 =!= 0).union(planted))
+    corpus.crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nv") * col("nq")) * 1e6)
+          .cast("long").as("cos_e6"),
+        col("eval_id"))
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("eval_id"), lit(1)).as("top"))
+      .select(col("vec_id"), col("top")(0).getField("id").as("eval_id"),
+        col("top")(0).getField("score").as("cos_e6"))
+      .filter(col("cos_e6") >= 990000L)
+      .orderBy(col("vec_id"))
+  }
+
+  val q113Sql: String = {
+    val d = dotSql("c.v", "ev.qv")
+    val nc = dotSql("c.v", "c.v")
+    val nq = dotSql("ev.qv", "ev.qv")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 97 = 0
+       |), planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, len(v) + 1),
+       |      i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END) AS v
+       |  FROM e WHERE vec_id % 97 = 0
+       |), corpus AS (
+       |  SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0
+       |  UNION ALL SELECT vec_id, v FROM planted
+       |), scored AS (
+       |  SELECT c.vec_id, ev.eval_id,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nc) * sqrt($nq))), 0) AS BIGINT) AS cos_e6
+       |  FROM corpus c, ev
+       |), ranked AS (
+       |  SELECT vec_id, eval_id, cos_e6,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_e6 DESC, eval_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT vec_id, eval_id, cos_e6 FROM ranked
+       |WHERE rn = 1 AND cos_e6 >= 990000 ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- q114: per-source centroid outlier audit ----
+  // Corpus-homogeneity curation (the CLIP-filtering shape): embed
+  // every doc, average per source, and surface the docs FARTHEST from
+  // their own source's centroid — mislabeled scrapes, spam bursts,
+  // and encoding garbage concentrate in that tail. Bottom-3 per
+  // source rather than a threshold: the audit is a ranked review
+  // queue, not a filter.
+  //
+  // Exactness across engines: the centroid is built from integer-e6
+  // per-dim sums (one exact aggregate, order-independent), THEN one
+  // double division per dim — never a float avg() whose summation
+  // order differs between engines.
+  //
+  // 100 TB posture: the centroid aggregate exchanges (source x dim)
+  // integer rows with map-side partials; the centroid table is
+  // dimension-sized and broadcasts back; the scoring pass is map-only
+  // over the corpus; the bottom-3 is the bounded topk_by_score
+  // partial on the negated score. Nothing corpus-sized shuffles.
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val j = docs.join(vecs(spark, dir), col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"), col("v"))
+    val sums = j
+      .select(col("source"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("s_e6"),
+        count(lit(1)).as("n"))
+    val cents = sums
+      .select(col("source"), struct(col("dim"),
+        (col("s_e6").cast("double") / (col("n") * 1e6)).as("cv")).as("dc"))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(col("dc"))),
+        s => s.getField("cv")).as("cv"))
+      .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+    withNorm(j).join(broadcast(cents), "source")
+      .select(col("source"), col("doc_id"),
+        round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .groupBy(col("source"))
+      .agg(call_function("topk_by_score",
+        -col("cos_e6"), col("doc_id"), lit(3)).as("bottom"))
+      .select(col("source"), posexplode(col("bottom")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), (-col("col.score")).as("cos_e6"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q114Sql: String = {
+    val d = dotSql("j.v", "c.cv")
+    val nv = dotSql("j.v", "j.v")
+    val ncv = dotSql("c.cv", "c.cv")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), j AS (
+       |  SELECT d.source, d.doc_id, e.v
+       |  FROM documents d JOIN e ON e.vec_id = d.doc_id
+       |), x AS (
+       |  SELECT source, i AS dim, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS xe
+       |  FROM j, unnest(range(1, len(v) + 1)) AS t(i)
+       |), s AS (
+       |  SELECT source, dim, sum(xe) AS s_e6, count(*) AS n
+       |  FROM x GROUP BY 1, 2
+       |), c AS (
+       |  SELECT source,
+       |    list(CAST(s_e6 AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+       |  FROM s GROUP BY source
+       |), sc AS (
+       |  SELECT j.source, j.doc_id,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nv) * sqrt($ncv))), 0) AS BIGINT) AS cos_e6
+       |  FROM j JOIN c ON c.source = j.source
+       |), r AS (
+       |  SELECT source, doc_id, cos_e6,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY cos_e6, doc_id) AS rn
+       |  FROM sc
+       |)
+       |SELECT source, CAST(rn AS INT) AS rank, doc_id, cos_e6
+       |FROM r WHERE rn <= 3 ORDER BY source, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
@@ -961,7 +1113,9 @@ object VectorQueries {
     "q71_ivfpq_search" -> (q71 _),
     "q74_pq_residual" -> (q74 _),
     "q79_semantic_clusters" -> (q79 _),
-    "q105_ann_recall" -> (q105 _)
+    "q105_ann_recall" -> (q105 _),
+    "q113_semantic_decon" -> (q113 _),
+    "q114_source_outliers" -> (q114 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -976,6 +1130,8 @@ object VectorQueries {
     "q71_ivfpq_search" -> q71Sql,
     "q74_pq_residual" -> q74Sql,
     "q79_semantic_clusters" -> q79Sql,
-    "q105_ann_recall" -> q105Sql
+    "q105_ann_recall" -> q105Sql,
+    "q113_semantic_decon" -> q113Sql,
+    "q114_source_outliers" -> q114Sql
   )
 }

@@ -83,6 +83,37 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"q40 shuffles more than agg + orderBy:\n$p")
   }
 
+  test("q113 decon probe: eval broadcasts, corpus never shuffles pre-agg") {
+    val p = plan(VectorQueries.q113(spark, dir))
+    // the q40 shape: broadcast nested loop against the fixed eval
+    // suite is the pass's JOB; the corpus side must not shuffle and
+    // the best-match must be the bounded partial top-k, not a window
+    assert(p.contains("BroadcastNestedLoopJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(!p.contains("Window"), s"q113 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"best-match aggregate lost its partial phase:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q113 shuffles more than agg + orderBy:\n$p")
+  }
+
+  test("q114 outlier audit: centroids broadcast back, bottom-k is partial, no window") {
+    val p = plan(VectorQueries.q114(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the centroid join:\n$p")
+    assert(!p.contains("Window"), s"q114 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findFirstIn(p).isDefined,
+      s"bottom-k aggregate lost its partial phase:\n$p")
+    // allowed shuffles: (source, dim) sums, centroid gather, the
+    // bottom-k per-source aggregate, and the output orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"q114 shuffles beyond the centroid aggs:\n$p")
+  }
+
   test("q69 PQ encode is map-only: one exchange (the output orderBy)") {
     val p = plan(VectorQueries.q69(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length -
