@@ -77,7 +77,14 @@ object ScaleBench {
     // r10 batch 3: importance resampling (vocab aggs + broadcast
     // probe + bounded top-k — the q90+q93 composition's law) and the
     // drift monitor (one tagged (term, counts) agg)
-    "q110_importance_resample", "q111_drift_stats")
+    "q110_importance_resample", "q111_drift_stats",
+    // r10 batch 4: containment shares q33's inverted-index pair law
+    // (shingle volume grows linearly, candidate pairs with it); the
+    // decon probe is corpus x FIXED-eval (the replica keeps the eval
+    // suite replica-0-only, so the law is the linear map-only scan);
+    // the outlier audit is the doc<->vec join + (source x dim)
+    // centroid agg + map-only rescore
+    "q112_containment", "q113_semantic_decon", "q114_source_outliers")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
@@ -117,6 +124,26 @@ object ScaleBench {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    }
+
+    // embeddings replicate on the DOCUMENTS id step, not their own:
+    // doc_id and vec_id ranges differ at sf0.1 (5000 docs, 2000
+    // vecs), and q114's doc<->vec join must keep matching inside
+    // every replica. The eval suite (vec_id % 97 = 0) stays FIXED —
+    // replica-0-only — because a production benchmark suite does not
+    // grow with the corpus; without the filter the q113 decade would
+    // measure corpus x eval growth (quadratic by construction, the
+    // q105 exclusion reasoning) instead of the production law.
+    if (missing("embeddings")) {
+      val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val docStep = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(max("doc_id")).head().getLong(0) + 1
+      (0 until factor).map { k =>
+        em.select((col("vec_id") + lit(k * docStep)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .filter(col("vec_id") < docStep || col("vec_id") % 97 =!= 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     }
 
     if (missing("events")) {

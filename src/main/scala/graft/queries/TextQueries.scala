@@ -2569,6 +2569,9 @@ object TextQueries {
     TextOps.containmentPairs(withExcerpts(tbl(spark, dir, "documents")), 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Dev-tool window into the q112 fixture (tools.CandCount). */
+  def withExcerptsPublic(docs: DataFrame): DataFrame = withExcerpts(docs)
+
   /** documents ∪ planted first-half excerpts of every 11th doc with
     * > 20 tokens (at doc_id + 2000000).
     */

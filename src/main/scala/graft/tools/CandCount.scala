@@ -12,11 +12,26 @@ object CandCount {
     val spark = graft.GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val docs = graft.queries.TextQueries.withNearCopiesPublic(
-      graft.queries.Relational.tbl(spark, dir, "documents"))
-    val n = graft.text.TextOps.jaccardPairs(docs, minJ).count()
-    println(s"CANDCOUNT dir=$dir minJaccard=$minJ candidates=$n " +
-      s"docs=${docs.count()}")
+    // mode (arg 2): jaccard | containment | both — the q103 Jaccard
+    // listing at a 100x near-copy replica is the pathological
+    // dup-rate regime (the reason its 100x decade is exempted) and
+    // OOMs; the containment denominator must be measurable alone
+    val mode = args.lift(2).getOrElse("both")
+    if (mode != "containment") {
+      val docs = graft.queries.TextQueries.withNearCopiesPublic(
+        graft.queries.Relational.tbl(spark, dir, "documents"))
+      val n = graft.text.TextOps.jaccardPairs(docs, minJ).count()
+      println(s"CANDCOUNT dir=$dir minJaccard=$minJ candidates=$n " +
+        s"docs=${docs.count()}")
+    }
+    if (mode != "jaccard") {
+      // q112's denominator: raw inverted-index candidate pairs (before
+      // any confirm filter) over the excerpt fixture
+      val exc = graft.queries.TextQueries.withExcerptsPublic(
+        graft.queries.Relational.tbl(spark, dir, "documents"))
+      val nc = graft.text.TextOps.shinglePairCounts(exc).count()
+      println(s"CANDCOUNT_CONTAIN dir=$dir candidates=$nc docs=${exc.count()}")
+    }
     spark.stop()
   }
 }

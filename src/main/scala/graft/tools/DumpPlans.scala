@@ -76,7 +76,10 @@ object DumpPlans {
       "q108_quality_classifier" -> "hashed linear quality classifier (map-only integer scoring, zero data shuffle)",
       "q109_length_histogram" -> "token-length histogram (map-side partials into bucket-count rows, tiny cumsum window)",
       "q110_importance_resample" -> "DSIR importance resampling (broadcast LM-ratio probe, Gumbel key, bounded top-k)",
-      "q111_drift_stats" -> "corpus drift monitor (tagged-union single agg, exact integer rate diff, TakeOrdered)")
+      "q111_drift_stats" -> "corpus drift monitor (tagged-union single agg, exact integer rate diff, TakeOrdered)",
+      "q112_containment" -> "containment near-dup (shared inverted-index core, asymmetric confirm arithmetic)",
+      "q113_semantic_decon" -> "semantic decontamination (broadcast eval suite, map-only corpus score, bounded top-1)",
+      "q114_source_outliers" -> "source-centroid outlier audit (integer-e6 centroid agg, broadcast-back rescore, bottom-k partial)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

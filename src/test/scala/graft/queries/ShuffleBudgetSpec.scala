@@ -470,4 +470,49 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       f"q107's shuffled rows average $avgRow%.0f B — shingle arrays " +
         "or document text are travelling through a shuffle")
   }
+
+  test("q113 decon probe: vectors never shuffle, only top-1 partials") {
+    graft.functions.GraftFunctions.register(spark)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val s = ShuffleMeter.measure(spark) {
+      VectorQueries.q113(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the top-1 partial exchange")
+    // the corpus is scored in place against the broadcast eval suite;
+    // the only exchanges are the per-vector best-match partial (one
+    // row per corpus vector per task) and the flagged-set orderBy
+    assert(s.writeRecords <= 2 * nVecs + 64,
+      s"q113 shuffled ${s.writeRecords} records for $nVecs vectors — " +
+        "the scored pair table is travelling through an exchange")
+    // a 64-dim double vector is 512+ B; top-1 partials are three
+    // longs — far below it, proving no vector column crosses a wire
+    val avgRow = s.writeBytes.toDouble / s.writeRecords
+    assert(avgRow < 200,
+      f"q113's shuffled rows average $avgRow%.0f B — embedding " +
+        "vectors are travelling through a shuffle")
+  }
+
+  test("q114 outlier audit: exchanges are catalog-sized (source x dim), not corpus-sized") {
+    graft.functions.GraftFunctions.register(spark)
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    val s = ShuffleMeter.measure(spark) {
+      VectorQueries.q114(spark, dir).queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the centroid aggregate exchange")
+    // every exchange is catalog-shaped: (source x 64-dim) integer
+    // partials, per-source centroid-gather lists, bottom-3 partials,
+    // and the 3-per-source output orderBy. The corpus itself reaches
+    // the centroid agg as map-side partials — at most one row per
+    // (source, dim) per task — and the rescore pass is map-only
+    // against the broadcast centroids, so no record count here may
+    // scale with the document count
+    val catalog = nSources * 64
+    assert(s.writeRecords <= 16 * catalog + 1000,
+      s"q114 shuffled ${s.writeRecords} records for a $catalog-row " +
+        "catalog — a corpus-sized relation has entered an exchange")
+    assert(s.writeBytes < (4L << 20),
+      s"q114 shuffled ${s.writeBytes} B — centroid exchanges should " +
+        "total well under a few MB at this SF")
+  }
 }
