@@ -1973,6 +1973,29 @@ object Relational {
       |) u
       |ORDER BY metric, key_id""".stripMargin
 
+  // ---- q115: unpivot (melt) — the inverse reshape of q55's pivot ----
+  // Wide -> long: q55's pivoted (status x priority) money matrix back
+  // to (status, priority, total) rows via Dataset.unpivot. Empty
+  // cells (a (status, priority) combination with no orders) are
+  // dropped explicitly, so the round trip equals the direct long
+  // aggregate — which is exactly what the independent oracle
+  // computes, proving pivot -> unpivot loses nothing but the nulls.
+  // Plan note: the unpivot is an Expand projection over the already
+  // group-sized wide table — no extra exchange beyond q55's own agg.
+  def q115(spark: SparkSession, dir: String): DataFrame =
+    q55(spark, dir)
+      .unpivot(Array(col("o_orderstatus")), "priority", "total_cents")
+      .filter(col("total_cents").isNotNull)
+      .orderBy(col("o_orderstatus"), col("priority"))
+
+  val q115Sql: String =
+    """SELECT o_orderstatus, o_orderpriority AS priority,
+      |  CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, priority""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2018,7 +2041,8 @@ object Relational {
     "q101_jdbc_roundtrip" -> (q101 _),
     "q102_setops_all" -> (q102 _),
     "q104_profile" -> (q104 _),
-    "q106_key_skew" -> (q106 _)
+    "q106_key_skew" -> (q106 _),
+    "q115_unpivot" -> (q115 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2065,6 +2089,7 @@ object Relational {
     "q101_jdbc_roundtrip" -> q101Sql,
     "q102_setops_all" -> q102Sql,
     "q104_profile" -> q104Sql,
-    "q106_key_skew" -> q106Sql
+    "q106_key_skew" -> q106Sql,
+    "q115_unpivot" -> q115Sql
   )
 }

@@ -967,17 +967,46 @@ object VectorQueries {
   // 24-byte row per corpus vector into the final aggregate, the q40
   // shape. No index build, no candidate generation: decontamination
   // reads every vector exactly once by design.
-  def q113(spark: SparkSession, dir: String): DataFrame = {
+  def q113(spark: SparkSession, dir: String): DataFrame =
+    deconFlags(q113Corpus(spark, dir), q113Eval(spark, dir))
+      .orderBy(col("vec_id"))
+
+  /** The q113 corpus fixture: non-eval vectors ∪ planted perturbed
+    * eval twins (the leaks). Shared with DeconStreamSpec, which
+    * re-batches exactly this relation.
+    */
+  private[graft] def q113Corpus(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
-    val eval = withNorm(base.filter(col("vec_id") % 97 === 0))
-      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
-        col("nv").as("nq"))
     val planted = base.filter(col("vec_id") % 97 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
-    val corpus = withNorm(base.filter(col("vec_id") % 97 =!= 0).union(planted))
-    corpus.crossJoin(broadcast(eval))
+    base.filter(col("vec_id") % 97 =!= 0).union(planted)
+  }
+
+  /** The q113 eval-suite fixture, scored ([[evalIndex]]). */
+  private[graft] def q113Eval(spark: SparkSession, dir: String): DataFrame =
+    evalIndex(vecs(spark, dir).filter(col("vec_id") % 97 === 0))
+
+  /** The scored eval suite — (eval_id, qv, nq) with the norm
+    * precomputed once — from an (vec_id, v) relation. Build once per
+    * eval-suite release; [[deconFlags]] broadcasts it per pass.
+    */
+  private[graft] def evalIndex(eval: DataFrame): DataFrame =
+    withNorm(eval)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("nv").as("nq"))
+
+  /** Decontamination core shared by q113 and
+    * [[graft.streaming.DeconStream]]: flagged
+    * (vec_id, eval_id, cos_e6) rows of `corpus` (vec_id, v) whose
+    * best-match cosine against the broadcast eval suite clears
+    * `minCosE6`. Map-only over the corpus; the one exchange is the
+    * per-vector top-1 partial (ShuffleBudgetSpec pins it).
+    */
+  private[graft] def deconFlags(corpus: DataFrame, evalIdx: DataFrame,
+      minCosE6: Long = 990000L): DataFrame =
+    withNorm(corpus).crossJoin(broadcast(evalIdx))
       .select(col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nv") * col("nq")) * 1e6)
           .cast("long").as("cos_e6"),
@@ -987,9 +1016,7 @@ object VectorQueries {
         col("cos_e6"), col("eval_id"), lit(1)).as("top"))
       .select(col("vec_id"), col("top")(0).getField("id").as("eval_id"),
         col("top")(0).getField("score").as("cos_e6"))
-      .filter(col("cos_e6") >= 990000L)
-      .orderBy(col("vec_id"))
-  }
+      .filter(col("cos_e6") >= minCosE6)
 
   val q113Sql: String = {
     val d = dotSql("c.v", "ev.qv")
