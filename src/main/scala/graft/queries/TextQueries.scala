@@ -2554,6 +2554,79 @@ object TextQueries {
        |FROM a, t
        |ORDER BY diff_x DESC, term LIMIT 20""".stripMargin
 
+  // ---- q116: canonical-keeper selection (quality argmax per cluster) ----
+  // The policy step AFTER cluster resolution: q47 keeps min-id per
+  // cluster — the arbitrary-but-deterministic choice; a production
+  // dedup keeps the BEST copy (near-dup members differ — truncations,
+  // boilerplate variants), so the keeper is the quality argmax
+  // (q35's score) with the id tiebreak. Composition: q47's clusters
+  // join the per-doc quality scan, then ONE narrow per-cluster
+  // aggregate — the argmax is `min(struct(-quality, id))`, a
+  // partial-aggregable min-by (map-side combine collapses members per
+  // task), NOT a window over member rows. Output is the replacement
+  // map's cluster summary: (cluster, keeper, keeper_quality_e4,
+  // n_members).
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+    val clusters = graft.text.TextOps.dedupClusters(
+      graft.text.TextOps.jaccardPairs(docs, 0.5))
+    val quality = docs.select(col("doc_id"), qualityE4Col.as("quality_e4"))
+    clusters.join(quality, col("id") === col("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(min(struct((-col("quality_e4")).as("nq"),
+        col("doc_id").as("kid"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("k.kid").as("keeper"),
+        (-col("k.nq")).as("keeper_quality_e4"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  val q116Sql: String =
+    s"""WITH RECURSIVE $nearPairsCte,
+      |good AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE 1.0 * common / (na + nb - common) >= 0.5
+      |), nodes AS (
+      |  SELECT DISTINCT id
+      |  FROM (SELECT id_a AS id FROM good UNION ALL SELECT id_b FROM good)
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM good
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM good
+      |), reach(n, m) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      |), clu AS (
+      |  SELECT n AS id, CAST(min(m) AS BIGINT) AS cluster
+      |  FROM reach GROUP BY n
+      |), tq AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |  FROM docs
+      |), p AS (
+      |  SELECT doc_id, $qualityE4Sql AS quality_e4
+      |  FROM (SELECT doc_id,
+      |          CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+      |            AS sum_len,
+      |          len(toks) AS n_tokens,
+      |          len(list_filter(toks,
+      |            t -> t IN ('the','a','of','and','is','to','in')))
+      |            AS stop_hits
+      |        FROM tq)
+      |), j AS (
+      |  SELECT c.cluster, c.id AS doc_id, p.quality_e4
+      |  FROM clu c JOIN p ON p.doc_id = c.id
+      |), r AS (
+      |  SELECT cluster, doc_id, quality_e4,
+      |    row_number() OVER (PARTITION BY cluster
+      |                       ORDER BY quality_e4 DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY cluster) AS nm
+      |  FROM j
+      |)
+      |SELECT cluster, doc_id AS keeper, quality_e4 AS keeper_quality_e4,
+      |  CAST(nm AS BIGINT) AS n_members
+      |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // ---- q112: containment near-dup (asymmetric excerpt detection) ----
   // The pass a dedup pipeline runs BESIDE Jaccard (q33): containment
   // `common / min(na, nb)` flags a short excerpt embedded in a long
@@ -2661,7 +2734,8 @@ object TextQueries {
     "q109_length_histogram" -> (q109 _),
     "q110_importance_resample" -> (q110 _),
     "q111_drift_stats" -> (q111 _),
-    "q112_containment" -> (q112 _)
+    "q112_containment" -> (q112 _),
+    "q116_canonical_keeper" -> (q116 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2709,6 +2783,7 @@ object TextQueries {
     "q109_length_histogram" -> q109Sql,
     "q110_importance_resample" -> q110Sql,
     "q111_drift_stats" -> q111Sql,
-    "q112_containment" -> q112Sql
+    "q112_containment" -> q112Sql,
+    "q116_canonical_keeper" -> q116Sql
   )
 }

@@ -80,7 +80,8 @@ object DumpPlans {
       "q112_containment" -> "containment near-dup (shared inverted-index core, asymmetric confirm arithmetic)",
       "q113_semantic_decon" -> "semantic decontamination (broadcast eval suite, map-only corpus score, bounded top-1)",
       "q114_source_outliers" -> "source-centroid outlier audit (integer-e6 centroid agg, broadcast-back rescore, bottom-k partial)",
-      "q115_unpivot" -> "unpivot reshape (Expand over the group-sized wide table, no extra exchange)")
+      "q115_unpivot" -> "unpivot reshape (Expand over the group-sized wide table, no extra exchange)",
+      "q116_canonical_keeper" -> "canonical keeper per dedup cluster (partial min-by argmax, no member window)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

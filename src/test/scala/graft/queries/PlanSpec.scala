@@ -38,6 +38,16 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
 
+  test("q116 keeper selection is a partial min-by aggregate, never a member window") {
+    val p = plan(TextQueries.q116(spark, dir))
+    assert(!p.contains("Window"),
+      s"q116 ranks cluster members through a window:\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"keeper argmax lost its map-side partial phase:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("q42 ANN near-dup pair generation is a bucketed equi join") {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
