@@ -84,7 +84,11 @@ object ScaleBench {
     // suite replica-0-only, so the law is the linear map-only scan);
     // the outlier audit is the doc<->vec join + (source x dim)
     // centroid agg + map-only rescore
-    "q112_containment", "q113_semantic_decon", "q114_source_outliers")
+    "q112_containment", "q113_semantic_decon", "q114_source_outliers",
+    // q116 composes q47's pair+CC machinery (its cost driver) with a
+    // quality scan + one narrow keeper agg — the decade checks the
+    // composition adds nothing superlinear on top of q47's law
+    "q116_canonical_keeper")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

@@ -48,14 +48,17 @@ object DeconStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // no persist needed (the NearDupStream precedent does not
-        // apply): deconFlags reads the batch exactly once — score,
-        // aggregate, filter are one linear pipeline with no sibling
-        // branches to race a recompute
-        if (!batch.isEmpty)
-          VectorQueries.deconFlags(batch, evalIdx)
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$outPath/batch=$batchId")
+        // persisted for the emptiness probe: deconFlags itself is one
+        // linear pipeline, but isEmpty is a separate action and would
+        // re-read a file-source micro-batch (the Ingest precedent);
+        // empty ticks happen and must not litter per-batch dirs
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            VectorQueries.deconFlags(b, evalIdx)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$outPath/batch=$batchId")
+        } finally b.unpersist()
       }
       .start()
   }
