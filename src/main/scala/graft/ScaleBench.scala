@@ -117,9 +117,15 @@ object ScaleBench {
         spark.read.parquet(s"$sfDir/$dim.parquet")
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
 
+    // shared replica stride for documents AND embeddings (computed
+    // once, lazily — only if either table needs building): both
+    // tables must step by the SAME amount or q114's doc<->vec join
+    // stops matching inside replicas k > 0
+    lazy val docStep = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0) + 1
+
     if (missing("documents")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
       (0 until factor).map { k =>
         docs.select(
           (col("doc_id") + lit(k * docStep)).as("doc_id"),
@@ -140,8 +146,6 @@ object ScaleBench {
     // q105 exclusion reasoning) instead of the production law.
     if (missing("embeddings")) {
       val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val docStep = spark.read.parquet(s"$sfDir/documents.parquet")
-        .agg(max("doc_id")).head().getLong(0) + 1
       (0 until factor).map { k =>
         em.select((col("vec_id") + lit(k * docStep)).as("vec_id"),
           col("embedding"), col("label"))

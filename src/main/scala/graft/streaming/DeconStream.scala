@@ -35,6 +35,26 @@ import graft.queries.VectorQueries
   */
 object DeconStream {
 
+  /** The per-micro-batch body — screening + the idempotent per-batch
+    * overwrite. Exposed so the replay spec exercises THE sink the
+    * stream runs (a re-spelled write in the test could not catch a
+    * SaveMode or path regression here).
+    */
+  def screenBatch(batch: Dataset[Row], evalIdx: DataFrame,
+      outPath: String, batchId: Long): Unit = {
+    // persisted for the emptiness probe: deconFlags itself is one
+    // linear pipeline, but isEmpty is a separate action and would
+    // re-read a file-source micro-batch (the Ingest precedent);
+    // empty ticks happen and must not litter per-batch dirs
+    val b = batch.persist()
+    try {
+      if (!b.isEmpty)
+        VectorQueries.deconFlags(b, evalIdx)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/batch=$batchId")
+    } finally b.unpersist()
+  }
+
   /** Start the screening stream. `vecs` is a streaming
     * (vec_id, v: array&lt;double&gt;) frame; flagged
     * (vec_id, eval_id, cos_e6) rows append under
@@ -48,17 +68,7 @@ object DeconStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // persisted for the emptiness probe: deconFlags itself is one
-        // linear pipeline, but isEmpty is a separate action and would
-        // re-read a file-source micro-batch (the Ingest precedent);
-        // empty ticks happen and must not litter per-batch dirs
-        val b = batch.persist()
-        try {
-          if (!b.isEmpty)
-            VectorQueries.deconFlags(b, evalIdx)
-              .write.mode(SaveMode.Overwrite)
-              .parquet(s"$outPath/batch=$batchId")
-        } finally b.unpersist()
+        screenBatch(batch, evalIdx, outPath, batchId)
       }
       .start()
   }

@@ -208,8 +208,15 @@ object TextOps {
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= minJaccard)
+      // multiply-before-divide, matching the oracle's
+      // `10000.0 * common / d` fold exactly (one FP rounding, not
+      // two) — the divide-then-scale form agreed on every fixture to
+      // date but is 1-ulp-divergent in principle near x.5 boundaries;
+      // containmentPairs already emits the mirrored sequence
       .select(col("id_a"), col("id_b"), col("common"),
-        round(col("jaccard") * 10000).cast("long").as("jaccard_e4"))
+        round(col("common").cast("double") * 10000 /
+          (col("na") + col("nb") - col("common")))
+          .cast("long").as("jaccard_e4"))
 
   /** Candidate pairs with CONTAINMENT confirm: `common / min(na, nb)`
     * — the asymmetric near-dup metric. A short excerpt embedded in a

@@ -63,12 +63,11 @@ class DeconStreamSpec extends AnyFunSuite {
     val corpus = VectorQueries.q113Corpus(spark, dir)
     val evalIdx = VectorQueries.q113Eval(spark, dir)
     val out = Files.createTempDirectory("decon_replay").toString
-    // simulate the crash-replay directly at the per-batch sink
-    // protocol: the same batch body lands twice under the same id
+    // crash-replay through THE stream's own per-batch body (not a
+    // re-spelled write): the same batch id lands twice — a SaveMode
+    // or path regression in screenBatch itself would fail this
     for (_ <- 1 to 2)
-      VectorQueries.deconFlags(corpus, evalIdx)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/batch=7")
+      DeconStream.screenBatch(corpus, evalIdx, out, batchId = 7)
     val once = VectorQueries.deconFlags(corpus, evalIdx).count()
     assert(spark.read.parquet(out).count() == once,
       "replay duplicated verdict rows instead of overwriting")
