@@ -88,7 +88,11 @@ object ScaleBench {
     // q116 composes q47's pair+CC machinery (its cost driver) with a
     // quality scan + one narrow keeper agg — the decade checks the
     // composition adds nothing superlinear on top of q47's law
-    "q116_canonical_keeper")
+    "q116_canonical_keeper",
+    // q117 rides the same pair machinery but iterates WEIGHTED
+    // propagation at fixed depth — the decade checks the 3 rounds of
+    // narrow (id, pr) joins track edge volume, not worse
+    "q117_graph_rank")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

@@ -2627,6 +2627,81 @@ object TextQueries {
       |  CAST(nm AS BIGINT) AS n_members
       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // ---- q117: similarity-graph rank (integer power iteration) ----
+  // Representative-document scoring over the near-dup graph: 3
+  // damped power iterations (PageRank form, d = 0.85) on the q47
+  // pair graph, so each dup family surfaces its most CENTRAL member
+  // — the doc most similar to the most others — rather than q116's
+  // quality argmax or q47's arbitrary min id. A different iterative
+  // law than CC: messages are WEIGHTED (rank/degree) and summed, not
+  // min-folded, so the operator exercises the propagate-aggregate
+  // shape at a fixed iteration count instead of to convergence.
+  //
+  // Exactness: all arithmetic is integer — initial mass 1e12 per
+  // node, per-edge contribution `pr DIV deg`, update
+  // `floor(0.15 * 1e12) + (85 * sum) DIV 100` — both engines floor
+  // identically, no float ever appears. Headroom: sum(contributions)
+  // is bounded by total mass (n * 1e12), so 85 * sum stays under
+  // 2^63 until n ~ 10^5 graph nodes per connected region at this
+  // scale constant; shrink the mass constant with log2(n) headroom
+  // at larger graphs.
+  //
+  // 100 TB posture: the pair pipeline is the q33/q47 machinery (one
+  // digest pass, capped buckets); the iteration exchanges are narrow
+  // (id, pr) and (dst, contribution) rows — per round, one join on
+  // the repartition-aligned edge list and one sum aggregate; the
+  // final readout is a bounded TakeOrdered top-20. Fixed 3 rounds =
+  // fixed plan depth, no convergence job.
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+    // shuffle-barrier the confirmed pairs: both union branches below
+    // read the one pair-agg exchange (ReusedExchange) instead of
+    // re-running the digest pipeline per direction
+    val pairs = graft.text.TextOps.jaccardPairs(docs, 0.5)
+      .select(col("id_a"), col("id_b")).repartition(col("id_a"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("id"), lit(1000000000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.join(deg, "id").withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+      pr = contrib.groupBy(col("dst").as("id"))
+        .agg(expr("150000000000 + (85 * sum(c)) DIV 100").as("pr"))
+    }
+    pr.select(col("id").as("doc_id"), col("pr").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("doc_id")).limit(20)
+  }
+
+  val q117Sql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT e.dst AS id,
+         |    150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+         |  FROM edges e
+         |  JOIN $prev r ON r.id = e.src
+         |  JOIN deg d ON d.id = e.src
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    s"""WITH $nearPairsCte,
+       |good AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  WHERE 1.0 * common / (na + nb - common) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM good
+       |), deg AS (
+       |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT id, CAST(1000000000000 AS BIGINT) AS pr FROM deg
+       |), ${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS rank_e12
+       |FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin
+  }
+
   // ---- q112: containment near-dup (asymmetric excerpt detection) ----
   // The pass a dedup pipeline runs BESIDE Jaccard (q33): containment
   // `common / min(na, nb)` flags a short excerpt embedded in a long
@@ -2735,7 +2810,8 @@ object TextQueries {
     "q110_importance_resample" -> (q110 _),
     "q111_drift_stats" -> (q111 _),
     "q112_containment" -> (q112 _),
-    "q116_canonical_keeper" -> (q116 _)
+    "q116_canonical_keeper" -> (q116 _),
+    "q117_graph_rank" -> (q117 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2784,6 +2860,7 @@ object TextQueries {
     "q110_importance_resample" -> q110Sql,
     "q111_drift_stats" -> q111Sql,
     "q112_containment" -> q112Sql,
-    "q116_canonical_keeper" -> q116Sql
+    "q116_canonical_keeper" -> q116Sql,
+    "q117_graph_rank" -> q117Sql
   )
 }

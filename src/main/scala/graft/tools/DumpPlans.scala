@@ -81,7 +81,8 @@ object DumpPlans {
       "q113_semantic_decon" -> "semantic decontamination (broadcast eval suite, map-only corpus score, bounded top-1)",
       "q114_source_outliers" -> "source-centroid outlier audit (integer-e6 centroid agg, broadcast-back rescore, bottom-k partial)",
       "q115_unpivot" -> "unpivot reshape (Expand over the group-sized wide table, no extra exchange)",
-      "q116_canonical_keeper" -> "canonical keeper per dedup cluster (partial min-by argmax, no member window)")
+      "q116_canonical_keeper" -> "canonical keeper per dedup cluster (partial min-by argmax, no member window)",
+      "q117_graph_rank" -> "similarity-graph rank (fixed-depth integer power iteration, TakeOrdered readout)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
@@ -93,9 +94,16 @@ object DumpPlans {
       // plan lines to tens of KB — cap them so the doc stays readable
       val explained = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      sb.append(explained.linesIterator.map { l =>
+      val capped = explained.linesIterator.map { l =>
         if (l.length > 300) l.take(300) + " … (line truncated)" else l
-      }.mkString("\n"))
+      }.mkString("\n")
+      // unrolled iterative plans (q117's 3 power rounds re-print the
+      // pair pipeline per round) run to hundreds of KB — cap each
+      // entry so the doc stays reviewable; the tree shape is fully
+      // visible long before the cap
+      sb.append(if (capped.length <= 60000) capped
+        else capped.take(60000) +
+          s"\n… (entry truncated at 60 kB of ${capped.length} chars)")
       sb.append("\n```\n")
       spark.catalog.clearCache()
     }

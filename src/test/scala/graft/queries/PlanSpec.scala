@@ -48,6 +48,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
   }
 
+  test("q117 graph rank: fixed-depth iteration plan, bounded top-k readout") {
+    val p = plan(TextQueries.q117(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert(!p.contains("Window"),
+      s"q117 ranks through a window instead of TakeOrdered:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 readout must be a bounded TakeOrdered:\n$p")
+  }
+
   test("q42 ANN near-dup pair generation is a bucketed equi join") {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
