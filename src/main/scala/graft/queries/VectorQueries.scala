@@ -1066,26 +1066,8 @@ object VectorQueries {
   // dimension-sized and broadcasts back; the scoring pass is map-only
   // over the corpus; the bottom-3 is the bounded topk_by_score
   // partial on the negated score. Nothing corpus-sized shuffles.
-  def q114(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("source"))
-    val j = docs.join(vecs(spark, dir), col("vec_id") === col("doc_id"))
-      .select(col("source"), col("doc_id"), col("v"))
-    val sums = j
-      .select(col("source"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("source"), col("dim"))
-      .agg(sum(round(col("x") * 1e6).cast("long")).as("s_e6"),
-        count(lit(1)).as("n"))
-    val cents = sums
-      .select(col("source"), struct(col("dim"),
-        (col("s_e6").cast("double") / (col("n") * 1e6)).as("cv")).as("dc"))
-      .groupBy(col("source"))
-      .agg(transform(array_sort(collect_list(col("dc"))),
-        s => s.getField("cv")).as("cv"))
-      .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
-    withNorm(j).join(broadcast(cents), "source")
-      .select(col("source"), col("doc_id"),
-        round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")) * 1e6)
-          .cast("long").as("cos_e6"))
+  def q114(spark: SparkSession, dir: String): DataFrame =
+    centroidCos(q114Docs(spark, dir), sourceCentroids(q114Docs(spark, dir)))
       .groupBy(col("source"))
       .agg(call_function("topk_by_score",
         -col("cos_e6"), col("doc_id"), lit(3)).as("bottom"))
@@ -1093,7 +1075,43 @@ object VectorQueries {
       .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), (-col("col.score")).as("cos_e6"))
       .orderBy(col("source"), col("rank"))
-  }
+
+  /** The q114 input relation: documents joined to their embeddings —
+    * (source, doc_id, v). Shared with EmbDriftStreamSpec.
+    */
+  private[graft] def q114Docs(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(vecs(spark, dir), col("vec_id") === col("doc_id"))
+      .select(col("source"), col("doc_id"), col("v"))
+
+  /** Per-source centroids with norms — (source, cv, ncv) — from a
+    * (source, doc_id, v) relation. Built from exact integer-e6
+    * per-dim sums (order-independent across engines), one double
+    * division per dim at the end. Catalog-sized output; build once
+    * per corpus release and broadcast ([[centroidCos]]).
+    */
+  private[graft] def sourceCentroids(j: DataFrame): DataFrame =
+    j.select(col("source"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("s_e6"),
+        count(lit(1)).as("n"))
+      .select(col("source"), struct(col("dim"),
+        (col("s_e6").cast("double") / (col("n") * 1e6)).as("cv")).as("dc"))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(col("dc"))),
+        s => s.getField("cv")).as("cv"))
+      .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Map-only rescore of a (source, doc_id, v) relation against the
+    * broadcast centroids: (source, doc_id, cos_e6). Shared by q114's
+    * bottom-k readout and [[graft.streaming.EmbDriftStream]]'s
+    * per-batch partials.
+    */
+  private[graft] def centroidCos(j: DataFrame, cents: DataFrame): DataFrame =
+    withNorm(j).join(broadcast(cents), "source")
+      .select(col("source"), col("doc_id"),
+        round(dot(col("v"), col("cv")) / (col("nv") * col("ncv")) * 1e6)
+          .cast("long").as("cos_e6"))
 
   val q114Sql: String = {
     val d = dotSql("j.v", "c.cv")
