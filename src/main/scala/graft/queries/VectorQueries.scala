@@ -1146,6 +1146,112 @@ object VectorQueries {
        |FROM r WHERE rn <= 3 ORDER BY source, rank""".stripMargin
   }
 
+  // ---- q118: margin-based alignment mining (bitext shape) ----
+  // The LASER/CCMatrix mining step: pair each "source-side" vector
+  // with its best "target-side" match, scored by the MARGIN — best
+  // cosine divided by the mean of both endpoints' top-4 neighborhood
+  // cosines — rather than raw cosine, because margin cancels hubness
+  // (a vector whose whole neighborhood scores high is not a special
+  // match for anyone). Sides: label < 5 vs label >= 5; fixture
+  // plants a perturbed twin of every 50th source vector into the
+  // target side, so true alignments exist and clear the 1.4 margin
+  // bar while organic best-matches sit near 1.1.
+  //
+  // Exactness: cosines are e6 longs; neighborhood means are
+  // `sum DIV 4` (top-4 always exists — the target side is larger);
+  // margin is `cos * 1e6 DIV ((ax + ay) DIV 2)` — all integer floor
+  // ops, identical in both engines; top-4 ties break (score DESC,
+  // id ASC) in topk_by_score exactly as the oracle's row_number.
+  //
+  // 100 TB posture: scoring all A x B pairs is the EXACT-baseline
+  // definition (the q40/q105 posture) — production fronts the banded
+  // ANN (q62) to generate candidates and applies this margin
+  // arithmetic unchanged. Within the baseline: the scored table is
+  // barriered once (repartition) so the two per-side top-4 aggregates
+  // read one shuffle output instead of re-running the quadratic
+  // scorer; each aggregate is the bounded topk_by_score partial, so
+  // only 4-row summaries cross the exchanges after it.
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+    val a = withNorm(e.filter(col("label") < 5)
+      .select(col("vec_id").as("xid"), col("v")))
+      .select(col("xid"), col("v").as("xv"), col("nv").as("nx"))
+    val planted = e.filter(col("label") < 5 && col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("yid"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
+          .as("v"))
+    val b = withNorm(e.filter(col("label") >= 5)
+      .select(col("vec_id").as("yid"), col("v")).union(planted))
+      .select(col("yid"), col("v").as("yv"), col("nv").as("ny"))
+    val scored = a.crossJoin(broadcast(b))
+      .select(col("xid"), col("yid"),
+        round(dot(col("xv"), col("yv")) / (col("nx") * col("ny")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .repartition(col("xid"))
+    val xside = scored.groupBy(col("xid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("yid"), lit(4)).as("top"))
+      .select(col("xid"), col("top")(0).getField("id").as("ybest"),
+        col("top")(0).getField("score").as("cos_e6"),
+        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV 4").as("ax"))
+    val yside = scored.groupBy(col("yid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("xid"), lit(4)).as("top"))
+      .select(col("yid"), expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV 4").as("ay"))
+    xside.join(yside, col("ybest") === col("yid"))
+      .withColumn("margin_e6",
+        expr("cos_e6 * 1000000 DIV ((ax + ay) DIV 2)"))
+      .filter(col("margin_e6") >= 1400000L)
+      .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
+      .orderBy(col("xid"))
+  }
+
+  val q118Sql: String = {
+    val d = dotSql("a.xv", "bb.yv")
+    val nx = dotSql("a.xv", "a.xv")
+    val ny = dotSql("bb.yv", "bb.yv")
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v, label FROM embeddings
+       |), a AS (
+       |  SELECT vec_id AS xid, v AS xv FROM e WHERE label < 5
+       |), bb AS (
+       |  SELECT vec_id AS yid, v AS yv FROM e WHERE label >= 5
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(1, len(v) + 1),
+       |      i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END)
+       |  FROM e WHERE label < 5 AND vec_id % 50 = 0
+       |), sc AS (
+       |  SELECT xid, yid,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nx) * sqrt($ny))), 0) AS BIGINT) AS cos_e6
+       |  FROM a, bb
+       |), rx AS (
+       |  SELECT xid, yid, cos_e6,
+       |    row_number() OVER (PARTITION BY xid
+       |                       ORDER BY cos_e6 DESC, yid) AS rn
+       |  FROM sc
+       |), ax AS (
+       |  SELECT xid, CAST(sum(cos_e6) // 4 AS BIGINT) AS ax,
+       |    min(CASE WHEN rn = 1 THEN yid END) AS ybest,
+       |    min(CASE WHEN rn = 1 THEN cos_e6 END) AS best_cos
+       |  FROM rx WHERE rn <= 4 GROUP BY xid
+       |), ry AS (
+       |  SELECT yid, xid, cos_e6,
+       |    row_number() OVER (PARTITION BY yid
+       |                       ORDER BY cos_e6 DESC, xid) AS rn
+       |  FROM sc
+       |), ay AS (
+       |  SELECT yid, CAST(sum(cos_e6) // 4 AS BIGINT) AS ay FROM ry WHERE rn <= 4 GROUP BY yid
+       |)
+       |SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
+       |  CAST(x.best_cos * 1000000 // ((x.ax + y.ay) // 2) AS BIGINT) AS margin_e6
+       |FROM ax x JOIN ay y ON y.yid = x.ybest
+       |WHERE x.best_cos * 1000000 // ((x.ax + y.ay) // 2) >= 1400000
+       |ORDER BY x.xid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
@@ -1160,7 +1266,8 @@ object VectorQueries {
     "q79_semantic_clusters" -> (q79 _),
     "q105_ann_recall" -> (q105 _),
     "q113_semantic_decon" -> (q113 _),
-    "q114_source_outliers" -> (q114 _)
+    "q114_source_outliers" -> (q114 _),
+    "q118_margin_align" -> (q118 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1177,6 +1284,7 @@ object VectorQueries {
     "q79_semantic_clusters" -> q79Sql,
     "q105_ann_recall" -> q105Sql,
     "q113_semantic_decon" -> q113Sql,
-    "q114_source_outliers" -> q114Sql
+    "q114_source_outliers" -> q114Sql,
+    "q118_margin_align" -> q118Sql
   )
 }

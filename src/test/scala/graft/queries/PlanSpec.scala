@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite {
       s"the top-20 readout must be a bounded TakeOrdered:\n$p")
   }
 
+  test("q118 margin mining: one scored-table barrier, bounded top-4 partials, no window") {
+    val p = plan(VectorQueries.q118(spark, dir))
+    // the A x B scoring is the exact-baseline definition (q40
+    // posture: broadcast nested loop, never a cartesian); the two
+    // per-side neighborhood aggregates must be bounded topk partials
+    // reading the ONE barriered scored table, not windows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"target side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(!p.contains("Window"), s"q118 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findAllIn(p).size >= 2,
+      s"both side aggregates must keep their partial phase:\n$p")
+    // (the scored-table repartition is shared by both side aggregates
+    // as a ReusedExchange, but AQE only materializes that at RUNTIME —
+    // the pre-execution plan this spec inspects cannot show it)
+  }
+
   test("q42 ANN near-dup pair generation is a bucketed equi join") {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
