@@ -2507,8 +2507,13 @@ object TextQueries {
         abs(col("cd").cast("decimal(19,0)") * col("nb")
           - col("cb").cast("decimal(19,0)") * col("nd"))
           .cast("decimal(38,0)").as("diff_x"),
-        expr("cd * 1000000 DIV nd").as("rate_d_e6"),
-        expr("cb * 1000000 DIV nb").as("rate_b_e6"))
+        // nullif: under ANSI (Spark 4 default) DIV 0 THROWS — a
+        // zero-count side (the standing monitor polled before any
+        // delta lands) must read as NULL rates, not crash the
+        // dashboard; values are unchanged whenever the side is
+        // non-empty, which q111's oracle parity covers
+        expr("cd * 1000000 DIV nullif(nd, 0)").as("rate_d_e6"),
+        expr("cb * 1000000 DIV nullif(nb, 0)").as("rate_b_e6"))
       .orderBy(col("diff_x").desc, col("term"))
       .limit(20)
   }

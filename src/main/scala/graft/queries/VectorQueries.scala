@@ -1159,9 +1159,13 @@ object VectorQueries {
   //
   // Exactness: cosines are e6 longs; neighborhood means are
   // `sum DIV 4` (top-4 always exists — the target side is larger);
-  // margin is `cos * 1e6 DIV ((ax + ay) DIV 2)` — all integer floor
-  // ops, identical in both engines; top-4 ties break (score DESC,
-  // id ASC) in topk_by_score exactly as the oracle's row_number.
+  // margin is `cos * 1e6 DIV ((ax + ay) DIV 2)` — all integer
+  // division, and BOTH engines truncate toward zero (Spark DIV ==
+  // DuckDB `//`; note truncation, NOT floor — cosine sums can be
+  // negative, where the two semantics differ by 1, so a port to a
+  // floor-division engine must adjust); top-4 ties break (score
+  // DESC, id ASC) in topk_by_score exactly as the oracle's
+  // row_number.
   //
   // 100 TB posture: scoring all A x B pairs is the EXACT-baseline
   // definition (the q40/q105 posture) — production fronts the banded

@@ -75,14 +75,35 @@ object EmbDriftStream {
   }
 
   /** Finisher: accumulated partials → per-source
-    * (mean_cos_e6, n_docs), integer floor division so any reader
-    * (and the parity spec's batch twin) lands on identical values.
+    * (mean_cos_e6, n_docs). Truncating integer division (Spark DIV —
+    * truncation, not floor: cosine sums can be negative) so any
+    * reader and the parity spec's batch twin land on identical
+    * values. Before the first non-empty batch lands, the partials
+    * dir has no parquet to infer a schema from — return the empty
+    * readout instead of throwing (the monitor may be polled from the
+    * moment the stream starts).
     */
-  def drift(spark: SparkSession, partialsPath: String): DataFrame =
+  def drift(spark: SparkSession, partialsPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(partialsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasShards = fs.exists(new org.apache.hadoop.fs.Path(partialsPath)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(partialsPath))
+        .exists(_.getPath.getName.startsWith("batch="))
+    if (!hasShards)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("mean_cos_e6",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType))))
     spark.read.parquet(partialsPath)
       .groupBy(col("source"))
       .agg(sum(col("sum_cos_e6")).as("s"), sum(col("n")).as("n_docs"))
       .select(col("source"), expr("s DIV n_docs").as("mean_cos_e6"),
         col("n_docs"))
       .orderBy(col("source"))
+  }
 }

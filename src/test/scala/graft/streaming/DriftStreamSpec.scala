@@ -20,6 +20,16 @@ class DriftStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("drift() before any batch lands degenerates gracefully, not a crash") {
+    import spark.implicits._
+    val base = Seq(("alpha", 3L), ("beta", 2L)).toDF("term", "cb")
+    val counts = Files.createTempDirectory("drift_empty").toString
+    val out = DriftStream.drift(spark, counts, base).collect()
+    // both base terms present, all diffs zero (no delta has landed)
+    assert(out.length == 2 && out.forall(r =>
+      r.getDecimal(r.fieldIndex("diff_x")).longValueExact() == 0L))
+  }
+
   test("streamed drift readout equals q111 across micro-batches and a replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

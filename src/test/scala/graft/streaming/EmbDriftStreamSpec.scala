@@ -62,6 +62,16 @@ class EmbDriftStreamSpec extends AnyFunSuite {
     cents.unpersist()
   }
 
+  test("drift() before any batch lands returns the empty readout, not a crash") {
+    val parts = Files.createTempDirectory("embdrift_empty").toString
+    val out = EmbDriftStream.drift(spark, parts)
+    assert(out.columns.toSeq ==
+      Seq("source", "mean_cos_e6", "n_docs") && out.count() == 0)
+    // and a never-created dir behaves the same
+    val out2 = EmbDriftStream.drift(spark, parts + "/never_created")
+    assert(out2.count() == 0)
+  }
+
   test("a replayed partials batch overwrites, never double-counts") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
