@@ -92,7 +92,11 @@ object ScaleBench {
     // q117 rides the same pair machinery but iterates WEIGHTED
     // propagation at fixed depth — the decade checks the 3 rounds of
     // narrow (id, pr) joins track edge volume, not worse
-    "q117_graph_rank")
+    "q117_graph_rank",
+    // q119's window frame runs over the (type, hour) ROLLUP — which
+    // stays constant-sized under the event replica (same hours, 10x
+    // the counts) — so the decade isolates the map-side rollup law
+    "q119_rate_anomaly")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

@@ -1996,6 +1996,63 @@ object Relational {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, priority""".stripMargin
 
+  // ---- q119: event-rate anomaly detection (trailing-window z-score) ----
+  // The standing ops check over the event stream: flag every
+  // (event_type, hour) whose count departs from its own trailing
+  // 6-window baseline by more than 2 sigma. The entire test is
+  // INTEGER-exact — no float mean/stddev whose summation order could
+  // differ between engines: with k prior windows, sum S and
+  // sum-of-squares Q, the 2-sigma condition |n - S/k| > 2*sqrt(var)
+  // rearranges to (k*n - S)^2 > 4*(k*Q - S^2), pure int64 products
+  // (headroom: per-window counts to ~1e9 before the squares need
+  // promotion to decimal(38,0) — both engines widen identically).
+  // k >= 3 gates the cold start: fewer than 3 baseline windows is a
+  // guess, not a baseline.
+  //
+  // 100 TB posture: the hourly rollup is the q15 aggregate
+  // (map-side partials into (type, hour) rows — catalog x time
+  // sized); the window frame then runs over that ROLLUP, never raw
+  // events, partitioned by type and 6 rows deep — trivially in
+  // memory. Streaming twin shape: counts ADD, so the rollup streams
+  // exactly like DriftStream partials and this flag is a finisher.
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-6, -1)
+    val dev = col("k") * col("n") - col("s")
+    hourly
+      .withColumn("k", count(col("n")).over(f))
+      .withColumn("s", sum(col("n")).over(f))
+      .withColumn("q", sum(col("n") * col("n")).over(f))
+      .filter(col("k") >= 3 &&
+        dev * dev > lit(4) * (col("k") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("hour"), col("n"), col("k"),
+        col("s"), col("q"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q119Sql: String =
+    """WITH h AS (
+      |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, hour, n,
+      |    count(n) OVER f AS k,
+      |    CAST(sum(n) OVER f AS BIGINT) AS s,
+      |    CAST(sum(n*n) OVER f AS BIGINT) AS q
+      |  FROM h
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, hour, n, k, s, q
+      |FROM w
+      |WHERE k >= 3 AND (k*n - s)*(k*n - s) > 4*(k*q - s*s)
+      |ORDER BY event_type, hour""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2042,7 +2099,8 @@ object Relational {
     "q102_setops_all" -> (q102 _),
     "q104_profile" -> (q104 _),
     "q106_key_skew" -> (q106 _),
-    "q115_unpivot" -> (q115 _)
+    "q115_unpivot" -> (q115 _),
+    "q119_rate_anomaly" -> (q119 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2090,6 +2148,7 @@ object Relational {
     "q102_setops_all" -> q102Sql,
     "q104_profile" -> q104Sql,
     "q106_key_skew" -> q106Sql,
-    "q115_unpivot" -> q115Sql
+    "q115_unpivot" -> q115Sql,
+    "q119_rate_anomaly" -> q119Sql
   )
 }
