@@ -2015,11 +2015,20 @@ object Relational {
   // events, partitioned by type and 6 rows deep — trivially in
   // memory. Streaming twin shape: counts ADD, so the rollup streams
   // exactly like DriftStream partials and this flag is a finisher.
-  def q119(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = events(spark, dir)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
-        .as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    anomalyFlags(
+      events(spark, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The anomaly readout over a collapsed (event_type, hour, n)
+    * rollup — shared by q119 (batch) and
+    * [[graft.streaming.RateAnomalyStream]]'s finisher (counts ADD,
+    * so per-micro-batch rollup partials re-aggregate exactly; the
+    * window test runs on rollup-sized rows, never raw events).
+    */
+  private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
     val f = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-6, -1)
     val dev = col("k") * col("n") - col("s")

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.Relational
+
+/** Streaming event-rate anomaly monitor — the streaming twin of the
+  * q119 batch audit, and the fourth member of the standing-monitor
+  * family (text drift q111, key skew q106, embedding drift q114's
+  * geometry, this: rate anomalies).
+  *
+  * Why this shape streams: the state is ((event_type, hour) -> count)
+  * and counts ADD — associative, commutative, replay-idempotent (the
+  * DriftStream decomposition) — so each micro-batch appends its own
+  * hourly rollup partial and the accumulated table re-aggregates to
+  * EXACTLY the all-data rollup. The trailing-window 2-sigma test has
+  * no such decomposition (a window frame over ordered hours), so it
+  * lives in the finisher, run on rollup-sized rows — never the event
+  * stream.
+  *
+  * Exactly-once: a crash-replayed micro-batch OVERWRITES its own
+  * `batch=<id>` dir (the Ingest-quarantine protocol shared by every
+  * foreachBatch sink in this package).
+  *
+  * 100 TB posture: the per-batch exchange is the map-side-combined
+  * (type, hour, n) aggregate — catalog x time sized; the finisher
+  * reads only the accrued partial shards and its frame is 6 rows
+  * deep per type. Compact shards on the quarantine cadence.
+  */
+object RateAnomalyStream {
+
+  /** Start the standing rollup stream: per micro-batch of events
+    * with a `ts` timestamp and `event_type`, one map-side-combined
+    * (event_type, hour, n) aggregate appended under
+    * `partialsPath/batch=<id>`.
+    */
+  def rollupPartials(spark: SparkSession, events: DataFrame,
+      partialsPath: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        rollupBatch(batch, partialsPath, batchId)
+      }
+      .start()
+
+  /** The per-micro-batch body — exposed so the replay spec exercises
+    * THE sink the stream runs (the DeconStream.screenBatch precedent).
+    */
+  def rollupBatch(batch: Dataset[Row], partialsPath: String,
+      batchId: Long): Unit = {
+    val b = batch.persist()
+    try {
+      if (!b.isEmpty)
+        b.groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+              .as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$partialsPath/batch=$batchId")
+    } finally b.unpersist()
+  }
+
+  /** Finisher: accumulated rollup partials → q119's anomaly flags.
+    * Counts ADD, so the re-aggregate recovers the exact all-data
+    * rollup regardless of batching. Before the first non-empty batch
+    * lands there is no parquet to infer a schema from — return the
+    * empty flag set instead of throwing.
+    */
+  def anomalies(spark: SparkSession, partialsPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(partialsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasShards = fs.exists(new org.apache.hadoop.fs.Path(partialsPath)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(partialsPath))
+        .exists(_.getPath.getName.startsWith("batch="))
+    if (!hasShards)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hour",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.LongType))))
+    Relational.anomalyFlags(
+      spark.read.parquet(partialsPath)
+        .groupBy(col("hour"), col("event_type"))
+        .agg(sum(col("n")).as("n")))
+  }
+}
