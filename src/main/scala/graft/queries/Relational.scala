@@ -429,8 +429,7 @@ object Relational {
   //      the Structured Streaming query (SURVEY.md §2.9) ----
   def q15(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
-        .as("hour"), col("event_type"))
+      .groupBy(hourBucket(col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(e6(col("value"))).as("sum_value_e6"),
         min(col("value")).as("min_value"),
@@ -2003,9 +2002,14 @@ object Relational {
   // INTEGER-exact — no float mean/stddev whose summation order could
   // differ between engines: with k prior windows, sum S and
   // sum-of-squares Q, the 2-sigma condition |n - S/k| > 2*sqrt(var)
-  // rearranges to (k*n - S)^2 > 4*(k*Q - S^2), pure int64 products
-  // (headroom: per-window counts to ~1e9 before the squares need
-  // promotion to decimal(38,0) — both engines widen identically).
+  // rearranges to (k*n - S)^2 > 4*(k*Q - S^2). The squared products
+  // are computed WIDE — decimal(38,0) here, HUGEINT in the oracle,
+  // both exact 128-bit-class integer arithmetic — because int64
+  // products would abort (ANSI overflow) near 2.5e8 events per
+  // (type, hour). The remaining int64 term is the STORED
+  // sum-of-squares column Q, whose own ceiling is ~1.2e9 events per
+  // (type, hour) — 330k events/s for one type; past that, bucket
+  // finer (minutes) or move Q to decimal end-to-end.
   // k >= 3 gates the cold start: fewer than 3 baseline windows is a
   // guess, not a baseline.
   //
@@ -2018,9 +2022,16 @@ object Relational {
   def q119(spark: SparkSession, dir: String): DataFrame =
     anomalyFlags(
       events(spark, dir)
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
-          .as("hour"), col("event_type"))
+        .groupBy(hourBucket(col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n")))
+
+  /** The canonical hour bucket — shared by q15, q119, and
+    * [[graft.streaming.RateAnomalyStream]]'s per-batch rollup, whose
+    * stream/batch parity depends on the THREE sites bucketing
+    * identically (string form sorts chronologically).
+    */
+  private[graft] def hourBucket(ts: Column): Column =
+    date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:00")
 
   /** The anomaly readout over a collapsed (event_type, hour, n)
     * rollup — shared by q119 (batch) and
@@ -2031,13 +2042,21 @@ object Relational {
   private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
     val f = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-6, -1)
-    val dev = col("k") * col("n") - col("s")
+    // n2 pre-projected so all three frame aggregates share ONE
+    // Window operator (an inline n*n forces a second Window pass
+    // over the sorted rollup); the squared test runs in
+    // decimal(38,0) — see the overflow note above
+    def wide(c: Column) = c.cast("decimal(38,0)")
+    val dev = wide(col("k")) * wide(col("n")) - wide(col("s"))
     hourly
-      .withColumn("k", count(col("n")).over(f))
-      .withColumn("s", sum(col("n")).over(f))
-      .withColumn("q", sum(col("n") * col("n")).over(f))
+      .withColumn("n2", col("n") * col("n"))
+      .select(col("event_type"), col("hour"), col("n"),
+        count(col("n")).over(f).as("k"),
+        sum(col("n")).over(f).as("s"),
+        sum(col("n2")).over(f).as("q"))
       .filter(col("k") >= 3 &&
-        dev * dev > lit(4) * (col("k") * col("q") - col("s") * col("s")))
+        dev * dev > lit(4) *
+          (wide(col("k")) * wide(col("q")) - wide(col("s")) * wide(col("s"))))
       .select(col("event_type"), col("hour"), col("n"), col("k"),
         col("s"), col("q"))
       .orderBy(col("event_type"), col("hour"))
@@ -2059,7 +2078,9 @@ object Relational {
       |)
       |SELECT event_type, hour, n, k, s, q
       |FROM w
-      |WHERE k >= 3 AND (k*n - s)*(k*n - s) > 4*(k*q - s*s)
+      |WHERE k >= 3
+      |  AND (CAST(k AS HUGEINT)*n - s) * (CAST(k AS HUGEINT)*n - s)
+      |    > 4 * (CAST(k AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
       |ORDER BY event_type, hour""".stripMargin
 
   /** All relational queries, keyed as registered in SparkEntry. */

@@ -56,25 +56,15 @@ object DriftStream {
     */
   def drift(spark: SparkSession, countsPath: String,
       baseCounts: DataFrame): DataFrame = {
-    // before the first non-empty batch lands there is no parquet to
-    // infer a schema from — read an empty delta-count table instead
-    // of throwing (the dashboard may poll from stream start); the
-    // readout then degenerates gracefully: all diffs zero, delta
-    // rates NULL (0 DIV 0), nothing to alert on
-    val fs = new org.apache.hadoop.fs.Path(countsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasShards = fs.exists(new org.apache.hadoop.fs.Path(countsPath)) &&
-      fs.listStatus(new org.apache.hadoop.fs.Path(countsPath))
-        .exists(_.getPath.getName.startsWith("batch="))
-    val deltaCounts =
-      if (hasShards) spark.read.parquet(countsPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("term",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType))))
+    // pre-first-batch poll: an empty delta-count table instead of a
+    // schema-inference throw; the readout then degenerates
+    // gracefully (all diffs zero, delta rates NULL via 0 DIV 0)
+    val deltaCounts = Shards.readOrEmpty(spark, countsPath,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
     val tagged = deltaCounts
       .select(col("term"), col("n"), lit(1L).as("side"))
       .union(baseCounts.select(col("term"), col("cb").as("n"),

@@ -84,22 +84,11 @@ object EmbDriftStream {
     * moment the stream starts).
     */
   def drift(spark: SparkSession, partialsPath: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(partialsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasShards = fs.exists(new org.apache.hadoop.fs.Path(partialsPath)) &&
-      fs.listStatus(new org.apache.hadoop.fs.Path(partialsPath))
-        .exists(_.getPath.getName.startsWith("batch="))
-    if (!hasShards)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("mean_cos_e6",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_docs",
-            org.apache.spark.sql.types.LongType))))
-    spark.read.parquet(partialsPath)
+    import org.apache.spark.sql.types._
+    Shards.readOrEmpty(spark, partialsPath, StructType(Seq(
+        StructField("source", StringType),
+        StructField("sum_cos_e6", LongType),
+        StructField("n", LongType))))
       .groupBy(col("source"))
       .agg(sum(col("sum_cos_e6")).as("s"), sum(col("n")).as("n_docs"))
       .select(col("source"), expr("s DIV n_docs").as("mean_cos_e6"),

@@ -51,12 +51,16 @@ object RateAnomalyStream {
     */
   def rollupBatch(batch: Dataset[Row], partialsPath: String,
       batchId: Long): Unit = {
+    // pin UTC: the hour bucket is session-timezone-dependent and the
+    // batch side (Relational.eventsRaw) pins UTC at the source — a
+    // non-UTC streaming driver would otherwise shift every bucket
+    // and silently break the q119 parity contract
+    batch.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     val b = batch.persist()
     try {
       if (!b.isEmpty)
-        b.groupBy(
-            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
-              .as("hour"), col("event_type"))
+        b.groupBy(Relational.hourBucket(col("ts")).as("hour"),
+            col("event_type"))
           .agg(count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$partialsPath/batch=$batchId")
@@ -70,30 +74,13 @@ object RateAnomalyStream {
     * empty flag set instead of throwing.
     */
   def anomalies(spark: SparkSession, partialsPath: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(partialsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasShards = fs.exists(new org.apache.hadoop.fs.Path(partialsPath)) &&
-      fs.listStatus(new org.apache.hadoop.fs.Path(partialsPath))
-        .exists(_.getPath.getName.startsWith("batch="))
-    if (!hasShards)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("hour",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("s",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("q",
-            org.apache.spark.sql.types.LongType))))
+    import org.apache.spark.sql.types._
+    val partials = Shards.readOrEmpty(spark, partialsPath, StructType(Seq(
+      StructField("hour", StringType),
+      StructField("event_type", StringType),
+      StructField("n", LongType))))
     Relational.anomalyFlags(
-      spark.read.parquet(partialsPath)
-        .groupBy(col("hour"), col("event_type"))
+      partials.groupBy(col("hour"), col("event_type"))
         .agg(sum(col("n")).as("n")))
   }
 }
