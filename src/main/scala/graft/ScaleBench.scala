@@ -95,8 +95,9 @@ object ScaleBench {
     "q117_graph_rank",
     // q119's window frame runs over the (type, hour) ROLLUP — which
     // stays constant-sized under the event replica (same hours, 10x
-    // the counts) — so the decade isolates the map-side rollup law
-    "q119_rate_anomaly")
+    // the counts) — so the decade isolates the map-side rollup law;
+    // q120 shares the identical posture (regression over the rollup)
+    "q119_rate_anomaly", "q120_rate_trend")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

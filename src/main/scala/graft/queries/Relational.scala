@@ -2083,6 +2083,70 @@ object Relational {
       |    > 4 * (CAST(k AS HUGEINT)*q - CAST(s AS HUGEINT)*s)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---- q120: event-rate trend (integer least-squares slope) ----
+  // q119's sibling: q119 flags LEVEL anomalies against a trailing
+  // baseline; this fits the per-type TREND — the least-squares slope
+  // of hourly counts over the hour index — the "is this event type
+  // growing or dying" readout. Exactness: with t = 0-based hour
+  // index (row_number per type over the chronologically-sorted
+  // string buckets) and y = count, the slope is
+  // (k*Sty - St*Sy) / (k*St2 - St^2) — the sums are exact int64
+  // (Sty caps ~3.8e16 even at 1e9 events/hour over a year), and the
+  // cross products compute WIDE (decimal(38,0) / HUGEINT, the q119
+  // pattern) before the e6 scaling and the one floor division.
+  // k >= 2 guards the degenerate single-hour fit (den = 0).
+  //
+  // 100 TB posture: identical to q119's — everything runs over the
+  // (type, hour) rollup; the row_number window is per type over
+  // rollup rows, the regression is one narrow aggregate per type.
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(hourBucket(col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("hour"))) - 1
+    def wide(c: Column) = c.cast("decimal(38,0)")
+    hourly
+      .withColumn("t", t.cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("t")).as("st"),
+        sum(col("n")).as("sy"), sum(col("t") * col("n")).as("sty"),
+        sum(col("t") * col("t")).as("st2"))
+      .filter(col("k") >= 2)
+      // `div` (IntegralDivide), NOT `/`: decimal `/` rounds to the
+      // result scale (half-up) before any cast — near an integer
+      // boundary that disagrees with the oracle's truncating `//`
+      .withColumn("num",
+        (wide(col("k")) * wide(col("sty")) - wide(col("st")) * wide(col("sy")))
+          * lit(1000000))
+      .withColumn("den",
+        wide(col("k")) * wide(col("st2")) - wide(col("st")) * wide(col("st")))
+      .select(col("event_type"), col("k"), col("sy"),
+        expr("CAST(num div den AS LONG)").as("slope_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  val q120Sql: String =
+    """WITH h AS (
+      |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), ht AS (
+      |  SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hour) - 1 AS t
+      |  FROM h
+      |), a AS (
+      |  SELECT event_type, count(*) AS k,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS sy,
+      |    CAST(sum(t*n) AS BIGINT) AS sty, CAST(sum(t*t) AS BIGINT) AS st2
+      |  FROM ht GROUP BY event_type
+      |)
+      |SELECT event_type, k, sy,
+      |  CAST((CAST(k AS HUGEINT)*sty - CAST(st AS HUGEINT)*sy) * 1000000
+      |    // (CAST(k AS HUGEINT)*st2 - CAST(st AS HUGEINT)*st) AS BIGINT)
+      |    AS slope_e6
+      |FROM a WHERE k >= 2 ORDER BY event_type""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
@@ -2130,7 +2194,8 @@ object Relational {
     "q104_profile" -> (q104 _),
     "q106_key_skew" -> (q106 _),
     "q115_unpivot" -> (q115 _),
-    "q119_rate_anomaly" -> (q119 _)
+    "q119_rate_anomaly" -> (q119 _),
+    "q120_rate_trend" -> (q120 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2179,6 +2244,7 @@ object Relational {
     "q104_profile" -> q104Sql,
     "q106_key_skew" -> q106Sql,
     "q115_unpivot" -> q115Sql,
-    "q119_rate_anomaly" -> q119Sql
+    "q119_rate_anomaly" -> q119Sql,
+    "q120_rate_trend" -> q120Sql
   )
 }
