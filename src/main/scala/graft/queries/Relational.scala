@@ -2099,10 +2099,18 @@ object Relational {
   // 100 TB posture: identical to q119's — everything runs over the
   // (type, hour) rollup; the row_number window is per type over
   // rollup rows, the regression is one narrow aggregate per type.
-  def q120(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = events(spark, dir)
-      .groupBy(hourBucket(col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    trendFit(
+      events(spark, dir)
+        .groupBy(hourBucket(col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The trend readout over a collapsed (hour, event_type, n) rollup
+    * — shared by q120 (batch) and
+    * [[graft.streaming.RateAnomalyStream]]'s second finisher (the
+    * same accumulated partials feed both standing readouts).
+    */
+  private[graft] def trendFit(hourly: DataFrame): DataFrame = {
     val t = row_number().over(
       Window.partitionBy(col("event_type")).orderBy(col("hour"))) - 1
     def wide(c: Column) = c.cast("decimal(38,0)")

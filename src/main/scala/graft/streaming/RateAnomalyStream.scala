@@ -73,14 +73,28 @@ object RateAnomalyStream {
     * lands there is no parquet to infer a schema from — return the
     * empty flag set instead of throwing.
     */
-  def anomalies(spark: SparkSession, partialsPath: String): DataFrame = {
+  def anomalies(spark: SparkSession, partialsPath: String): DataFrame =
+    Relational.anomalyFlags(accumulatedRollup(spark, partialsPath))
+
+  /** Second finisher over the SAME partials: q120's per-type
+    * least-squares trend — one partials stream feeds both standing
+    * readouts, which is the point of the counts-ADD decomposition.
+    */
+  def trends(spark: SparkSession, partialsPath: String): DataFrame =
+    Relational.trendFit(accumulatedRollup(spark, partialsPath))
+
+  /** The exact all-data (hour, event_type, n) rollup from the
+    * accrued per-batch partials (counts ADD; empty pre-first-batch
+    * window reads as an empty rollup).
+    */
+  private def accumulatedRollup(spark: SparkSession,
+      partialsPath: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val partials = Shards.readOrEmpty(spark, partialsPath, StructType(Seq(
-      StructField("hour", StringType),
-      StructField("event_type", StringType),
-      StructField("n", LongType))))
-    Relational.anomalyFlags(
-      partials.groupBy(col("hour"), col("event_type"))
-        .agg(sum(col("n")).as("n")))
+    Shards.readOrEmpty(spark, partialsPath, StructType(Seq(
+        StructField("hour", StringType),
+        StructField("event_type", StringType),
+        StructField("n", LongType))))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
   }
 }

@@ -49,6 +49,13 @@ class RateAnomalyStreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty,
       "streamed anomaly flags diverge from q119's batch flags")
+    // the SAME accumulated partials feed the second finisher: q120's
+    // trend must also match its batch form exactly
+    val streamedTrend = RateAnomalyStream.trends(spark, parts)
+    val batchTrend = Relational.queries("q120_rate_trend")(spark, dir)
+    assert(streamedTrend.exceptAll(batchTrend).isEmpty &&
+      batchTrend.exceptAll(streamedTrend).isEmpty,
+      "streamed trend fit diverges from q120's batch fit")
   }
 
   test("a replayed rollup batch overwrites; empty dir reads as empty flags") {
