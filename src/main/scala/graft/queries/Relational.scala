@@ -2039,6 +2039,12 @@ object Relational {
     * so per-micro-batch rollup partials re-aggregate exactly; the
     * window test runs on rollup-sized rows, never raw events).
     */
+  /** decimal(38,0) widening for the q119/q120 integer cross
+    * products — ONE definition so the two wide-arithmetic paths
+    * cannot silently diverge.
+    */
+  private def wide(c: Column): Column = c.cast("decimal(38,0)")
+
   private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
     val f = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-6, -1)
@@ -2046,7 +2052,6 @@ object Relational {
     // Window operator (an inline n*n forces a second Window pass
     // over the sorted rollup); the squared test runs in
     // decimal(38,0) — see the overflow note above
-    def wide(c: Column) = c.cast("decimal(38,0)")
     val dev = wide(col("k")) * wide(col("n")) - wide(col("s"))
     hourly
       .withColumn("n2", col("n") * col("n"))
@@ -2113,7 +2118,6 @@ object Relational {
   private[graft] def trendFit(hourly: DataFrame): DataFrame = {
     val t = row_number().over(
       Window.partitionBy(col("event_type")).orderBy(col("hour"))) - 1
-    def wide(c: Column) = c.cast("decimal(38,0)")
     hourly
       .withColumn("t", t.cast("long"))
       .groupBy(col("event_type"))

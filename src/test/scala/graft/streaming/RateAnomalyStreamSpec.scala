@@ -53,6 +53,7 @@ class RateAnomalyStreamSpec extends AnyFunSuite {
     // trend must also match its batch form exactly
     val streamedTrend = RateAnomalyStream.trends(spark, parts)
     val batchTrend = Relational.queries("q120_rate_trend")(spark, dir)
+    assert(batchTrend.count() > 0, "fixture produced no trend rows to compare")
     assert(streamedTrend.exceptAll(batchTrend).isEmpty &&
       batchTrend.exceptAll(streamedTrend).isEmpty,
       "streamed trend fit diverges from q120's batch fit")
