@@ -97,7 +97,11 @@ object ScaleBench {
     // stays constant-sized under the event replica (same hours, 10x
     // the counts) — so the decade isolates the map-side rollup law;
     // q120 shares the identical posture (regression over the rollup)
-    "q119_rate_anomaly", "q120_rate_trend")
+    "q119_rate_anomaly", "q120_rate_trend",
+    // q121 is one corpus scan for the stats row + one map-only
+    // scoring scan against the broadcast — the decade pins the
+    // per-doc scoring cost constant
+    "q121_bm25")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

@@ -2707,6 +2707,99 @@ object TextQueries {
        |FROM r3 ORDER BY pr DESC, id LIMIT 20""".stripMargin
   }
 
+  // ---- q121: BM25 lexical retrieval (top-10 for a fixed query) ----
+  // The lexical half of a RAG retrieval stack (the vector half is
+  // q40/q62/q71): Okapi BM25 over the corpus for a fixed 4-term
+  // query, k1 = 1.2, b = 0.75. Everything after the per-term idf is
+  // INTEGER: with the exact rationals k1 = 6/5, b = 3/4, the
+  // per-term score idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*len/avg)
+  // multiplies through by 10*N*avg = 10*SL into
+  //   idf_e6 * 22*tf*SL div (10*tf*SL + 3*SL + 9*len*N)
+  // — one floor division per term (decimal/HUGEINT-widened products,
+  // the q119/q120 pattern), summed in FIXED query-term order, so no
+  // float accumulation order exists to diverge. The idfs themselves
+  // are ln-based e6 integers (the q90 micro-nat pattern; libm parity
+  // across engines is q90's long-standing precedent).
+  //
+  // 100 TB posture: the stats row (N, SL, per-term dfs -> idfs) is
+  // ONE corpus aggregate broadcast back as a single row; scoring is
+  // map-only per doc against the broadcast; the readout is a bounded
+  // TakeOrdered top-10. An inverted index would serve point queries
+  // faster, but for batch scoring (RAG corpus preparation) the scan
+  // IS the right plan — every doc must be scored anyway.
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "stream", "join", "key")
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("len", size(col("tk")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("nn"),
+      sum(col("len")).as("sl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("tk"), t), 1L).otherwise(0L))
+            .as(s"df$i")
+        }: _*)
+    val withIdf = stats.select(col("nn") +: col("sl") +:
+      terms.indices.map { i =>
+        round(log(lit(1.0) +
+          (col("nn") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+          * 1e6).cast("long").as(s"idf$i")
+      }: _*)
+    val tfd = terms.zipWithIndex.foldLeft(
+      docs.crossJoin(broadcast(withIdf))) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("tk"), x => x === lit(t))).cast("long"))
+    }
+    val contrib = terms.indices.map { i =>
+      expr(s"CAST((CAST(idf$i AS DECIMAL(38,0)) * tf$i * sl * 22) div " +
+        s"(10 * CAST(tf$i AS DECIMAL(38,0)) * sl + 3 * sl + " +
+        s"9 * CAST(len AS DECIMAL(38,0)) * nn) AS LONG)")
+    }.reduce(_ + _)
+    tfd.select(col("doc_id"), contrib.as("score_e6"))
+      .filter(col("score_e6") > 0)
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q121Sql: String = {
+    val terms = Seq("table", "stream", "join", "key")
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+    val dfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n    ")
+    val idfSel = terms.indices.map { i =>
+      s"CAST(round(ln(1.0 + (nn - df$i + 0.5) / (df$i + 0.5)) * 1000000, 0) AS BIGINT) AS idf$i"
+    }.mkString(",\n    ")
+    val contrib = terms.indices.map { i =>
+      s"CAST((CAST(idf$i AS HUGEINT) * tf$i * sl * 22) // " +
+        s"(10 * CAST(tf$i AS HUGEINT) * sl + 3 * sl + 9 * CAST(len AS HUGEINT) * nn) AS BIGINT)"
+    }.mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents
+       |), dd AS (
+       |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS len,
+       |    $tfSel
+       |  FROM d
+       |), st AS (
+       |  SELECT count(*) AS nn, CAST(sum(len) AS BIGINT) AS sl,
+       |    $dfSel
+       |  FROM dd
+       |), si AS (
+       |  SELECT nn, sl,
+       |    $idfSel
+       |  FROM st
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $contrib AS score_e6
+       |  FROM dd, si
+       |)
+       |SELECT doc_id, score_e6 FROM sc
+       |WHERE score_e6 > 0
+       |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   // ---- q112: containment near-dup (asymmetric excerpt detection) ----
   // The pass a dedup pipeline runs BESIDE Jaccard (q33): containment
   // `common / min(na, nb)` flags a short excerpt embedded in a long
@@ -2816,7 +2909,8 @@ object TextQueries {
     "q111_drift_stats" -> (q111 _),
     "q112_containment" -> (q112 _),
     "q116_canonical_keeper" -> (q116 _),
-    "q117_graph_rank" -> (q117 _)
+    "q117_graph_rank" -> (q117 _),
+    "q121_bm25" -> (q121 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2866,6 +2960,7 @@ object TextQueries {
     "q111_drift_stats" -> q111Sql,
     "q112_containment" -> q112Sql,
     "q116_canonical_keeper" -> q116Sql,
-    "q117_graph_rank" -> q117Sql
+    "q117_graph_rank" -> q117Sql,
+    "q121_bm25" -> q121Sql
   )
 }

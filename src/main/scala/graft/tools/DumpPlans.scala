@@ -85,7 +85,8 @@ object DumpPlans {
       "q117_graph_rank" -> "similarity-graph rank (fixed-depth integer power iteration, TakeOrdered readout)",
       "q118_margin_align" -> "margin alignment mining (barriered exact scorer, two bounded top-4 side aggregates)",
       "q119_rate_anomaly" -> "event-rate anomaly flags (rollup aggregate, 6-deep window frame, integer 2-sigma test)",
-      "q120_rate_trend" -> "event-rate trend (rollup-sized row_number window, one regression aggregate per type)")
+      "q120_rate_trend" -> "event-rate trend (rollup-sized row_number window, one regression aggregate per type)",
+      "q121_bm25" -> "BM25 retrieval (one stats aggregate broadcast back, map-only scoring, TakeOrdered top-10)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
