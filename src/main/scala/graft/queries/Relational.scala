@@ -2033,18 +2033,18 @@ object Relational {
   private[graft] def hourBucket(ts: Column): Column =
     date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:00")
 
-  /** The anomaly readout over a collapsed (event_type, hour, n)
-    * rollup — shared by q119 (batch) and
-    * [[graft.streaming.RateAnomalyStream]]'s finisher (counts ADD,
-    * so per-micro-batch rollup partials re-aggregate exactly; the
-    * window test runs on rollup-sized rows, never raw events).
-    */
   /** decimal(38,0) widening for the q119/q120 integer cross
     * products — ONE definition so the two wide-arithmetic paths
     * cannot silently diverge.
     */
   private def wide(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** The anomaly readout over a collapsed (event_type, hour, n)
+    * rollup — shared by q119 (batch) and
+    * [[graft.streaming.RateAnomalyStream]]'s finisher (counts ADD,
+    * so per-micro-batch rollup partials re-aggregate exactly; the
+    * window test runs on rollup-sized rows, never raw events).
+    */
   private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
     val f = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-6, -1)

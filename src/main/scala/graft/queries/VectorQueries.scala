@@ -1205,8 +1205,12 @@ object VectorQueries {
         col("cos_e6"), col("xid"), lit(4)).as("top"))
       .select(col("yid"), expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV 4").as("ay"))
     xside.join(yside, col("ybest") === col("yid"))
+      // nullif: a degenerate neighborhood (truncating top-4 means
+      // summing to 0) must NULL the margin — which the threshold
+      // filter then drops — not abort the job (ANSI DIV 0 throws;
+      // the q111 guard's defect class)
       .withColumn("margin_e6",
-        expr("cos_e6 * 1000000 DIV ((ax + ay) DIV 2)"))
+        expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
       .filter(col("margin_e6") >= 1400000L)
       .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
       .orderBy(col("xid"))
@@ -1250,9 +1254,9 @@ object VectorQueries {
        |  SELECT yid, CAST(sum(cos_e6) // 4 AS BIGINT) AS ay FROM ry WHERE rn <= 4 GROUP BY yid
        |)
        |SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
-       |  CAST(x.best_cos * 1000000 // ((x.ax + y.ay) // 2) AS BIGINT) AS margin_e6
+       |  CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
        |FROM ax x JOIN ay y ON y.yid = x.ybest
-       |WHERE x.best_cos * 1000000 // ((x.ax + y.ay) // 2) >= 1400000
+       |WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
        |ORDER BY x.xid""".stripMargin
   }
 

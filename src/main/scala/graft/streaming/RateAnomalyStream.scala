@@ -51,11 +51,18 @@ object RateAnomalyStream {
     */
   def rollupBatch(batch: Dataset[Row], partialsPath: String,
       batchId: Long): Unit = {
-    // pin UTC: the hour bucket is session-timezone-dependent and the
-    // batch side (Relational.eventsRaw) pins UTC at the source — a
-    // non-UTC streaming driver would otherwise shift every bucket
-    // and silently break the q119 parity contract
-    batch.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    // pin UTC for THIS batch body only (saved and restored): the
+    // hour bucket is session-timezone-dependent and the batch side
+    // (Relational.eventsRaw) pins UTC at the source — a non-UTC
+    // streaming driver would otherwise shift every bucket and
+    // silently break the q119 parity contract. Restoring after the
+    // write is safe and keeps the sink from permanently hijacking
+    // an embedding application's session timezone: the conf is read
+    // during this body's own analysis/execution, which completes
+    // before the finally.
+    val spark = batch.sparkSession
+    val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val b = batch.persist()
     try {
       if (!b.isEmpty)
@@ -64,7 +71,13 @@ object RateAnomalyStream {
           .agg(count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$partialsPath/batch=$batchId")
-    } finally b.unpersist()
+    } finally {
+      b.unpersist()
+      prevTz match {
+        case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+        case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
+    }
   }
 
   /** Finisher: accumulated rollup partials → q119's anomaly flags.

@@ -22,7 +22,14 @@ private[streaming] object Shards {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasShards = fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith("batch="))
-    if (hasShards) spark.read.parquet(path)
+    if (hasShards)
+      // schema PINNED, not inferred: a first batch dir caught
+      // mid-write (or crashed mid-write) exists but holds only the
+      // committer's _temporary dir — zero data files — and schema
+      // inference would throw exactly the pre-first-batch crash this
+      // helper closes; with the schema supplied the torn dir reads
+      // as zero rows and the next poll sees the completed shard
+      spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
   }
