@@ -84,7 +84,7 @@ object TextQueries {
   private[queries] def withExactCopies(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     d.union(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .select(Fixtures.plantedId(col("doc_id"), 1000000L).as("doc_id"), col("text")))
   }
 
   private val exactCopiesSql =
@@ -102,7 +102,7 @@ object TextQueries {
     val d = docs.select(col("doc_id"), col("text"))
     d.union(d
       .filter(col("doc_id") % 7 === 0 && size(toks) > 10)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 1000000L).as("doc_id"),
         concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text")))
   }
 
@@ -768,7 +768,7 @@ object TextQueries {
         slice(TextOps.tokens(col("text")), 1, 12)).as("excerpt"))
     val planted = docs.filter(col("doc_id") % 40 === 1)
       .crossJoin(broadcast(excerpt))
-      .select((col("doc_id") + 2000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 2000000L).as("doc_id"),
         concat(col("text"), lit(" "), col("excerpt")).as("text"))
     TextOps.contaminationPairs(docs.unionByName(planted),
         isBench = col("doc_id") % 50 === 0, minOverlap = 5L)
@@ -1296,9 +1296,9 @@ object TextQueries {
   def q80(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val replayed = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      .select(Fixtures.plantedId(col("doc_id"), 2000000L).as("doc_id"), col("text"))
     val fresh = docs.filter(col("doc_id") % 7 === 3)
-      .select((col("doc_id") + 3000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 3000000L).as("doc_id"),
         concat(lit("fresh "), (col("doc_id") % 50).cast("string")).as("text"))
     val delta = replayed.union(fresh).withColumn("h", md5(col("text")))
     // one map-only probe over the base; emits only matched digests.
@@ -1370,7 +1370,7 @@ object TextQueries {
     val docs = tbl(spark, dir, "documents")
     withExactCopies(docs).union(
       docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
-        .select((col("doc_id") + 2000000).as("doc_id"),
+        .select(Fixtures.plantedId(col("doc_id"), 2000000L).as("doc_id"),
           concat_ws(" ",
             concat(array(lit("aug"), col("doc_id").cast("string")),
               slice(toks, 6, 16))).as("text")))
@@ -1733,10 +1733,10 @@ object TextQueries {
     // U+00C9/U+00E9, decomposed = ASCII letters + combining U+0301
     // — byte-different, NFC-equal
     val composed = every37.select(
-      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      Fixtures.plantedId(col("doc_id"), 10000000L).as("doc_id"),
       concat(lit("R\u00C9SUM\u00C9  Caf\u00E9 "), col("text")).as("text"))
     val decomposed = every37.select(
-      (col("doc_id") + lit(20000000L)).as("doc_id"),
+      Fixtures.plantedId(col("doc_id"), 20000000L).as("doc_id"),
       concat(lit("re\u0301sume\u0301 cafe\u0301 "), col("text")).as("text"))
     docs.unionByName(composed).unionByName(decomposed)
       .select(col("doc_id"),
@@ -2108,10 +2108,10 @@ object TextQueries {
     */
   private[graft] def q107Delta(docs: DataFrame): DataFrame = {
     val near = docs.filter(col("doc_id") % 7 === 0 && size(toks) > 10)
-      .select((col("doc_id") + 1000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 1000000L).as("doc_id"),
         concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text"))
     val fresh = docs.filter(col("doc_id") % 11 === 5)
-      .select((col("doc_id") + 3000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 3000000L).as("doc_id"),
         concat(lit("fresh doc about topic "),
           (col("doc_id") % 40).cast("string")).as("text"))
     near.union(fresh)
@@ -2504,9 +2504,15 @@ object TextQueries {
     val tot = agg.agg(sum(col("cd")).as("nd"), sum(col("cb")).as("nb"))
     agg.crossJoin(broadcast(tot))
       .select(col("term"), col("cd"), col("cb"),
+        // internal widening stays decimal(38,0); the OUTPUT narrows to
+        // int64 because DuckDB HUGEINT degrades to float64 through a
+        // pandas round-trip (1222425.0 vs 1222425 → hash drift). The
+        // narrow is safe while |diff| < 2^63, i.e. until cd*Nb crosses
+        // ~9.2e18 — a per-term count times the OTHER side's corpus
+        // total; monitors past that re-rank on a coarser unit.
         abs(col("cd").cast("decimal(19,0)") * col("nb")
           - col("cb").cast("decimal(19,0)") * col("nd"))
-          .cast("decimal(38,0)").as("diff_x"),
+          .cast("decimal(38,0)").cast("long").as("diff_x"),
         // nullif: under ANSI (Spark 4 default) DIV 0 THROWS — a
         // zero-count side (the standing monitor polled before any
         // delta lands) must read as NULL rates, not crash the
@@ -2553,7 +2559,8 @@ object TextQueries {
        |  SELECT sum(cd) AS nd, sum(cb) AS nb FROM a
        |)
        |SELECT term, CAST(cd AS BIGINT) AS cd, CAST(cb AS BIGINT) AS cb,
-       |  abs(CAST(cd AS HUGEINT) * nb - CAST(cb AS HUGEINT) * nd) AS diff_x,
+       |  CAST(abs(CAST(cd AS HUGEINT) * nb - CAST(cb AS HUGEINT) * nd)
+       AS BIGINT) AS diff_x,
        |  CAST(cd * 1000000 // nd AS BIGINT) AS rate_d_e6,
        |  CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_e6
        |FROM a, t
@@ -2825,7 +2832,7 @@ object TextQueries {
     val d = docs.select(col("doc_id"), col("text"))
     d.union(d
       .filter(col("doc_id") % 11 === 0 && size(toks) > 20)
-      .select((col("doc_id") + 2000000).as("doc_id"),
+      .select(Fixtures.plantedId(col("doc_id"), 2000000L).as("doc_id"),
         concat_ws(" ",
           slice(toks, lit(1), floor(size(toks) / 2).cast("int"))).as("text")))
   }

@@ -27,7 +27,7 @@ class DriftStreamSpec extends AnyFunSuite {
     val out = DriftStream.drift(spark, counts, base).collect()
     // both base terms present, all diffs zero (no delta has landed)
     assert(out.length == 2 && out.forall(r =>
-      r.getDecimal(r.fieldIndex("diff_x")).longValueExact() == 0L))
+      r.getLong(r.fieldIndex("diff_x")) == 0L))
   }
 
   test("streamed drift readout equals q111 across micro-batches and a replay") {

@@ -89,6 +89,49 @@ def table_rows(tbl):
     return cols, rows
 
 
+def pandas_dtype_class(d):
+    """pandas dtype -> comparison class; datetime64 unit noise (ns vs
+    us) is representation-neutral through repr, so collapse it."""
+    s = str(d)
+    return "datetime64" if s.startswith("datetime64") else s
+
+
+def pandas_repr_rows(df):
+    df = df[sorted(df.columns)]
+    try:
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    except Exception as e:
+        return None, f"row-sort failed: {e}"
+    rows = [tuple(repr(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return rows, None
+
+
+def pandas_parity(spark_tbl, con, sql):
+    """Return an error string if the driver's pandas-path hash would
+    diverge despite arrow-level exact equality, else None."""
+    sdf = spark_tbl.to_pandas()
+    ddf = con.execute(sql).df()
+    sdt = {c: pandas_dtype_class(sdf.dtypes[c]) for c in sdf.columns}
+    ddt = {c: pandas_dtype_class(ddf.dtypes[c]) for c in ddf.columns}
+    bad = {c: (sdt[c], ddt.get(c)) for c in sdt if sdt[c] != ddt.get(c)}
+    if bad:
+        return (f"PANDAS-DTYPE-MISMATCH {bad} (values equal; driver "
+                f"hash WILL fail — e.g. DuckDB HUGEINT degrades to "
+                f"float64: CAST the oracle output to BIGINT)")
+    srows, serr = pandas_repr_rows(sdf)
+    drows, derr = pandas_repr_rows(ddf)
+    if serr or derr:
+        return f"PANDAS-SORT-ERROR spark={serr} duck={derr}"
+    if srows != drows:
+        diff = next(((i, a, b) for i, (a, b)
+                     in enumerate(zip(srows, drows)) if a != b),
+                    ("len", len(srows), len(drows)))
+        return (f"PANDAS-REPR-MISMATCH first diff {diff} (values equal "
+                f"at arrow level; representation drift)")
+    return None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -157,7 +200,19 @@ def main():
             continue
         exact = srows_s == drows_s
         if exact:
-            results[name] = f"OK rows={len(srows)} (exact)"
+            # Driver-hash parity: the driver compares through a PANDAS
+            # round-trip (duckdb .df(), spark parquet -> to_pandas),
+            # where representation survives python equality: DuckDB
+            # HUGEINT -> float64 while Spark decimal(38,0) -> object
+            # (Decimal) — values equal as python numbers (1222425.0 ==
+            # 1222425) but the driver's value hash differs (round-10
+            # bite: q111 was the only red, caught by the driver alone).
+            # Replicate that path and compare per-cell reprs.
+            perr = pandas_parity(spark_tbl, con, oracle[name])
+            if perr:
+                results[name] = perr
+            else:
+                results[name] = f"OK rows={len(srows)} (exact)"
             continue
         # find first differing cell
         diff = None
