@@ -1767,9 +1767,23 @@ object Relational {
   // q43/q81 (documented precedent), query CONSTRUCTION runs work:
   // the DDL + upsert happen eagerly so the returned frame is the
   // readback.
+  //
+  // Under a multi-process master (local-cluster), the embedded
+  // in-memory store is per-JVM — executors can't see the driver's
+  // database — so the SAME upsert/read code runs against it through
+  // [[graft.tools.JdbcProxy]] (a socket server in the driver JVM;
+  // executors connect via the jdbc:graftproxy driver), making the
+  // round-trip a genuine out-of-process database exercise instead of
+  // a skip.
   def q101(spark: SparkSession, dir: String): DataFrame = {
-    val url = "jdbc:derby:memory:graftq101;create=true"
-    val c = java.sql.DriverManager.getConnection(url)
+    val embedded = "jdbc:derby:memory:graftq101;create=true"
+    val url =
+      if (spark.sparkContext.master.startsWith("local-cluster"))
+        graft.tools.JdbcProxy.serve(embedded)
+      else embedded
+    // DDL always runs driver-side on the embedded store (the proxy
+    // server lives in this JVM and shares it)
+    val c = java.sql.DriverManager.getConnection(embedded)
     try {
       val st = c.createStatement()
       try st.execute("DROP TABLE customer_j")
@@ -2006,10 +2020,11 @@ object Relational {
   // are computed WIDE — decimal(38,0) here, HUGEINT in the oracle,
   // both exact 128-bit-class integer arithmetic — because int64
   // products would abort (ANSI overflow) near 2.5e8 events per
-  // (type, hour). The remaining int64 term is the STORED
-  // sum-of-squares column Q, whose own ceiling is ~1.2e9 events per
-  // (type, hour) — 330k events/s for one type; past that, bucket
-  // finer (minutes) or move Q to decimal end-to-end.
+  // (type, hour). The sum-of-squares runs WIDE end-to-end; only the
+  // OUTPUT column Q narrows to the int64 contract, whose ceiling is
+  // ~1.2e9 events per (type, hour) — 330k events/s for one type —
+  // ENFORCED by an assert_true that names the ceiling and the fix
+  // (bucket finer) rather than a bare ANSI overflow mid-codegen.
   // k >= 3 gates the cold start: fewer than 3 baseline windows is a
   // guess, not a baseline.
   //
@@ -2030,8 +2045,20 @@ object Relational {
     * stream/batch parity depends on the THREE sites bucketing
     * identically (string form sorts chronologically).
     */
-  private[graft] def hourBucket(ts: Column): Column =
-    date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:00")
+  private[graft] def hourBucket(ts: Column): Column = {
+    // timezone-INDEPENDENT UTC bucketing: pure epoch arithmetic plus
+    // a DateType render (dates carry no zone), so the bucket is the
+    // UTC hour under ANY spark.sql.session.timeZone — the streaming
+    // monitor's per-batch rollup needs no session-conf toggle (which
+    // would race with concurrently-running queries in the shared
+    // session). Epochs are validated post-2000 (eventsRaw probe), so
+    // truncating division IS floor division here.
+    val hourIdx = floor(unix_seconds(ts) / lit(3600)).cast("long")
+    val days = floor(hourIdx / lit(24)).cast("int")
+    val hh = (hourIdx - days.cast("long") * lit(24L)).cast("int")
+    concat(date_add(to_date(lit("1970-01-01")), days).cast("string"),
+      lit(" "), lpad(hh.cast("string"), 2, "0"), lit(":00"))
+  }
 
   /** decimal(38,0) widening for the q119/q120 integer cross
     * products — ONE definition so the two wide-arithmetic paths
@@ -2050,20 +2077,30 @@ object Relational {
       .rowsBetween(-6, -1)
     // n2 pre-projected so all three frame aggregates share ONE
     // Window operator (an inline n*n forces a second Window pass
-    // over the sorted rollup); the squared test runs in
-    // decimal(38,0) — see the overflow note above
+    // over the sorted rollup); the square is computed WIDE at the
+    // source (decimal(38,0) — int64 n*n would abort under ANSI past
+    // ~3e9 events in a single (type, hour) cell), and only the
+    // OUTPUT narrows to the int64 `q` contract, behind an assert
+    // that names the ceiling instead of surfacing a bare ANSI
+    // cast-overflow from inside codegen.
     val dev = wide(col("k")) * wide(col("n")) - wide(col("s"))
     hourly
-      .withColumn("n2", col("n") * col("n"))
+      .withColumn("n2", wide(col("n")) * wide(col("n")))
       .select(col("event_type"), col("hour"), col("n"),
         count(col("n")).over(f).as("k"),
         sum(col("n")).over(f).as("s"),
-        sum(col("n2")).over(f).as("q"))
+        sum(col("n2")).over(f).as("qw"))
       .filter(col("k") >= 3 &&
         dev * dev > lit(4) *
-          (wide(col("k")) * wide(col("q")) - wide(col("s")) * wide(col("s"))))
+          (wide(col("k")) * col("qw") - wide(col("s")) * wide(col("s"))))
       .select(col("event_type"), col("hour"), col("n"), col("k"),
-        col("s"), col("q"))
+        col("s"),
+        when(assert_true(col("qw") <= lit(Long.MaxValue),
+            concat(lit("event-rate rollup exceeds the int64 `q` " +
+              "output ceiling (sum of 6 squared hourly counts >= 2^63, " +
+              "i.e. ~1.2e9 events per (type, hour)); re-bucket to a " +
+              "finer time unit — q="), col("qw").cast("string"))).isNull,
+          col("qw").cast("long")).as("q"))
       .orderBy(col("event_type"), col("hour"))
   }
 

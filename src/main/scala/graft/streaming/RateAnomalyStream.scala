@@ -51,18 +51,11 @@ object RateAnomalyStream {
     */
   def rollupBatch(batch: Dataset[Row], partialsPath: String,
       batchId: Long): Unit = {
-    // pin UTC for THIS batch body only (saved and restored): the
-    // hour bucket is session-timezone-dependent and the batch side
-    // (Relational.eventsRaw) pins UTC at the source — a non-UTC
-    // streaming driver would otherwise shift every bucket and
-    // silently break the q119 parity contract. Restoring after the
-    // write is safe and keeps the sink from permanently hijacking
-    // an embedding application's session timezone: the conf is read
-    // during this body's own analysis/execution, which completes
-    // before the finally.
-    val spark = batch.sparkSession
-    val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // no session-conf toggling here: hourBucket is timezone-
+    // INDEPENDENT (pure UTC epoch arithmetic), so this body cannot
+    // shift buckets under a non-UTC streaming driver and cannot race
+    // other queries co-running in the shared session (the earlier
+    // save/restore of spark.sql.session.timeZone did both).
     val b = batch.persist()
     try {
       if (!b.isEmpty)
@@ -71,13 +64,7 @@ object RateAnomalyStream {
           .agg(count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$partialsPath/batch=$batchId")
-    } finally {
-      b.unpersist()
-      prevTz match {
-        case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
-        case None => spark.conf.unset("spark.sql.session.timeZone")
-      }
-    }
+    } finally b.unpersist()
   }
 
   /** Finisher: accumulated rollup partials → q119's anomaly flags.
