@@ -39,4 +39,25 @@ object Buckets {
         col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
   }
+
+  /** The bipartite sibling: candidate pairs from an equi join of two
+    * DISTINCT bucketed tables (e.g. the source/target sides of
+    * alignment mining), with the same hot-bucket guard — a key whose
+    * population exceeds `maxBucket` on EITHER side is dropped before
+    * pairing, bounding pair count by n_buckets * maxBucket^2. Returns
+    * the `a`(left)/`b`(right)-aliased join; callers should persist +
+    * eagerly materialize lazily-derived inputs (sibling-stage race,
+    * as with [[cappedSelfJoinPairs]]).
+    */
+  def cappedBipartitePairs(left: DataFrame, right: DataFrame,
+      bucketCol: String, maxBucket: Long): DataFrame = {
+    def hot(df: DataFrame) =
+      df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucket).select(col(bucketCol))
+    val hotKeys = hot(left).union(hot(right)).distinct()
+    val l = left.join(broadcast(hotKeys), Seq(bucketCol), "left_anti")
+    val r = right.join(broadcast(hotKeys), Seq(bucketCol), "left_anti")
+    l.as("a").join(r.as("b"),
+      col(s"a.$bucketCol") === col(s"b.$bucketCol"))
+  }
 }

@@ -147,7 +147,7 @@ object VectorQueries {
   def q42(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
     val planted = base.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
+      .select(Fixtures.plantedId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
     annNearDupPairs(base.union(planted), signs)
@@ -242,6 +242,16 @@ object VectorQueries {
     * plane count per table remains the bucket-size knob — at scale,
     * candidates grow as b * n^2 / 2^planes.
     */
+  /** One (table, bucket) band-key struct per band table for vector
+    * column `v` — the explode payload shared by the banded pair
+    * generator, the q105 claim keys, and q122's bipartite sides.
+    */
+  private def bandKeyArr(v: Column,
+      tables: Seq[Seq[Seq[Double]]] = bandTables): Column =
+    array(tables.zipWithIndex.map { case (signs, t) =>
+      struct(lit(t).as("t"), srpBucket(v, signs).cast("int").as("b"))
+    }: _*)
+
   def annNearDupPairsBanded(vecs: DataFrame,
       tables: Seq[Seq[Seq[Double]]], minCosE6: Long = 990000L,
       maxBucket: Long = 100000L): DataFrame = {
@@ -250,10 +260,7 @@ object VectorQueries {
     // sibling-stage reason as annNearDupPairs
     val banded = vecs
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bk", explode(array(tables.zipWithIndex.map {
-        case (signs, t) =>
-          struct(lit(t).as("t"), srpBucket(col("v"), signs).cast("int").as("b"))
-      }: _*)))
+      .withColumn("bk", explode(bandKeyArr(col("v"), tables)))
       .persist()
     banded.count()
     graft.operators.Buckets
@@ -271,7 +278,7 @@ object VectorQueries {
   def q62(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
     val planted = base.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
+      .select(Fixtures.plantedId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.15).otherwise(x))
           .as("v"))
     annNearDupPairsBanded(base.union(planted), bandTables,
@@ -287,9 +294,10 @@ object VectorQueries {
     * table `tab` — the one place the bucket bit encoding is spelled
     * in SQL (q41Sql single table, q62Sql bands, q105Sql audit keys).
     */
-  private def bucketBitsSql(tab: Seq[Seq[Double]]): String =
+  private def bucketBitsSql(tab: Seq[Seq[Double]],
+      vcol: String = "v"): String =
     (0 until Planes).map { p =>
-      s"CASE WHEN ${dotSql("v", s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
+      s"CASE WHEN ${dotSql(vcol, s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" +\n    ")
 
   val q62Sql: String = {
@@ -770,7 +778,7 @@ object VectorQueries {
   def q79(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
     val planted = base.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
+      .select(Fixtures.plantedId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
     val pairs = annNearDupPairs(base.union(planted), signs)
@@ -885,10 +893,7 @@ object VectorQueries {
     // one (table, bucket) key per band table per surviving vector
     val claimKeys = all
       .join(broadcast(claimIds), col("vec_id") === col("vid"))
-      .select(col("vec_id"),
-        explode(array(bandTables.zipWithIndex.map { case (tab, t) =>
-          struct(lit(t).as("t"), srpBucket(col("v"), tab).cast("int").as("b"))
-        }: _*)).as("k"))
+      .select(col("vec_id"), explode(bandKeyArr(col("v"))).as("k"))
       .select(col("vec_id"), col("k.t").as("t"), col("k.b").as("b"))
       .persist()
     claimKeys.count() // eager: both configs' nk/qk read this
@@ -978,7 +983,7 @@ object VectorQueries {
   private[graft] def q113Corpus(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir)
     val planted = base.filter(col("vec_id") % 97 === 0)
-      .select((col("vec_id") + 1000000).as("vec_id"),
+      .select(Fixtures.plantedId(col("vec_id"), 1000000L).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
     base.filter(col("vec_id") % 97 =!= 0).union(planted)
@@ -1175,7 +1180,14 @@ object VectorQueries {
   // read one shuffle output instead of re-running the quadratic
   // scorer; each aggregate is the bounded topk_by_score partial, so
   // only 4-row summaries cross the exchanges after it.
-  def q118(spark: SparkSession, dir: String): DataFrame = {
+  /** The alignment-mining sides shared by q118 (exact baseline) and
+    * q122 (banded production path): source side `a` = label < 5 as
+    * (xid, xv, nx); target side `b` = label >= 5 ∪ a perturbed twin
+    * of every 50th source vector (the planted true alignments), as
+    * (yid, yv, ny). Norms are staged once per row.
+    */
+  private def alignSides(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val e = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
@@ -1183,12 +1195,17 @@ object VectorQueries {
       .select(col("vec_id").as("xid"), col("v")))
       .select(col("xid"), col("v").as("xv"), col("nv").as("nx"))
     val planted = e.filter(col("label") < 5 && col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 1000000).as("yid"),
+      .select(Fixtures.plantedId(col("vec_id"), 1000000L).as("yid"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.05).otherwise(x))
           .as("v"))
     val b = withNorm(e.filter(col("label") >= 5)
       .select(col("vec_id").as("yid"), col("v")).union(planted))
       .select(col("yid"), col("v").as("yv"), col("nv").as("ny"))
+    (a, b)
+  }
+
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = alignSides(spark, dir)
     val scored = a.crossJoin(broadcast(b))
       .select(col("xid"), col("yid"),
         round(dot(col("xv"), col("yv")) / (col("nx") * col("ny")) * 1e6)
@@ -1216,11 +1233,11 @@ object VectorQueries {
       .orderBy(col("xid"))
   }
 
-  val q118Sql: String = {
-    val d = dotSql("a.xv", "bb.yv")
-    val nx = dotSql("a.xv", "a.xv")
-    val ny = dotSql("bb.yv", "bb.yv")
-    s"""WITH e AS (
+  /** DuckDB CTE chain for the alignment sides (e, a = source, bb =
+    * target ∪ planted twins) — shared by q118Sql/q122Sql/q123Sql.
+    */
+  private val alignSidesCte: String =
+    s"""e AS (
        |  SELECT vec_id, ${vSql("embedding")} AS v, label FROM embeddings
        |), a AS (
        |  SELECT vec_id AS xid, v AS xv FROM e WHERE label < 5
@@ -1231,7 +1248,17 @@ object VectorQueries {
        |    list_transform(range(1, len(v) + 1),
        |      i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END)
        |  FROM e WHERE label < 5 AND vec_id % 50 = 0
-       |), sc AS (
+       |)""".stripMargin
+
+  /** DuckDB CTE chain for the EXACT margin mining (all-pairs scoring
+    * -> per-side top-4 -> margin filter), ending in `exact_res` —
+    * shared by q118Sql and the q123 recall audit.
+    */
+  private val exactAlignCte: String = {
+    val d = dotSql("a.xv", "bb.yv")
+    val nx = dotSql("a.xv", "a.xv")
+    val ny = dotSql("bb.yv", "bb.yv")
+    s"""sc AS (
        |  SELECT xid, yid,
        |    CAST(round(1000000.0 * ($d / (sqrt($nx) * sqrt($ny))), 0) AS BIGINT) AS cos_e6
        |  FROM a, bb
@@ -1252,13 +1279,174 @@ object VectorQueries {
        |  FROM sc
        |), ay AS (
        |  SELECT yid, CAST(sum(cos_e6) // 4 AS BIGINT) AS ay FROM ry WHERE rn <= 4 GROUP BY yid
-       |)
-       |SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
-       |  CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
-       |FROM ax x JOIN ay y ON y.yid = x.ybest
-       |WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
-       |ORDER BY x.xid""".stripMargin
+       |), exact_res AS (
+       |  SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
+       |    CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
+       |  FROM ax x JOIN ay y ON y.yid = x.ybest
+       |  WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
+       |)""".stripMargin
   }
+
+  val q118Sql: String =
+    s"""WITH $alignSidesCte, $exactAlignCte
+       |SELECT xid, yid, cos_e6, margin_e6 FROM exact_res
+       |ORDER BY xid""".stripMargin
+
+  // ---- q122: banded-ANN margin alignment (q118's production path) ----
+  // The same margin arithmetic as q118 with the quadratic scorer
+  // replaced by the banded SRP candidate generator (q62's): each side
+  // keys into 3 band tables, candidates pair on identical (table,
+  // bucket) keys through the hot-bucket-capped BIPARTITE join, and
+  // the exact cosine + margin test run on candidates only. Two
+  // deliberate deltas from the exact baseline, both forced by sparse
+  // candidate neighborhoods:
+  //   1. the top-4 mean divides by the ACTUAL candidate count
+  //      (min(4, n)) rather than a fixed 4 — a vector with one
+  //      candidate would otherwise see its neighborhood mean quartered
+  //      and its margin inflated ~4x, promoting ORGANIC collisions
+  //      over the bar (measured: fixed-4 admits every single-candidate
+  //      pair at margin ~4e6);
+  //   2. candidates, not all pairs, define the neighborhood — so
+  //      margins differ from q118's and recall < 1 by construction.
+  //      q123 MEASURES that gap (the q105 posture: audit before
+  //      trusting the approximation). Measured at sf0.01: recall 5/6
+  //      (the one organic exact alignment missed), precision 3.6% —
+  //      sparse random-collision neighborhoods under-estimate the
+  //      hub mean, so margins read high on THIS clusterless random
+  //      data (q105's recall floor, same cause). The audit is the
+  //      gate that says so before anyone ships it; knobs: band-table
+  //      count (candidate depth -> denser neighborhoods), the margin
+  //      bar recalibrated per depth, or a q42-style exact-cosine
+  //      confirm floor when mining near-dup-grade alignments.
+  //
+  // 100 TB posture: no quadratic anywhere — band keys are map-only
+  // (3 rows per vector), the candidate join is bucketed and capped on
+  // BOTH sides, multi-table duplicate candidates collapse through one
+  // distinct on (xid, yid, cos), and both neighborhood aggregates are
+  // bounded topk_by_score partials reading one barriered exchange.
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = alignSides(spark, dir)
+    val ka = a.withColumn("bk", explode(bandKeyArr(col("xv")))).persist()
+    ka.count() // eager: hot-key agg + anti join are sibling stages
+    val kb = b.withColumn("bk", explode(bandKeyArr(col("yv")))).persist()
+    kb.count()
+    val scored = graft.operators.Buckets
+      .cappedBipartitePairs(ka, kb, "bk", 100000L)
+      .select(col("a.xid"), col("b.yid"),
+        round(dot(col("a.xv"), col("b.yv")) / (col("a.nx") * col("b.ny")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .distinct() // multi-table collisions: identical FP fold -> identical e6 score -> exact collapse
+      .repartition(col("xid"))
+    val xside = scored.groupBy(col("xid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("yid"), lit(4)).as("top"))
+      .select(col("xid"), col("top")(0).getField("id").as("ybest"),
+        col("top")(0).getField("score").as("cos_e6"),
+        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ax"))
+    val yside = scored.groupBy(col("yid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("xid"), lit(4)).as("top"))
+      .select(col("yid"),
+        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ay"))
+    xside.join(yside, col("ybest") === col("yid"))
+      .withColumn("margin_e6",
+        expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
+      .filter(col("margin_e6") >= 1400000L)
+      .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
+      .orderBy(col("xid"))
+  }
+
+  /** DuckDB CTE chain for the BANDED margin mining, ending in
+    * `banded_res` — shared by q122Sql and the q123 recall audit. The
+    * divisor is the actual candidate count (see the q122 note).
+    */
+  private val bandedAlignCte: String = {
+    val d = dotSql("a.xv", "bb.yv")
+    val nx = dotSql("a.xv", "a.xv")
+    val ny = dotSql("bb.yv", "bb.yv")
+    val kxSel = bandTables.zipWithIndex.map { case (tab, t) =>
+      s"SELECT xid, $t AS t, CAST(${bucketBitsSql(tab, "xv")} AS INT) AS bkt FROM a"
+    }.mkString("\n  UNION ALL\n  ")
+    val kySel = bandTables.zipWithIndex.map { case (tab, t) =>
+      s"SELECT yid, $t AS t, CAST(${bucketBitsSql(tab, "yv")} AS INT) AS bkt FROM bb"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""kx AS (
+       |  $kxSel
+       |), ky AS (
+       |  $kySel
+       |), bsc AS (
+       |  SELECT DISTINCT a.xid, bb.yid,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nx) * sqrt($ny))), 0) AS BIGINT) AS cos_e6
+       |  FROM kx JOIN ky ON ky.t = kx.t AND ky.bkt = kx.bkt
+       |  JOIN a ON a.xid = kx.xid
+       |  JOIN bb ON bb.yid = ky.yid
+       |), brx AS (
+       |  SELECT xid, yid, cos_e6,
+       |    row_number() OVER (PARTITION BY xid
+       |                       ORDER BY cos_e6 DESC, yid) AS rn
+       |  FROM bsc
+       |), bax AS (
+       |  SELECT xid, CAST(sum(cos_e6) // count(*) AS BIGINT) AS ax,
+       |    min(CASE WHEN rn = 1 THEN yid END) AS ybest,
+       |    min(CASE WHEN rn = 1 THEN cos_e6 END) AS best_cos
+       |  FROM brx WHERE rn <= 4 GROUP BY xid
+       |), bry AS (
+       |  SELECT yid, xid, cos_e6,
+       |    row_number() OVER (PARTITION BY yid
+       |                       ORDER BY cos_e6 DESC, xid) AS rn
+       |  FROM bsc
+       |), bay AS (
+       |  SELECT yid, CAST(sum(cos_e6) // count(*) AS BIGINT) AS ay
+       |  FROM bry WHERE rn <= 4 GROUP BY yid
+       |), banded_res AS (
+       |  SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
+       |    CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
+       |  FROM bax x JOIN bay y ON y.yid = x.ybest
+       |  WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
+       |)""".stripMargin
+  }
+
+  val q122Sql: String =
+    s"""WITH $alignSidesCte, $bandedAlignCte
+       |SELECT xid, yid, cos_e6, margin_e6 FROM banded_res
+       |ORDER BY xid""".stripMargin
+
+  // ---- q123: alignment recall audit (banded vs exact margins) ----
+  // The q105 posture applied to margin mining: BEFORE trusting q122's
+  // banded path, measure what fraction of the exact-margin alignments
+  // (q118's output, the ground truth on this data) the banded path
+  // surfaced, and how much junk it added. One row: pair counts from
+  // both paths, their overlap, recall and precision as e6 integers.
+  // The exact side is the audit's cost, priced like q105's baseline —
+  // at 100 TB it runs on a SAMPLE of the source side; the shape holds.
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q118(spark, dir).select(col("xid"), col("yid"))
+    val banded = q122(spark, dir)
+      .select(col("xid").as("bxid"), col("yid").as("byid"))
+    val hit = exact.join(banded,
+      col("xid") === col("bxid") && col("yid") === col("byid"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(lit("band3x8").as("cfg"), col("n_exact"), col("n_banded"),
+        col("n_hit"),
+        expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
+        expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
+  }
+
+  val q123Sql: String =
+    s"""WITH $alignSidesCte, $exactAlignCte, $bandedAlignCte
+       |SELECT 'band3x8' AS cfg,
+       |  (SELECT count(*) FROM exact_res) AS n_exact,
+       |  (SELECT count(*) FROM banded_res) AS n_banded,
+       |  (SELECT count(*) FROM exact_res x JOIN banded_res b
+       |     ON b.xid = x.xid AND b.yid = x.yid) AS n_hit,
+       |  CAST((SELECT count(*) FROM exact_res x JOIN banded_res b
+       |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
+       |    // nullif((SELECT count(*) FROM exact_res), 0) AS BIGINT) AS recall_e6,
+       |  CAST((SELECT count(*) FROM exact_res x JOIN banded_res b
+       |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
+       |    // nullif((SELECT count(*) FROM banded_res), 0) AS BIGINT) AS precision_e6""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),
@@ -1275,7 +1463,9 @@ object VectorQueries {
     "q105_ann_recall" -> (q105 _),
     "q113_semantic_decon" -> (q113 _),
     "q114_source_outliers" -> (q114 _),
-    "q118_margin_align" -> (q118 _)
+    "q118_margin_align" -> (q118 _),
+    "q122_banded_align" -> (q122 _),
+    "q123_align_recall" -> (q123 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1293,6 +1483,8 @@ object VectorQueries {
     "q105_ann_recall" -> q105Sql,
     "q113_semantic_decon" -> q113Sql,
     "q114_source_outliers" -> q114Sql,
-    "q118_margin_align" -> q118Sql
+    "q118_margin_align" -> q118Sql,
+    "q122_banded_align" -> q122Sql,
+    "q123_align_recall" -> q123Sql
   )
 }
