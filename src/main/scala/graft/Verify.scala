@@ -21,20 +21,17 @@ object Verify {
     // the application classes as a jar on the executors:
     // SPARK_GRAFT_JARS names it (sbt package output).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val multiJvm = master.startsWith("local-cluster")
     val builder = GraftSession.builder(master, cpus)
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    // q101's Derby is in-memory and therefore PER-JVM: under
-    // local-cluster the upsert's foreachPartition would write each
-    // executor's own empty store, not the driver's (no derbynet jar
-    // ships in /opt/spark/jars to network it). The JDBC code path is
-    // master-agnostic; the test DATABASE is not. Exempt it — and drop
-    // its oracle entry so the compare skips rather than reds it.
-    val skip: Set[String] = if (multiJvm) Set("q101_jdbc_roundtrip") else Set.empty
+    // q101 historically carried a multi-JVM exemption (in-memory
+    // Derby is per-JVM); graft.tools.JdbcProxy closed it — q101 now
+    // routes executor connections through a driver-JVM socket proxy
+    // under local-cluster, so every query runs under every master.
+    val skip: Set[String] = Set.empty
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip(n) }
       .filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>

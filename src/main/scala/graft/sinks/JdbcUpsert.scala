@@ -74,7 +74,7 @@ object JdbcUpsert {
 
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(u, p)
+        val conn = connect(u, p)
         try {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updateSql)
@@ -89,6 +89,31 @@ object JdbcUpsert {
       }
     }
   }
+
+  /** DriverManager.getConnection with an executor-classloader
+    * fallback: an executor JVM can initialize DriverManager (its
+    * one-time ServiceLoader scan) before the application jar is on
+    * the thread's context classloader, leaving application-provided
+    * drivers (graft.tools.JdbcProxyDriver under local-cluster)
+    * undiscovered — "No suitable driver". Rescan over THIS class's
+    * loader, which by definition can see every driver shipped with
+    * the application.
+    */
+  private def connect(url: String, props: Properties): Connection =
+    try DriverManager.getConnection(url, props)
+    catch {
+      case e: java.sql.SQLException
+          if String.valueOf(e.getMessage).contains("No suitable driver") =>
+        val it = java.util.ServiceLoader
+          .load(classOf[java.sql.Driver], getClass.getClassLoader).iterator()
+        var c: Connection = null
+        while (c == null && it.hasNext) {
+          val d = it.next()
+          if (d.acceptsURL(url)) c = d.connect(url, props)
+        }
+        if (c == null) throw e
+        c
+    }
 
   private def upsertChunk(chunk: Seq[Row], upd: PreparedStatement,
       ins: PreparedStatement, updateIdx: Array[Int], insertIdx: Array[Int],
