@@ -101,7 +101,13 @@ object ScaleBench {
     // q121 is one corpus scan for the stats row + one map-only
     // scoring scan against the broadcast — the decade pins the
     // per-doc scoring cost constant
-    "q121_bm25")
+    "q121_bm25",
+    // q122: the banded margin miner with its log2(n)-tracked plane
+    // count — the decade checks the production knob actually holds
+    // candidate volume (and with it the bucketed join) linear.
+    // q123 is deliberately NOT here: it embeds the exact all-pairs
+    // baseline as its ground truth, the q105/q40 exclusion
+    "q122_banded_align")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

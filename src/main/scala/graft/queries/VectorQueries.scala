@@ -1326,9 +1326,24 @@ object VectorQueries {
   // bounded topk_by_score partials reading one barriered exchange.
   def q122(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = alignSides(spark, dir)
-    val ka = a.withColumn("bk", explode(bandKeyArr(col("xv")))).persist()
+    // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
+    // count must track log2(n)"): plane count targets <= 4 vectors
+    // per bucket per table, so per-vector candidate volume is bounded
+    // by a constant and total candidates stay LINEAR in n as the
+    // corpus decades — fixed planes would grow buckets (and the
+    // bucketed join) as n^2/2^planes. Floored at the 8-plane config,
+    // which the DuckDB oracle hard-codes: identical up to n = 1024
+    // per side, covering every gate SF (sf0.01 ~100/side, sf0.1
+    // 1020/side); ScaleBench decades run oracle-free above that.
+    val n = math.max(a.count(), b.count())
+    val planes = math.max(Planes,
+      math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
+    val tables = BandSalts.map(s => srpSignsSalted(s, planes, Dim))
+    val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
+      .persist()
     ka.count() // eager: hot-key agg + anti join are sibling stages
-    val kb = b.withColumn("bk", explode(bandKeyArr(col("yv")))).persist()
+    val kb = b.withColumn("bk", explode(bandKeyArr(col("yv"), tables)))
+      .persist()
     kb.count()
     val scored = graft.operators.Buckets
       .cappedBipartitePairs(ka, kb, "bk", 100000L)
