@@ -11,9 +11,16 @@ object Bench {
     // timed query doesn't absorb ~5-8 s of one-time cost, and run the
     // one-time bucketed-table prep (setup a warehouse amortizes over
     // every co-located join — q48 then times the join, not the write)
+    // warm via toRdd — the TIMED semantics since r8. A count() warmup
+    // exercises the count-rewrite codepath instead, so the first
+    // alphabetical queries (q01/q02) absorbed the toRdd JIT in pass 1
+    // and self-flagged `contended` by spread in every otherwise-quiet
+    // window (r10/r11 residue).
     try {
-      SparkEntry.queries.get("q12_topk").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q12_topk")
+        .foreach(_(spark, sfDir).queryExecution.toRdd.count())
+      SparkEntry.queries.get("q01_pricing_summary")
+        .foreach(_(spark, sfDir).queryExecution.toRdd.count())
       graft.queries.Relational.prepareBucketedTables(spark, sfDir)
       graft.queries.TextQueries.prepareJsonlCorpus(spark, sfDir)
       graft.queries.TextQueries.prepareOrcCorpus(spark, sfDir)
