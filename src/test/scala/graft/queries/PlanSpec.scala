@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     // the pre-execution plan this spec inspects cannot show it)
   }
 
+  test("q122 banded margin mining: bucketed candidates, bounded partials, no window") {
+    val p = plan(VectorQueries.q122(spark, dir))
+    // the whole point vs q118: the candidate generation must be a
+    // bucketed EQUI join on the band keys — never the exact
+    // baseline's nested loop, never a cartesian
+    assertNoAllPairs(VectorQueries.q122(spark, dir), "q122")
+    assert(!p.contains("Window"), s"q122 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findAllIn(p).size >= 2,
+      s"both side aggregates must keep their partial phase:\n$p")
+  }
+
   test("q42 ANN near-dup pair generation is a bucketed equi join") {
     assertNoAllPairs(VectorQueries.q42(spark, dir), "q42")
   }
