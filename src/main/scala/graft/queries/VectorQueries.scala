@@ -1315,16 +1315,32 @@ object VectorQueries {
   //      hub mean, so margins read high on THIS clusterless random
   //      data (q105's recall floor, same cause). The audit is the
   //      gate that says so before anyone ships it; knobs: band-table
-  //      count (candidate depth -> denser neighborhoods), the margin
-  //      bar recalibrated per depth, or a q42-style exact-cosine
-  //      confirm floor when mining near-dup-grade alignments.
+  //      count (candidate depth -> denser neighborhoods; q123's
+  //      band6x8 row measures it — junk pairs 140 -> 121, precision
+  //      3.6% -> 4.1%, recall unchanged: directionally right, weak
+  //      on clusterless data), the margin bar recalibrated per
+  //      depth, or a q42-style exact-cosine confirm floor when
+  //      mining near-dup-grade alignments.
   //
   // 100 TB posture: no quadratic anywhere — band keys are map-only
   // (3 rows per vector), the candidate join is bucketed and capped on
   // BOTH sides, multi-table duplicate candidates collapse through one
   // distinct on (xid, yid, cos), and both neighborhood aggregates are
   // bounded topk_by_score partials reading one barriered exchange.
-  def q122(spark: SparkSession, dir: String): DataFrame = {
+  def q122(spark: SparkSession, dir: String): DataFrame =
+    bandedAlign(spark, dir, BandSalts)
+
+  /** The six-table salt set for the q123 audit's second config — the
+    * "more band tables" knob, measured instead of merely named.
+    */
+  private[graft] val BandSalts6: Seq[String] =
+    Seq("", "t1:", "t2:", "t3:", "t4:", "t5:")
+
+  /** The banded margin miner, parameterized by the band-table salt
+    * set (table count = the recall/precision knob q123 measures).
+    */
+  private def bandedAlign(spark: SparkSession, dir: String,
+      salts: Seq[String]): DataFrame = {
     val (a, b) = alignSides(spark, dir)
     // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
     // count must track log2(n)"): plane count targets <= 4 vectors
@@ -1338,7 +1354,7 @@ object VectorQueries {
     val n = math.max(a.count(), b.count())
     val planes = math.max(Planes,
       math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
-    val tables = BandSalts.map(s => srpSignsSalted(s, planes, Dim))
+    val tables = salts.map(s => srpSignsSalted(s, planes, Dim))
     val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
       .persist()
     ka.count() // eager: hot-key agg + anti join are sibling stages
@@ -1372,57 +1388,61 @@ object VectorQueries {
   }
 
   /** DuckDB CTE chain for the BANDED margin mining, ending in
-    * `banded_res` — shared by q122Sql and the q123 recall audit. The
-    * divisor is the actual candidate count (see the q122 note).
+    * `${prefix}banded_res` — shared by q122Sql and the q123 recall
+    * audit (which instantiates it twice, once per band-table count).
+    * The divisor is the actual candidate count (see the q122 note).
     */
-  private val bandedAlignCte: String = {
+  private def bandedAlignCteFor(salts: Seq[String],
+      prefix: String): String = {
+    val tables = salts.map(s => srpSignsSalted(s, Planes, Dim))
     val d = dotSql("a.xv", "bb.yv")
     val nx = dotSql("a.xv", "a.xv")
     val ny = dotSql("bb.yv", "bb.yv")
-    val kxSel = bandTables.zipWithIndex.map { case (tab, t) =>
+    val kxSel = tables.zipWithIndex.map { case (tab, t) =>
       s"SELECT xid, $t AS t, CAST(${bucketBitsSql(tab, "xv")} AS INT) AS bkt FROM a"
     }.mkString("\n  UNION ALL\n  ")
-    val kySel = bandTables.zipWithIndex.map { case (tab, t) =>
+    val kySel = tables.zipWithIndex.map { case (tab, t) =>
       s"SELECT yid, $t AS t, CAST(${bucketBitsSql(tab, "yv")} AS INT) AS bkt FROM bb"
     }.mkString("\n  UNION ALL\n  ")
-    s"""kx AS (
+    s"""${prefix}kx AS (
        |  $kxSel
-       |), ky AS (
+       |), ${prefix}ky AS (
        |  $kySel
-       |), bsc AS (
+       |), ${prefix}bsc AS (
        |  SELECT DISTINCT a.xid, bb.yid,
        |    CAST(round(1000000.0 * ($d / (sqrt($nx) * sqrt($ny))), 0) AS BIGINT) AS cos_e6
-       |  FROM kx JOIN ky ON ky.t = kx.t AND ky.bkt = kx.bkt
+       |  FROM ${prefix}kx kx JOIN ${prefix}ky ky
+       |    ON ky.t = kx.t AND ky.bkt = kx.bkt
        |  JOIN a ON a.xid = kx.xid
        |  JOIN bb ON bb.yid = ky.yid
-       |), brx AS (
+       |), ${prefix}brx AS (
        |  SELECT xid, yid, cos_e6,
        |    row_number() OVER (PARTITION BY xid
        |                       ORDER BY cos_e6 DESC, yid) AS rn
-       |  FROM bsc
-       |), bax AS (
+       |  FROM ${prefix}bsc
+       |), ${prefix}bax AS (
        |  SELECT xid, CAST(sum(cos_e6) // count(*) AS BIGINT) AS ax,
        |    min(CASE WHEN rn = 1 THEN yid END) AS ybest,
        |    min(CASE WHEN rn = 1 THEN cos_e6 END) AS best_cos
-       |  FROM brx WHERE rn <= 4 GROUP BY xid
-       |), bry AS (
+       |  FROM ${prefix}brx WHERE rn <= 4 GROUP BY xid
+       |), ${prefix}bry AS (
        |  SELECT yid, xid, cos_e6,
        |    row_number() OVER (PARTITION BY yid
        |                       ORDER BY cos_e6 DESC, xid) AS rn
-       |  FROM bsc
-       |), bay AS (
+       |  FROM ${prefix}bsc
+       |), ${prefix}bay AS (
        |  SELECT yid, CAST(sum(cos_e6) // count(*) AS BIGINT) AS ay
-       |  FROM bry WHERE rn <= 4 GROUP BY yid
-       |), banded_res AS (
+       |  FROM ${prefix}bry WHERE rn <= 4 GROUP BY yid
+       |), ${prefix}banded_res AS (
        |  SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
        |    CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
-       |  FROM bax x JOIN bay y ON y.yid = x.ybest
+       |  FROM ${prefix}bax x JOIN ${prefix}bay y ON y.yid = x.ybest
        |  WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
        |)""".stripMargin
   }
 
   val q122Sql: String =
-    s"""WITH $alignSidesCte, $bandedAlignCte
+    s"""WITH $alignSidesCte, ${bandedAlignCteFor(BandSalts, "")}
        |SELECT xid, yid, cos_e6, margin_e6 FROM banded_res
        |ORDER BY xid""".stripMargin
 
@@ -1430,38 +1450,57 @@ object VectorQueries {
   // The q105 posture applied to margin mining: BEFORE trusting q122's
   // banded path, measure what fraction of the exact-margin alignments
   // (q118's output, the ground truth on this data) the banded path
-  // surfaced, and how much junk it added. One row: pair counts from
-  // both paths, their overlap, recall and precision as e6 integers.
-  // The exact side is the audit's cost, priced like q105's baseline —
-  // at 100 TB it runs on a SAMPLE of the source side; the shape holds.
+  // surfaced, and how much junk it added — for BOTH production
+  // configs, so the "more band tables" knob is a measured number,
+  // not advice: one row per config (band3x8 = q122's, band6x8 =
+  // doubled table count) with pair counts, overlap, recall and
+  // precision as e6 integers. The exact side is the audit's cost,
+  // priced like q105's baseline — at 100 TB it runs on a SAMPLE of
+  // the source side; the shape holds.
   def q123(spark: SparkSession, dir: String): DataFrame = {
     val exact = q118(spark, dir).select(col("xid"), col("yid"))
-    val banded = q122(spark, dir)
-      .select(col("xid").as("bxid"), col("yid").as("byid"))
-    val hit = exact.join(banded,
-      col("xid") === col("bxid") && col("yid") === col("byid"))
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-      .select(lit("band3x8").as("cfg"), col("n_exact"), col("n_banded"),
-        col("n_hit"),
-        expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
-        expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
+      .persist()
+    exact.count() // eager: each config's counts + hit join re-read it
+    def audit(cfg: String, salts: Seq[String]): DataFrame = {
+      val banded = bandedAlign(spark, dir, salts)
+        .select(col("xid").as("bxid"), col("yid").as("byid"))
+        .persist()
+      banded.count()
+      val hit = exact.join(banded,
+        col("xid") === col("bxid") && col("yid") === col("byid"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(cfg).as("cfg"), col("n_exact"), col("n_banded"),
+          col("n_hit"),
+          expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
+          expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
+    }
+    audit("band3x8", BandSalts).union(audit("band6x8", BandSalts6))
+      .orderBy(col("cfg"))
   }
 
-  val q123Sql: String =
-    s"""WITH $alignSidesCte, $exactAlignCte, $bandedAlignCte
-       |SELECT 'band3x8' AS cfg,
-       |  (SELECT count(*) FROM exact_res) AS n_exact,
-       |  (SELECT count(*) FROM banded_res) AS n_banded,
-       |  (SELECT count(*) FROM exact_res x JOIN banded_res b
-       |     ON b.xid = x.xid AND b.yid = x.yid) AS n_hit,
-       |  CAST((SELECT count(*) FROM exact_res x JOIN banded_res b
-       |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
-       |    // nullif((SELECT count(*) FROM exact_res), 0) AS BIGINT) AS recall_e6,
-       |  CAST((SELECT count(*) FROM exact_res x JOIN banded_res b
-       |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
-       |    // nullif((SELECT count(*) FROM banded_res), 0) AS BIGINT) AS precision_e6""".stripMargin
+  val q123Sql: String = {
+    def summary(cfg: String, p: String): String =
+      s"""SELECT '$cfg' AS cfg,
+         |  (SELECT count(*) FROM exact_res) AS n_exact,
+         |  (SELECT count(*) FROM ${p}banded_res) AS n_banded,
+         |  (SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
+         |     ON b.xid = x.xid AND b.yid = x.yid) AS n_hit,
+         |  CAST((SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
+         |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
+         |    // nullif((SELECT count(*) FROM exact_res), 0) AS BIGINT) AS recall_e6,
+         |  CAST((SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
+         |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
+         |    // nullif((SELECT count(*) FROM ${p}banded_res), 0) AS BIGINT) AS precision_e6""".stripMargin
+    s"""WITH $alignSidesCte, $exactAlignCte,
+       |${bandedAlignCteFor(BandSalts, "")},
+       |${bandedAlignCteFor(BandSalts6, "b6_")}
+       |${summary("band3x8", "")}
+       |UNION ALL
+       |${summary("band6x8", "b6_")}
+       |ORDER BY cfg""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40 _),

@@ -86,7 +86,9 @@ object DumpPlans {
       "q118_margin_align" -> "margin alignment mining (barriered exact scorer, two bounded top-4 side aggregates)",
       "q119_rate_anomaly" -> "event-rate anomaly flags (rollup aggregate, 6-deep window frame, integer 2-sigma test)",
       "q120_rate_trend" -> "event-rate trend (rollup-sized row_number window, one regression aggregate per type)",
-      "q121_bm25" -> "BM25 retrieval (one stats aggregate broadcast back, map-only scoring, TakeOrdered top-10)")
+      "q121_bm25" -> "BM25 retrieval (one stats aggregate broadcast back, map-only scoring, TakeOrdered top-10)",
+      "q122_banded_align" -> "banded margin alignment (bipartite band-key bucket join, candidate-only margins, bounded top-4 partials)",
+      "q123_align_recall" -> "alignment recall audit (exact vs banded pair sets, count-only single row)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
