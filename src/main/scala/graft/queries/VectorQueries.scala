@@ -1343,17 +1343,19 @@ object VectorQueries {
       salts: Seq[String]): DataFrame = {
     val (a, b) = alignSides(spark, dir)
     // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
-    // count must track log2(n)"): plane count targets <= 4 vectors
+    // count must track log2(n)"): plane count targets <= 8 vectors
     // per bucket per table, so per-vector candidate volume is bounded
     // by a constant and total candidates stay LINEAR in n as the
     // corpus decades — fixed planes would grow buckets (and the
     // bucketed join) as n^2/2^planes. Floored at the 8-plane config,
-    // which the DuckDB oracle hard-codes: identical up to n = 1024
-    // per side, covering every gate SF (sf0.01 ~100/side, sf0.1
-    // 1020/side); ScaleBench decades run oracle-free above that.
+    // which the DuckDB oracle hard-codes: identical up to n = 2048
+    // per side, clearing every gate SF with margin (measured sides:
+    // ~250 at sf0.001/sf0.01, 1025 at sf0.1 — an n/4 target put the
+    // boundary at 1024 and the sf0.1 cross-check caught the one-row
+    // overshoot); ScaleBench decades run oracle-free above that.
     val n = math.max(a.count(), b.count())
     val planes = math.max(Planes,
-      math.ceil(math.log(n / 4.0) / math.log(2.0)).toInt)
+      math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
     val tables = salts.map(s => srpSignsSalted(s, planes, Dim))
     val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
       .persist()
