@@ -106,7 +106,11 @@ object ScaleBench {
     // count — the decade checks the production knob actually holds
     // candidate volume (and with it the bucketed join) linear.
     // q123 is deliberately NOT here: it embeds the exact all-pairs
-    // baseline as its ground truth, the q105/q40 exclusion
+    // baseline as its ground truth, the q105/q40 exclusion. q124 is
+    // also excluded WITH a reason: its cost driver is q47's pair+CC
+    // machinery (decades measured, and the q116 run already measured
+    // that machinery under composition); the only work q124 adds is
+    // one narrow (id, label) join and a map-only hash projection
     "q122_banded_align")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,

@@ -550,6 +550,72 @@ object TextQueries {
       |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // ---- q124: cluster-aware leakage-safe split ----
+  // The gap q46's per-doc hash split leaves open: near-duplicates
+  // hash INDEPENDENTLY, so a train doc's near-copy lands in test with
+  // probability 20% — the classic eval-leakage path, and exactly what
+  // the planted twin fixture exhibits (doc d and d+1000000 get
+  // unrelated buckets). The production fix: split on the CLUSTER, not
+  // the doc — every member inherits its q47 component keeper's salted
+  // bucket, so a whole near-dup group moves as one unit and can never
+  // straddle a split boundary. Singleton docs keep themselves as
+  // keeper, which makes this split AGREE with q46 wherever no
+  // near-dup exists: migrating only re-buckets duplicate groups.
+  //
+  // 100 TB posture: the cost is q47's (measured decades — pair
+  // generation + O(log n) CC rounds); on top of it one narrow
+  // (id, label) left join and a map-only salted-hash projection. The
+  // same one-definition salt family as q46/q58/q61 — the leakage
+  // story still depends on every query cutting at the same boundary.
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+    val clusters = graft.text.TextOps.dedupClusters(
+      graft.text.TextOps.jaccardPairs(docs, 0.5))
+    docs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keeper"))
+      .withColumn("bucket",
+        call_function("md5_long60",
+          concat(lit("split:"), col("keeper").cast("string"))) % 100)
+      .select(col("doc_id"), col("keeper"), col("bucket"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q124Sql: String = {
+    val kb = s"${md5IntSql("'split:' || CAST(keeper AS VARCHAR)")} % 100"
+    s"""WITH RECURSIVE $nearPairsCte,
+      |good AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  WHERE 1.0 * common / (na + nb - common) >= 0.5
+      |), nodes AS (
+      |  SELECT DISTINCT id
+      |  FROM (SELECT id_a AS id FROM good UNION ALL SELECT id_b FROM good)
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM good
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM good
+      |), reach(n, m) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+      |), cl AS (
+      |  SELECT n AS id, min(m) AS label FROM reach GROUP BY n
+      |), k AS (
+      |  SELECT d.doc_id, coalesce(c.label, d.doc_id) AS keeper
+      |  FROM docs d LEFT JOIN cl c ON c.id = d.doc_id
+      |)
+      |SELECT doc_id, CAST(keeper AS BIGINT) AS keeper,
+      |  CAST($kb AS BIGINT) AS bucket,
+      |  CASE WHEN $kb < 80 THEN 'train'
+      |       WHEN $kb < 90 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q56: vocabulary build (top-k terms by collection frequency) ----
   // The tokenizer-training precursor: corpus-wide term counts with
   // document frequency, top 100 by (tf desc, term asc) — a total
@@ -2873,6 +2939,7 @@ object TextQueries {
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
     "q47_dedup_clusters" -> (q47 _),
+    "q124_cluster_split" -> (q124 _),
     "q30_exact_dedup" -> (q30 _),
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
@@ -2924,6 +2991,7 @@ object TextQueries {
     "q38_tfidf" -> q38Sql,
     "q46_split" -> q46Sql,
     "q47_dedup_clusters" -> q47Sql,
+    "q124_cluster_split" -> q124Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
