@@ -550,6 +550,73 @@ object TextQueries {
       |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // ---- q125: packing-efficiency audit over q58's bins ----
+  // The numbers a pretraining batch-prep pipeline actually tracks
+  // about its packing, computed from q58's assignment: per split,
+  // the bin count and utilization (concatenate-and-cut wastes only
+  // the final partial bin, so util ~= 1 — the audit PROVES that
+  // instead of assuming it), and the straddle statistics that price
+  // the attention-masking complexity this packing style trades for
+  // its utilization: how many docs cross a bin boundary, what
+  // fraction that is, and the widest span any single doc covers
+  // (a doc longer than the budget spans >= 2 bins NO MATTER the
+  // packer — the max_span row is what tells you truncation policy
+  // is needed, not a better packer). All integer (e6 fractions,
+  // truncating DIV in both engines).
+  //
+  // 100 TB posture: q58's one window shuffle is the cost driver; the
+  // audit itself is a 3-row aggregate with map-side partials.
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    q58(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("bin_offset") + col("n_tokens") > 2048L, 1L)
+          .otherwise(0L)).as("n_straddle"),
+        max(expr("(bin_offset + n_tokens + 2047) DIV 2048")).as("max_span"))
+      .select(col("split"), col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + 2047) DIV 2048").as("n_bins"),
+        expr("total_tokens * 1000000 DIV (((total_tokens + 2047) DIV 2048) * 2048)")
+          .as("util_e6"),
+        col("n_straddle"),
+        expr("n_straddle * 1000000 DIV n_docs").as("straddle_e6"),
+        col("max_span"))
+      .orderBy(col("split"))
+
+  val q125Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    $splitCaseSql AS split,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS cum_before
+       |  FROM d
+       |), p AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    cum_before % 2048 AS bin_offset
+       |  FROM c
+       |), a AS (
+       |  SELECT split, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN bin_offset + n_tokens > 2048 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_straddle,
+       |    CAST(max((bin_offset + n_tokens + 2047) // 2048) AS BIGINT) AS max_span
+       |  FROM p GROUP BY split
+       |)
+       |SELECT split, n_docs, total_tokens,
+       |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_bins,
+       |  CAST(total_tokens * 1000000 // (((total_tokens + 2047) // 2048) * 2048)
+       |    AS BIGINT) AS util_e6,
+       |  n_straddle,
+       |  CAST(n_straddle * 1000000 // n_docs AS BIGINT) AS straddle_e6,
+       |  max_span
+       |FROM a ORDER BY split""".stripMargin
+
   // ---- q124: cluster-aware leakage-safe split ----
   // The gap q46's per-doc hash split leaves open: near-duplicates
   // hash INDEPENDENTLY, so a train doc's near-copy lands in test with
@@ -2940,6 +3007,7 @@ object TextQueries {
     "q46_split" -> (q46 _),
     "q47_dedup_clusters" -> (q47 _),
     "q124_cluster_split" -> (q124 _),
+    "q125_packing_stats" -> (q125 _),
     "q30_exact_dedup" -> (q30 _),
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
@@ -2992,6 +3060,7 @@ object TextQueries {
     "q46_split" -> q46Sql,
     "q47_dedup_clusters" -> q47Sql,
     "q124_cluster_split" -> q124Sql,
+    "q125_packing_stats" -> q125Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,
