@@ -954,6 +954,91 @@ object VectorQueries {
        |ORDER BY c.cfg, n.query_id""".stripMargin
   }
 
+  // ---- q126: IVF recall audit (probe-depth recall vs exact top-3) ----
+  // q105's measurement applied to the OTHER ANN family: q43/q71
+  // search by probing the query's 2 nearest coarse centroids' lists,
+  // and this audit is the number that justifies (or indicts) that
+  // probe depth — for the exact top-3 neighbors of the q40 query
+  // sample, what fraction lives in the query's best centroid list
+  // (probe-1) vs either probed list (probe-2)? One row per query
+  // with both depths, so the marginal recall of the second probe is
+  // readable directly; rates are truncating-e6 integers.
+  //
+  // Scale posture: the exact baseline runs on the fixed query SAMPLE
+  // (bounded topk_by_score, the q105 pricing), the codebook is the
+  // broadcast-variable dimension, and centroid assignment is
+  // computed for the ~4 claim-set vectors per query plus the sample
+  // — never a full-corpus pass beyond the one claim harvest join.
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(vecs(spark, dir)).persist()
+    all.count() // eager: exact pass + claim harvest are siblings
+    registerIvf(spark, codebookBc(all))
+    val queries = querySample(all)
+    val top3 = exactTopK(all, queries, 3)
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+      .persist()
+    top3.count()
+    val claimIds = top3.select(col("neighbor_id").as("vid")).distinct()
+    val ncid = all.join(broadcast(claimIds), col("vec_id") === col("vid"))
+      .select(col("vec_id").as("nid"),
+        call_function("ivf_best_cid", col("v")).as("ncid"))
+    val qprobe = queries.select(col("query_id").as("qid"),
+      call_function("ivf_probe2", col("qv")).as("probes"))
+    top3.join(broadcast(qprobe), col("query_id") === col("qid"))
+      .join(broadcast(ncid), col("neighbor_id") === col("nid"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum((col("ncid") === col("probes")(0)).cast("long")).as("n_hit_p1"),
+        sum(array_contains(col("probes"), col("ncid")).cast("long"))
+          .as("n_hit_p2"))
+      .select(col("query_id"), col("n_exact"), col("n_hit_p1"),
+        col("n_hit_p2"),
+        expr("n_hit_p1 * 1000000 DIV n_exact").as("recall_p1_e6"),
+        expr("n_hit_p2 * 1000000 DIV n_exact").as("recall_p2_e6"))
+      .orderBy(col("query_id"))
+  }
+
+  val q126Sql: String = {
+    def cosE6(a: String, b: String) =
+      s"CAST(round(1000000.0 * (${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))), 0) AS BIGINT)"
+    s"""WITH $exactRankedCte, top3 AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 31 = 0
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1
+       |), qp AS (
+       |  SELECT query_id,
+       |    min(CASE WHEN rn = 1 THEN cid END) AS c1,
+       |    min(CASE WHEN rn = 2 THEN cid END) AS c2
+       |  FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosE6("q.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM q, cents c)
+       |  WHERE rn <= 2 GROUP BY query_id
+       |), j AS (
+       |  SELECT t.query_id,
+       |    CASE WHEN a.cid = qp.c1 THEN 1 ELSE 0 END AS h1,
+       |    CASE WHEN a.cid = qp.c1 OR a.cid = qp.c2 THEN 1 ELSE 0 END AS h2
+       |  FROM top3 t
+       |  JOIN qp ON qp.query_id = t.query_id
+       |  JOIN assign a ON a.vec_id = t.neighbor_id
+       |)
+       |SELECT query_id, count(*) AS n_exact,
+       |  CAST(sum(h1) AS BIGINT) AS n_hit_p1,
+       |  CAST(sum(h2) AS BIGINT) AS n_hit_p2,
+       |  CAST(sum(h1) * 1000000 // count(*) AS BIGINT) AS recall_p1_e6,
+       |  CAST(sum(h2) * 1000000 // count(*) AS BIGINT) AS recall_p2_e6
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   // ---- q113: semantic decontamination (embedding eval-overlap) ----
   // The embedding-space complement of q63's n-gram decontamination:
   // flag every corpus vector whose cosine to ANY benchmark (eval)
@@ -1521,7 +1606,8 @@ object VectorQueries {
     "q114_source_outliers" -> (q114 _),
     "q118_margin_align" -> (q118 _),
     "q122_banded_align" -> (q122 _),
-    "q123_align_recall" -> (q123 _)
+    "q123_align_recall" -> (q123 _),
+    "q126_ivf_recall" -> (q126 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1541,6 +1627,7 @@ object VectorQueries {
     "q114_source_outliers" -> q114Sql,
     "q118_margin_align" -> q118Sql,
     "q122_banded_align" -> q122Sql,
-    "q123_align_recall" -> q123Sql
+    "q123_align_recall" -> q123Sql,
+    "q126_ivf_recall" -> q126Sql
   )
 }

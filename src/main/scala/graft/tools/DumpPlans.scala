@@ -90,7 +90,8 @@ object DumpPlans {
       "q122_banded_align" -> "banded margin alignment (bipartite band-key bucket join, candidate-only margins, bounded top-4 partials)",
       "q123_align_recall" -> "alignment recall audit (exact vs banded pair sets, count-only single row)",
       "q124_cluster_split" -> "cluster-aware leakage-safe split (q47 CC + narrow keeper join + salted-hash projection)",
-      "q125_packing_stats" -> "packing-efficiency audit (q58 window + 3-row partial aggregate)")
+      "q125_packing_stats" -> "packing-efficiency audit (q58 window + 3-row partial aggregate)",
+      "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
