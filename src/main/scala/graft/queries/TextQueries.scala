@@ -2693,7 +2693,7 @@ object TextQueries {
        |)
        |SELECT term, CAST(cd AS BIGINT) AS cd, CAST(cb AS BIGINT) AS cb,
        |  CAST(abs(CAST(cd AS HUGEINT) * nb - CAST(cb AS HUGEINT) * nd)
-       AS BIGINT) AS diff_x,
+       |       AS BIGINT) AS diff_x,
        |  CAST(cd * 1000000 // nd AS BIGINT) AS rate_d_e6,
        |  CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_e6
        |FROM a, t

@@ -94,6 +94,11 @@ object JdbcProxy {
                 cls.getMethod(name, types.map(classFor): _*)
                   .invoke(target, args: _*)
               }
+            // a closed JDBC object never receives another call —
+            // evict it so the per-connection object table is bounded
+            // by LIVE statements/result sets, not every one created
+            if (name == "close" && objId != 0L)
+              objects.remove(Long.box(objId))
             result match {
               case null => ('v', null)
               case r if isJdbcInterfaceInstance(r) =>
@@ -108,6 +113,10 @@ object JdbcProxy {
           }
         out.writeChar(reply._1)
         out.writeObject(reply._2)
+        // drop the serialization handle table: without reset() the
+        // stream retains a strong ref to every value ever written on
+        // this socket — an O(rows-proxied) leak per connection
+        out.reset()
         out.flush()
       }
     } catch {
@@ -205,10 +214,14 @@ private[tools] final class JdbcProxyChannel(sock: Socket) {
       out.writeUTF(name)
       out.writeObject(types)
       out.writeObject(args)
+      out.reset() // see the server-side note: bounds the handle table
       out.flush()
       val tag = in.readChar()
       (tag, in.readObject())
     }
+
+  def close(): Unit =
+    synchronized { try sock.close() catch { case _: Throwable => () } }
 }
 
 private[tools] object JdbcProxyChannel {
@@ -236,8 +249,16 @@ private[tools] object JdbcProxyChannel {
           }
           val types = method.getParameterTypes.map(_.getName)
           val a = if (args == null) Array.empty[AnyRef] else args
-          chan.call(id, method.getDeclaringClass.getName, method.getName,
-            types, a) match {
+          val reply = chan.call(id, method.getDeclaringClass.getName,
+            method.getName, types, a)
+          // Connection.close() ends this socket's useful life: close
+          // it so the client doesn't leak a socket per connection and
+          // the server's handler thread unblocks (its IOException
+          // path also closes any still-open server-side objects)
+          if (method.getName == "close" && method.getParameterCount == 0 &&
+              iface == classOf[java.sql.Connection])
+            chan.close()
+          reply match {
             case ('v', v) => v
             case ('r', rid: java.lang.Long) =>
               val rt = method.getReturnType

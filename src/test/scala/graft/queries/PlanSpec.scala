@@ -75,11 +75,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q122 banded margin mining: bucketed candidates, bounded partials, no window") {
-    val p = plan(VectorQueries.q122(spark, dir))
+    // build ONCE: q122's construction is eager (side counts + two
+    // persisted band-key tables), so a second call doubles the
+    // test's cost and leaks extra cache entries
+    val df = VectorQueries.q122(spark, dir)
+    val p = plan(df)
     // the whole point vs q118: the candidate generation must be a
     // bucketed EQUI join on the band keys — never the exact
     // baseline's nested loop, never a cartesian
-    assertNoAllPairs(VectorQueries.q122(spark, dir), "q122")
+    assertNoAllPairs(df, "q122")
     assert(!p.contains("Window"), s"q122 ranks through a window:\n$p")
     assert("partial_topk_by_score".r.findAllIn(p).size >= 2,
       s"both side aggregates must keep their partial phase:\n$p")
