@@ -550,6 +550,99 @@ object TextQueries {
       |SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS keeper
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  // ---- q127: MinHash estimator calibration audit ----
+  // The audit behind q31's two-stage design: the k=8 signature's
+  // match fraction m8/8 IS an estimator of Jaccard (E[m8/8] = J),
+  // but at k=8 it quantizes to ninths — so this query measures, for
+  // every LSH candidate pair, the exact shingle Jaccard grouped by
+  // m8, yielding the 9-row calibration table (n_pairs, mean/min/max
+  // exact e4 per matching-component count). What it shows on this
+  // corpus: the estimate is monotone in truth on average but the
+  // per-bucket min/max spread is wide — which is WHY q31 must
+  // confirm with exact Jaccard instead of thresholding the signature
+  // (the q105/q123/q126 pattern: measure the approximation before
+  // trusting it; here the measurement justifies the confirm stage's
+  // existence). All integer outputs; the mean is a truncating DIV.
+  //
+  // 100 TB posture: identical to q31's — banded candidate pairs
+  // (hot-bucket-capped, never all-pairs), per-pair arithmetic, then
+  // a 9-row aggregate with map-side partials.
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = withNearCopies(tbl(spark, dir, "documents"))
+      .withColumn("sh", hashedShingles(toks, 5))
+      .filter(size(col("sh")) > 0)
+    val sig = docs.select(
+      (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
+      .repartition(col("doc_id")) // the q31 barrier: both joins below re-read this
+    val banded = sig.select(col("doc_id"),
+      explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
+    val idPairs = TextOps.lshCandidatePairs(banded)
+    def side(p: String) = sig.select(
+      (col("doc_id").as(s"id_$p") +: col("sh").as(s"sh$p") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"${p}m$i"))): _*)
+    val m8 = (0 until 8)
+      .map(i => (col(s"am$i") === col(s"bm$i")).cast("long")).reduce(_ + _)
+    idPairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .select(m8.as("m8"),
+        round(TextOps.jaccard(col("sha"), col("shb")) * 10000)
+          .cast("long").as("jac_e4"))
+      .groupBy(col("m8"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_e4")).as("sj"),
+        min(col("jac_e4")).as("min_jac_e4"),
+        max(col("jac_e4")).as("max_jac_e4"))
+      .select(col("m8"), col("n_pairs"),
+        expr("sj DIV n_pairs").as("mean_jac_e4"),
+        col("min_jac_e4"), col("max_jac_e4"))
+      .orderBy(col("m8"))
+  }
+
+  val q127Sql: String = {
+    val bands = (0 until 4).map { b =>
+      s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS b$b"
+    }.mkString(",\n    ")
+    val m8 = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM docs)
+       |), sig AS (
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
+       |  FROM sh WHERE len(sh) > 0
+       |), banded AS (
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"mh$i").mkString(", ")},
+       |    $bands
+       |  FROM sig
+       |), cand AS (
+       |  SELECT CAST($m8 AS BIGINT) AS m8,
+       |    CAST(round(10000.0 * len(list_intersect(a.sh, b.sh)) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 0) AS BIGINT)
+       |      AS jac_e4
+       |  FROM banded a JOIN banded b
+       |    ON a.doc_id < b.doc_id
+       |   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+       |)
+       |SELECT m8, count(*) AS n_pairs,
+       |  CAST(sum(jac_e4) // count(*) AS BIGINT) AS mean_jac_e4,
+       |  min(jac_e4) AS min_jac_e4, max(jac_e4) AS max_jac_e4
+       |FROM cand GROUP BY m8 ORDER BY m8""".stripMargin
+  }
+
   // ---- q125: packing-efficiency audit over q58's bins ----
   // The numbers a pretraining batch-prep pipeline actually tracks
   // about its packing, computed from q58's assignment: per split,
@@ -3008,6 +3101,7 @@ object TextQueries {
     "q47_dedup_clusters" -> (q47 _),
     "q124_cluster_split" -> (q124 _),
     "q125_packing_stats" -> (q125 _),
+    "q127_minhash_calibration" -> (q127 _),
     "q30_exact_dedup" -> (q30 _),
     "q31_minhash_lsh" -> (q31 _),
     "q32_simhash" -> (q32 _),
@@ -3061,6 +3155,7 @@ object TextQueries {
     "q47_dedup_clusters" -> q47Sql,
     "q124_cluster_split" -> q124Sql,
     "q125_packing_stats" -> q125Sql,
+    "q127_minhash_calibration" -> q127Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_minhash_lsh" -> q31Sql,
     "q32_simhash" -> q32Sql,

@@ -91,7 +91,8 @@ object DumpPlans {
       "q123_align_recall" -> "alignment recall audit (exact vs banded pair sets, count-only single row)",
       "q124_cluster_split" -> "cluster-aware leakage-safe split (q47 CC + narrow keeper join + salted-hash projection)",
       "q125_packing_stats" -> "packing-efficiency audit (q58 window + 3-row partial aggregate)",
-      "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)")
+      "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)",
+      "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, 9-row table)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
