@@ -954,6 +954,99 @@ object VectorQueries {
        |ORDER BY c.cfg, n.query_id""".stripMargin
   }
 
+  // ---- q128: PQ/ADC recall audit (code-space top-3 vs exact top-3) ----
+  // The last un-audited approximation: q70 ranks by ADC distance over
+  // 8-byte codes — quantization error moves neighbors across rank
+  // boundaries, and this is the number that says how often. For the
+  // q40 sample, the exact squared-L2 top-3 (raw vectors, identical
+  // sequential fold in both engines) is compared against the ADC
+  // top-3; one row per query: n_exact, overlap, recall_e6. Completes
+  // the audit set: SRP (q105), IVF (q126), banded margins (q123),
+  // MinHash (q127), PQ (here) — every approximate path ships with
+  // the measurement that gates trusting it.
+  //
+  // Scale posture: both rankings run on the fixed query sample with
+  // bounded topk_by_score partials; the codebook is the broadcast
+  // dimension; the overlap join carries 3 ids per query.
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    registerPq(spark, pqCodebookBc(all))
+    val queries = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val l2e6 = round(expr(
+      "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (s, t) -> s + t)") * 1e6).cast("long")
+    val exact = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nid"), l2e6.as("d"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        -col("d"), col("nid"), lit(3)).as("t"))
+      .select(col("query_id"), expr("transform(t, x -> x.id)").as("exact_ids"))
+    val adc = all.select(col("vec_id"),
+        call_function("pq_encode", col("v")).as("codes"))
+      .crossJoin(broadcast(queries.select(col("query_id").as("qid"),
+        col("qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        call_function("pq_adc_e6", col("codes"), col("qv")).as("d"))
+      .groupBy(col("qid"))
+      .agg(call_function("topk_by_score",
+        -col("d"), col("nid"), lit(3)).as("t"))
+      .select(col("qid"), expr("transform(t, x -> x.id)").as("adc_ids"))
+    exact.join(adc, col("query_id") === col("qid"))
+      .select(col("query_id"),
+        size(col("exact_ids")).cast("long").as("n_exact"),
+        size(array_intersect(col("exact_ids"), col("adc_ids")))
+          .cast("long").as("n_hit"))
+      .withColumn("recall_e6", expr("n_hit * 1000000 DIV n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  val q128Sql: String = {
+    val subDist =
+      "list_sum(list_transform(range(1, 9), " +
+        "i -> (q.v[a.j*8 + i] - c.cv[a.j*8 + i]) * " +
+        "(q.v[a.j*8 + i] - c.cv[a.j*8 + i])))"
+    s"""WITH $pqAssignCte, adc_scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * list_sum(list($subDist ORDER BY a.j)), 0)
+       |      AS BIGINT) AS dist_e6
+       |  FROM assign a
+       |  JOIN cents c ON a.k = c.k
+       |  JOIN e q ON q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |), adc_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist_e6 ASC, neighbor_id) AS rn
+       |    FROM adc_scored)
+       |  WHERE rn <= 3
+       |), exact_scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * list_sum(list_transform(
+       |      range(1, len(n.v) + 1),
+       |      i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))), 0) AS BIGINT)
+       |      AS dist_e6
+       |  FROM e n, e q WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
+       |), exact_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist_e6 ASC, neighbor_id) AS rn
+       |    FROM exact_scored)
+       |  WHERE rn <= 3
+       |)
+       |SELECT x.query_id, count(*) AS n_exact,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_e6
+       |FROM exact_top x LEFT JOIN adc_top a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+  }
+
   // ---- q126: IVF recall audit (probe-depth recall vs exact top-3) ----
   // q105's measurement applied to the OTHER ANN family: q43/q71
   // search by probing the query's 2 nearest coarse centroids' lists,
@@ -1607,7 +1700,8 @@ object VectorQueries {
     "q118_margin_align" -> (q118 _),
     "q122_banded_align" -> (q122 _),
     "q123_align_recall" -> (q123 _),
-    "q126_ivf_recall" -> (q126 _)
+    "q126_ivf_recall" -> (q126 _),
+    "q128_pq_recall" -> (q128 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1628,6 +1722,7 @@ object VectorQueries {
     "q118_margin_align" -> q118Sql,
     "q122_banded_align" -> q122Sql,
     "q123_align_recall" -> q123Sql,
-    "q126_ivf_recall" -> q126Sql
+    "q126_ivf_recall" -> q126Sql,
+    "q128_pq_recall" -> q128Sql
   )
 }
