@@ -164,11 +164,16 @@ object TextQueries {
   private def mhSql(i: Int) =
     s"list_min(list_transform(sh, h -> (h * ${MinHashA(i)} + ${MinHashB(i)}) % $MinHashP))"
 
-  val q31Sql: String = {
-    val bands = (0 until 4).map { b =>
-      s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS b$b"
-    }.mkString(",\n    ")
-    s"""WITH docs AS (
+  /** Shared oracle CTE chain for the MinHash signature pipeline —
+    * near-copy planting, shingle hashing, the 8 minhash columns
+    * (`docs`/`sh`/`sig`) — and the 4-band key list. The FP- and
+    * hash-critical core lives in exactly ONE place (the
+    * exactRankedCte/pqAssignCte pattern) so q31 and its q127
+    * calibration audit can never silently measure different
+    * pipelines.
+    */
+  private val minhashSigCte: String =
+    s"""docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
@@ -187,8 +192,15 @@ object TextQueries {
        |  SELECT doc_id, sh,
        |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
        |  FROM sh WHERE len(sh) > 0
-       |), banded AS (
-       |  SELECT doc_id, sh, $bands
+       |)""".stripMargin
+
+  private val mhBandsSql: String = (0 until 4).map { b =>
+    s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS b$b"
+  }.mkString(",\n    ")
+
+  val q31Sql: String = {
+    s"""WITH $minhashSigCte, banded AS (
+       |  SELECT doc_id, sh, $mhBandsSql
        |  FROM sig
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -555,8 +567,10 @@ object TextQueries {
   // match fraction m8/8 IS an estimator of Jaccard (E[m8/8] = J),
   // but at k=8 it quantizes to ninths — so this query measures, for
   // every LSH candidate pair, the exact shingle Jaccard grouped by
-  // m8, yielding the 9-row calibration table (n_pairs, mean/min/max
-  // exact e4 per matching-component count). What it shows on this
+  // m8, yielding the calibration table (n_pairs, mean/min/max exact
+  // e4 per matching-component count; at most 7 rows — a candidate
+  // pair exists only via a fully-matching 2-row band, so m8 >= 2
+  // structurally). What it shows on this
   // corpus: the estimate is monotone in truth on average but the
   // per-bucket min/max spread is wide — which is WHY q31 must
   // confirm with exact Jaccard instead of thresholding the signature
@@ -583,10 +597,17 @@ object TextQueries {
         (0 until 8).map(i => col(s"mh$i").as(s"${p}m$i"))): _*)
     val m8 = (0 until 8)
       .map(i => (col(s"am$i") === col(s"bm$i")).cast("long")).reduce(_ + _)
+    // multiply-BEFORE-divide, the TextOps.jaccardPairs fold: one FP
+    // rounding, matching the oracle's `10000.0 * common / d` exactly
+    // — the divide-then-scale form is 1-ulp-divergent in principle,
+    // and unlike q31 this audit aggregates min/max over EVERY
+    // candidate pair, so a single flipped pair reds the gate
+    val common = size(array_intersect(col("sha"), col("shb")))
+      .cast("double")
+    val jacE4 = round(common * 10000 /
+      (size(col("sha")) + size(col("shb")) - common)).cast("long")
     idPairs.join(side("a"), "id_a").join(side("b"), "id_b")
-      .select(m8.as("m8"),
-        round(TextOps.jaccard(col("sha"), col("shb")) * 10000)
-          .cast("long").as("jac_e4"))
+      .select(m8.as("m8"), jacE4.as("jac_e4"))
       .groupBy(col("m8"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("jac_e4")).as("sj"),
         min(col("jac_e4")).as("min_jac_e4"),
@@ -598,35 +619,13 @@ object TextQueries {
   }
 
   val q127Sql: String = {
-    val bands = (0 until 4).map { b =>
-      s"md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS b$b"
-    }.mkString(",\n    ")
     val m8 = (0 until 8)
       .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH docs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
-       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |        FROM documents)
-       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
-       |), sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
-       |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
-       |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % $MinHashP))
-       |         END AS sh
-       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-       |        FROM docs)
-       |), sig AS (
-       |  SELECT doc_id, sh,
-       |    ${(0 until 8).map(i => s"${mhSql(i)} AS mh$i").mkString(",\n    ")}
-       |  FROM sh WHERE len(sh) > 0
-       |), banded AS (
+    s"""WITH $minhashSigCte, banded AS (
        |  SELECT doc_id, sh,
        |    ${(0 until 8).map(i => s"mh$i").mkString(", ")},
-       |    $bands
+       |    $mhBandsSql
        |  FROM sig
        |), cand AS (
        |  SELECT CAST($m8 AS BIGINT) AS m8,

@@ -582,16 +582,21 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q70Sql: String = {
-    // the 8 sub-distances fold in SUBSPACE ORDER (list ORDER BY j ->
-    // sequential list_sum), replicating adcE6's j-ascending
-    // accumulation — a bare SUM() would add them in arbitrary group
-    // order and could diverge by an ulp before rounding
+  /** Shared oracle CTE for the ADC scoring pass (`adc_scored`): the
+    * 8 sub-distances fold in SUBSPACE ORDER (list ORDER BY j ->
+    * sequential list_sum), replicating adcE6's j-ascending
+    * accumulation — a bare SUM() would add them in arbitrary group
+    * order and could diverge by an ulp before rounding. ONE copy
+    * (the exactRankedCte pattern) serves q70 and its q128 audit, so
+    * the FP-critical fold cannot drift between the query and the
+    * audit that judges it.
+    */
+  private val pqAdcScoredCte: String = {
     val subDist =
       "list_sum(list_transform(range(1, 9), " +
         "i -> (q.v[a.j*8 + i] - c.cv[a.j*8 + i]) * " +
         "(q.v[a.j*8 + i] - c.cv[a.j*8 + i])))"
-    s"""WITH $pqAssignCte, scored AS (
+    s"""adc_scored AS (
        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
        |    CAST(round(1000000.0 * list_sum(list($subDist ORDER BY a.j)), 0)
        |      AS BIGINT) AS dist_e6
@@ -599,12 +604,16 @@ object VectorQueries {
        |  JOIN cents c ON a.k = c.k
        |  JOIN e q ON q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+  }
+
+  val q70Sql: String = {
+    s"""WITH $pqAssignCte, $pqAdcScoredCte
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist_e6 FROM (
        |  SELECT query_id, neighbor_id, dist_e6,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY dist_e6 ASC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM adc_scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -969,13 +978,25 @@ object VectorQueries {
   // bounded topk_by_score partials; the codebook is the broadcast
   // dimension; the overlap join carries 3 ids per query.
   def q128(spark: SparkSession, dir: String): DataFrame = {
+    // self-norms staged ONCE per vector and the table barriered
+    // (persist + eager count): the exact and ADC branches are
+    // siblings of one job and would otherwise each rescan the
+    // parquet and rebuild the query broadcast (the q126/q31 rule)
     val all = vecs(spark, dir)
+      .withColumn("vv", dot(col("v"), col("v"))).persist()
+    all.count()
     registerPq(spark, pqCodebookBc(all))
     val queries = all.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val l2e6 = round(expr(
-      "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), " +
-        "cast(0 as double), (s, t) -> s + t)") * 1e6).cast("long")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vv").as("qq"))
+    // exact squared L2 via the dot identity |n|^2 + |q|^2 - 2 n.q —
+    // THREE native codegen'd folds (dot_f64) instead of an
+    // interpreted zip_with/aggregate HOF allocating a 64-element
+    // array per scored pair; the oracle computes the IDENTICAL
+    // identity from the same per-vector self-dots, so FP parity
+    // holds by construction
+    val l2e6 = round(((col("vv") + col("qq"))
+      - lit(2d) * dot(col("v"), col("qv"))) * 1e6).cast("long")
     val exact = all.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nid"), l2e6.as("d"))
@@ -1004,32 +1025,21 @@ object VectorQueries {
   }
 
   val q128Sql: String = {
-    val subDist =
-      "list_sum(list_transform(range(1, 9), " +
-        "i -> (q.v[a.j*8 + i] - c.cv[a.j*8 + i]) * " +
-        "(q.v[a.j*8 + i] - c.cv[a.j*8 + i])))"
-    s"""WITH $pqAssignCte, adc_scored AS (
-       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-       |    CAST(round(1000000.0 * list_sum(list($subDist ORDER BY a.j)), 0)
-       |      AS BIGINT) AS dist_e6
-       |  FROM assign a
-       |  JOIN cents c ON a.k = c.k
-       |  JOIN e q ON q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
-       |  GROUP BY 1, 2
-       |), adc_top AS (
+    s"""WITH $pqAssignCte, $pqAdcScoredCte, adc_top AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY dist_e6 ASC, neighbor_id) AS rn
        |    FROM adc_scored)
        |  WHERE rn <= 3
+       |), e2 AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e
        |), exact_scored AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |    CAST(round(1000000.0 * list_sum(list_transform(
-       |      range(1, len(n.v) + 1),
-       |      i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))), 0) AS BIGINT)
+       |    CAST(round(1000000.0 * ((n.vv + q.vv)
+       |      - 2 * ${dotSql("n.v", "q.v")}), 0) AS BIGINT)
        |      AS dist_e6
-       |  FROM e n, e q WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
+       |  FROM e2 n, e2 q WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
        |), exact_top AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,

@@ -92,7 +92,7 @@ object DumpPlans {
       "q124_cluster_split" -> "cluster-aware leakage-safe split (q47 CC + narrow keeper join + salted-hash projection)",
       "q125_packing_stats" -> "packing-efficiency audit (q58 window + 3-row partial aggregate)",
       "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)",
-      "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, 9-row table)",
+      "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, <=7-row table: a matching band forces m8 >= 2)",
       "q128_pq_recall" -> "PQ/ADC recall audit (exact L2 sample baseline vs code-space top-3, broadcast codebook)")
 
     val sb = new StringBuilder
