@@ -213,6 +213,10 @@ object ScaleBench {
     }.min
 
   def main(args: Array[String]): Unit = {
+    // decade replicas exceed q122's 2048/side oracle boundary by
+    // design; this run is oracle-free, so the adaptive plane count
+    // may engage (bandedAlign throws without the opt-in)
+    System.setProperty("graft.q122.adaptivePlanes", "true")
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)

@@ -668,7 +668,9 @@ object TextQueries {
         max(expr("(bin_offset + n_tokens + 2047) DIV 2048")).as("max_span"))
       .select(col("split"), col("n_docs"), col("total_tokens"),
         expr("(total_tokens + 2047) DIV 2048").as("n_bins"),
-        expr("total_tokens * 1000000 DIV (((total_tokens + 2047) DIV 2048) * 2048)")
+        // nullif: an all-empty-text split packs 0 tokens into 0 bins;
+        // ANSI DIV 0 throws, so the divisor must NULL out instead
+        expr("total_tokens * 1000000 DIV nullif(((total_tokens + 2047) DIV 2048) * 2048, 0)")
           .as("util_e6"),
         col("n_straddle"),
         expr("n_straddle * 1000000 DIV n_docs").as("straddle_e6"),
@@ -702,7 +704,7 @@ object TextQueries {
        |)
        |SELECT split, n_docs, total_tokens,
        |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_bins,
-       |  CAST(total_tokens * 1000000 // (((total_tokens + 2047) // 2048) * 2048)
+       |  CAST(total_tokens * 1000000 // nullif(((total_tokens + 2047) // 2048) * 2048, 0)
        |    AS BIGINT) AS util_e6,
        |  n_straddle,
        |  CAST(n_straddle * 1000000 // n_docs AS BIGINT) AS straddle_e6,

@@ -1507,8 +1507,21 @@ object VectorQueries {
   //      band6x8 row measures it — junk pairs 140 -> 121, precision
   //      3.6% -> 4.1%, recall unchanged: directionally right, weak
   //      on clusterless data), the margin bar recalibrated per
-  //      depth, or a q42-style exact-cosine confirm floor when
-  //      mining near-dup-grade alignments.
+  //      depth, AND — the one that ships — the q42-style
+  //      exact-cosine confirm floor below.
+  //
+  // The production path is margin admission PLUS the exact-cosine
+  // confirm floor (0.80 e6): its own q123 audit measured the
+  // margin-only config emitting ~27 junk pairs per true alignment on
+  // clusterless gate data (precision 3.6%), because sparse candidate
+  // neighborhoods under-estimate the hub mean and inflate margins on
+  // near-zero-cosine pairs. The floor costs nothing (the exact
+  // cosine is already computed per candidate) and q123's band3x8c
+  // row MEASURES the fix: precision 3.6% -> 100% at unchanged
+  // recall 5/6 on sf0.01. 0.80 sits an order of magnitude above the
+  // organic-cosine tail (|cos| ~ N(0, 1/8) on 64-dim data) and far
+  // below the planted twins (~0.9999) — mining looser-than-near-dup
+  // alignments would lower it and re-measure via q123.
   //
   // 100 TB posture: no quadratic anywhere — band keys are map-only
   // (3 rows per vector), the candidate join is bucketed and capped on
@@ -1516,7 +1529,12 @@ object VectorQueries {
   // distinct on (xid, yid, cos), and both neighborhood aggregates are
   // bounded topk_by_score partials reading one barriered exchange.
   def q122(spark: SparkSession, dir: String): DataFrame =
-    bandedAlign(spark, dir, BandSalts)
+    bandedAlign(spark, dir, BandSalts, Some(ConfirmFloorE6))
+
+  /** The exact-cosine confirm floor for the production miner: pairs
+    * admitted by margin must ALSO score >= 0.80 exact cosine.
+    */
+  private[graft] val ConfirmFloorE6 = 800000L
 
   /** The six-table salt set for the q123 audit's second config — the
     * "more band tables" knob, measured instead of merely named.
@@ -1524,11 +1542,36 @@ object VectorQueries {
   private[graft] val BandSalts6: Seq[String] =
     Seq("", "t1:", "t2:", "t3:", "t4:", "t5:")
 
+  /** Per-dir cache of the alignment-side cardinalities: both sides
+    * derive from one scan of (vec_id, label), and the counts size
+    * only the SRP plane knob — recomputing them per bandedAlign
+    * invocation (q123 calls it three times) was two extra side-scans
+    * each. One narrow aggregate per dir per JVM instead.
+    */
+  private val alignSideCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def alignSideCardinalities(spark: SparkSession,
+      dir: String): (Long, Long) =
+    alignSideCounts.computeIfAbsent(dir, { d =>
+      val r = tbl(spark, d, "embeddings")
+        .agg(
+          sum(when(col("label") < 5, 1L).otherwise(0L)).as("na"),
+          sum(when(col("label") >= 5, 1L).otherwise(0L)
+            + when(col("label") < 5 && col("vec_id") % 50 === 0, 1L)
+              .otherwise(0L)).as("nb"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    })
+
   /** The banded margin miner, parameterized by the band-table salt
-    * set (table count = the recall/precision knob q123 measures).
+    * set (table count = the recall/precision knob q123 measures) and
+    * the exact-cosine confirm floor (None = margin-only admission,
+    * the audit configs; Some = the production path, see q122).
     */
   private def bandedAlign(spark: SparkSession, dir: String,
-      salts: Seq[String]): DataFrame = {
+      salts: Seq[String],
+      confirmFloorE6: Option[Long] = None): DataFrame = {
     val (a, b) = alignSides(spark, dir)
     // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
     // count must track log2(n)"): plane count targets <= 8 vectors
@@ -1540,10 +1583,22 @@ object VectorQueries {
     // per side, clearing every gate SF with margin (measured sides:
     // ~250 at sf0.001/sf0.01, 1025 at sf0.1 — an n/4 target put the
     // boundary at 1024 and the sf0.1 cross-check caught the one-row
-    // overshoot); ScaleBench decades run oracle-free above that.
-    val n = math.max(a.count(), b.count())
+    // overshoot). Above the boundary the oracle is WRONG, so crossing
+    // it is loud: decade runs (oracle-free by design) opt in via the
+    // graft.q122.adaptivePlanes property (ScaleBench sets it);
+    // anything else — a gate-SF or fixture-density change — fails
+    // here with the reason, not downstream with an opaque row diff.
+    val (na, nb) = alignSideCardinalities(spark, dir)
+    val n = math.max(na, nb)
     val planes = math.max(Planes,
       math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    if (planes > Planes &&
+        !sys.props.get("graft.q122.adaptivePlanes").contains("true"))
+      throw new IllegalStateException(
+        s"bandedAlign: side size $n needs $planes SRP planes but the " +
+          s"DuckDB oracle hard-codes $Planes (valid to 2048/side). " +
+          "Set -Dgraft.q122.adaptivePlanes=true for oracle-free runs, " +
+          "or regenerate the oracle's plane config.")
     val tables = salts.map(s => srpSignsSalted(s, planes, Dim))
     val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
       .persist()
@@ -1569,10 +1624,17 @@ object VectorQueries {
         col("cos_e6"), col("xid"), lit(4)).as("top"))
       .select(col("yid"),
         expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ay"))
-    xside.join(yside, col("ybest") === col("yid"))
+    val admitted = xside.join(yside, col("ybest") === col("yid"))
       .withColumn("margin_e6",
         expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
       .filter(col("margin_e6") >= 1400000L)
+    // the confirm floor (q42/q31 pattern): margin cancels hubness but
+    // on sparse candidate neighborhoods it also INFLATES — a junk
+    // pair can clear 1.4x margin at near-zero absolute cosine. The
+    // floor re-tests each admitted pair on its EXACT cosine (already
+    // computed on the candidate, zero extra work) — output-sized, not
+    // candidate-sized. q123's band3x8c row measures what it buys.
+    confirmFloorE6.fold(admitted)(f => admitted.filter(col("cos_e6") >= f))
       .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
       .orderBy(col("xid"))
   }
@@ -1582,8 +1644,10 @@ object VectorQueries {
     * audit (which instantiates it twice, once per band-table count).
     * The divisor is the actual candidate count (see the q122 note).
     */
-  private def bandedAlignCteFor(salts: Seq[String],
-      prefix: String): String = {
+  private def bandedAlignCteFor(salts: Seq[String], prefix: String,
+      confirmFloorE6: Option[Long] = None): String = {
+    val confirm =
+      confirmFloorE6.fold("")(f => s"\n    AND x.best_cos >= $f")
     val tables = salts.map(s => srpSignsSalted(s, Planes, Dim))
     val d = dotSql("a.xv", "bb.yv")
     val nx = dotSql("a.xv", "a.xv")
@@ -1627,12 +1691,12 @@ object VectorQueries {
        |  SELECT x.xid, x.ybest AS yid, x.best_cos AS cos_e6,
        |    CAST(x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) AS BIGINT) AS margin_e6
        |  FROM ${prefix}bax x JOIN ${prefix}bay y ON y.yid = x.ybest
-       |  WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000
+       |  WHERE x.best_cos * 1000000 // nullif((x.ax + y.ay) // 2, 0) >= 1400000$confirm
        |)""".stripMargin
   }
 
   val q122Sql: String =
-    s"""WITH $alignSidesCte, ${bandedAlignCteFor(BandSalts, "")}
+    s"""WITH $alignSidesCte, ${bandedAlignCteFor(BandSalts, "", Some(ConfirmFloorE6))}
        |SELECT xid, yid, cos_e6, margin_e6 FROM banded_res
        |ORDER BY xid""".stripMargin
 
@@ -1640,10 +1704,11 @@ object VectorQueries {
   // The q105 posture applied to margin mining: BEFORE trusting q122's
   // banded path, measure what fraction of the exact-margin alignments
   // (q118's output, the ground truth on this data) the banded path
-  // surfaced, and how much junk it added — for BOTH production
-  // configs, so the "more band tables" knob is a measured number,
-  // not advice: one row per config (band3x8 = q122's, band6x8 =
-  // doubled table count) with pair counts, overlap, recall and
+  // surfaced, and how much junk it added — for THREE configs, so
+  // both knobs (band-table count, confirm floor) are measured
+  // numbers, not advice: one row per config (band3x8 = margin-only,
+  // band6x8 = doubled table count, band3x8c = q122's shipped
+  // margin+confirm path) with pair counts, overlap, recall and
   // precision as e6 integers. The exact side is the audit's cost,
   // priced like q105's baseline — at 100 TB it runs on a SAMPLE of
   // the source side; the shape holds.
@@ -1651,8 +1716,9 @@ object VectorQueries {
     val exact = q118(spark, dir).select(col("xid"), col("yid"))
       .persist()
     exact.count() // eager: each config's counts + hit join re-read it
-    def audit(cfg: String, salts: Seq[String]): DataFrame = {
-      val banded = bandedAlign(spark, dir, salts)
+    def audit(cfg: String, salts: Seq[String],
+        confirmFloorE6: Option[Long] = None): DataFrame = {
+      val banded = bandedAlign(spark, dir, salts, confirmFloorE6)
         .select(col("xid").as("bxid"), col("yid").as("byid"))
         .persist()
       banded.count()
@@ -1666,7 +1732,11 @@ object VectorQueries {
           expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
           expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
     }
+    // band3x8c = q122's SHIPPED config (margin + confirm floor): the
+    // third row prices exactly what the confirm stage buys over the
+    // margin-only configs it audits
     audit("band3x8", BandSalts).union(audit("band6x8", BandSalts6))
+      .union(audit("band3x8c", BandSalts, Some(ConfirmFloorE6)))
       .orderBy(col("cfg"))
   }
 
@@ -1685,10 +1755,13 @@ object VectorQueries {
          |    // nullif((SELECT count(*) FROM ${p}banded_res), 0) AS BIGINT) AS precision_e6""".stripMargin
     s"""WITH $alignSidesCte, $exactAlignCte,
        |${bandedAlignCteFor(BandSalts, "")},
-       |${bandedAlignCteFor(BandSalts6, "b6_")}
+       |${bandedAlignCteFor(BandSalts6, "b6_")},
+       |${bandedAlignCteFor(BandSalts, "c_", Some(ConfirmFloorE6))}
        |${summary("band3x8", "")}
        |UNION ALL
        |${summary("band6x8", "b6_")}
+       |UNION ALL
+       |${summary("band3x8c", "c_")}
        |ORDER BY cfg""".stripMargin
   }
 

@@ -102,15 +102,22 @@ object JdbcUpsert {
   private def connect(url: String, props: Properties): Connection =
     try DriverManager.getConnection(url, props)
     catch {
-      case e: java.sql.SQLException
-          if String.valueOf(e.getMessage).contains("No suitable driver") =>
+      // The rescan runs on ANY SQLException rather than matching the
+      // JDK's "No suitable driver" message text (implementation-
+      // specific wording) or SQLState 08001 alone: if a driver IS
+      // registered and the failure is real, the rescan re-fails the
+      // same way and the ORIGINAL exception is rethrown — the only
+      // cost is one extra connect attempt on a genuinely dead URL.
+      case e: java.sql.SQLException =>
         val it = java.util.ServiceLoader
           .load(classOf[java.sql.Driver], getClass.getClassLoader).iterator()
         var c: Connection = null
-        while (c == null && it.hasNext) {
-          val d = it.next()
-          if (d.acceptsURL(url)) c = d.connect(url, props)
-        }
+        try {
+          while (c == null && it.hasNext) {
+            val d = it.next()
+            if (d.acceptsURL(url)) c = d.connect(url, props)
+          }
+        } catch { case _: Throwable => () }
         if (c == null) throw e
         c
     }

@@ -1,8 +1,8 @@
 package graft.tools
 
-import java.io.{ObjectInputStream, ObjectOutputStream}
+import java.io.{ObjectInputFilter, ObjectInputStream, ObjectOutputStream}
 import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy => JProxy}
-import java.net.{ServerSocket, Socket}
+import java.net.{InetAddress, ServerSocket, Socket}
 import java.sql.{Driver, DriverManager, DriverPropertyInfo, SQLException}
 import java.util.Properties
 import java.util.concurrent.ConcurrentHashMap
@@ -53,7 +53,10 @@ object JdbcProxy {
       // read path and JdbcUpsert's ServiceLoader fallback on the
       // write path.
       DriverManager.registerDriver(new JdbcProxyDriver)
-      val ss = new ServerSocket(0)
+      // loopback-only: under local-cluster every executor is
+      // same-host, so there is no reason to accept off-host
+      // connections into a reflective dispatch endpoint
+      val ss = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
       val acceptor = new Thread(() => acceptLoop(ss, t), s"jdbc-proxy-$t")
       acceptor.setDaemon(true)
       acceptor.start()
@@ -68,10 +71,22 @@ object JdbcProxy {
       h.start()
     }
 
+  /** Deserialization allow-list for the request stream: JDBC call
+    * arguments are strings, boxed primitives, primitive arrays and
+    * the java.sql value classes — nothing else may instantiate.
+    * Primitive arrays filter on their (primitive) component type,
+    * which no pattern rejects, so the depth/array limits bound them.
+    */
+  private val requestFilter: ObjectInputFilter =
+    ObjectInputFilter.Config.createFilter(
+      "maxdepth=8;maxarray=65536;maxrefs=4096;" +
+        "java.lang.*;java.math.*;java.sql.*;java.util.Date;!*")
+
   /** One handler per client Connection: objectId 0 is "connect". */
   private def handle(sock: Socket, targetUrl: String): Unit = {
     val out = new ObjectOutputStream(sock.getOutputStream)
     val in = new ObjectInputStream(sock.getInputStream)
+    in.setObjectInputFilter(requestFilter)
     val objects = new ConcurrentHashMap[java.lang.Long, AnyRef]()
     val nextId = new AtomicLong(1)
     try {
