@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions.col
 case class DecodedMedia(media_id: Long, kind: Long, width: Long,
     height: Long, n_frames: Long, body_bytes: Long, luma_e4: Long)
 
+/** One REAL-decode summary row ([[BatchedDecode.decodeStats]]): a
+  * unified per-format reduction — `fmt` names the decoder that
+  * claimed the payload, (w, h) are pixels for images and
+  * (sample_rate, 1) for audio, `n_units` counts pixels / samples /
+  * fallback body bytes, and sum/min/max reduce the decoded values
+  * (gray levels; abs-sum and raw extremes for audio).
+  */
+case class DecodedStats(media_id: Long, fmt: String, w: Long, h: Long,
+    n_units: Long, sum_val: Long, min_val: Long, max_val: Long)
+
 /** The batched decode path — the Spark-side plumbing a real codec
   * needs, as a typed `mapPartitions` (the JVM analogue of PySpark's
   * `mapInPandas`): payloads stream through each partition in
@@ -96,5 +106,55 @@ object BatchedDecode {
       .as[(Long, Array[Byte])]
       .mapPartitions(
         _.grouped(batchSize).flatMap(b => decodeBatch(newCodec(), b)))
+  }
+
+  /** Decode one batch by CONTENT SNIFFING — the real-decoder path.
+    * Magic bytes pick the decoder: "P5" -> [[Codecs.decodePgm]]
+    * (gray raster math, real), "RIFF" -> [[Codecs.decodeWav]]
+    * (PCM16 sample math, real), "GM" -> the synthetic container,
+    * whose body decode remains the md5 stand-in (===STUB=== residue:
+    * compressed codecs aren't in the sandbox — this is now the ONLY
+    * faked decode, and it is labeled in the output as fmt 'gm').
+    * Unclaimed or malformed payloads are dropped (quarantine sink in
+    * production). The `fallback` handle is opened once per batch,
+    * exactly like `decodeBatch`'s codec — the seam the spec counts.
+    */
+  private def decodeStatsBatch(fallback: java.security.MessageDigest,
+      batch: Seq[(Long, Array[Byte])]): Iterator[DecodedStats] = {
+    batch.iterator.flatMap { case (id, p) =>
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '5')
+        Codecs.decodePgm(p).map(s => DecodedStats(id, "pgm",
+          s.width.toLong, s.height.toLong, s.width.toLong * s.height,
+          s.sum, s.min.toLong, s.max.toLong)).iterator
+      else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&
+          p(2) == 'F' && p(3) == 'F')
+        Codecs.decodeWav(p).map(s => DecodedStats(id, "wav",
+          s.sampleRate.toLong, 1L, s.nSamples.toLong,
+          s.sumAbs, s.min.toLong, s.max.toLong)).iterator
+      else if (p.length >= HeaderBytes && p(0) == 'G' && p(1) == 'M') {
+        val body = java.util.Arrays.copyOfRange(p, HeaderBytes, p.length)
+        val hex = fallback.digest(body)
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        Iterator.single(DecodedStats(id, "gm",
+          u16(p, 4), u16(p, 6), (p.length - HeaderBytes).toLong,
+          java.lang.Long.parseLong(hex, 16) % 10000, 0L, 0L))
+      } else Iterator.empty
+    }
+  }
+
+  /** The real batched decoder: [[decodeStatsBatch]] over the same
+    * batch machinery as [[decodeBatched]] (one fallback handle per
+    * batch, narrow, payloads never shuffled, compact typed output).
+    */
+  def decodeStats(media: DataFrame, batchSize: Int = DefaultBatch,
+      newCodec: () => java.security.MessageDigest =
+        () => java.security.MessageDigest.getInstance("MD5"))
+      : Dataset[DecodedStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(
+        _.grouped(batchSize).flatMap(b => decodeStatsBatch(newCodec(), b)))
   }
 }

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus the Spark-side plumbing a real
   * decode/feature pipeline needs (schema, partitioning, batch shape).
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * deterministic fake — `===STUB===` markers below show exactly where
-  * a real decoder (javax.imageio, ffmpeg via mapPartitions, or a
-  * Python `mapInPandas` worker) plugs in. Everything around the stub
+  * Decode status: PGM and WAV/PCM16 payloads decode FOR REAL — pure
+  * JVM raster/sample math in [[Codecs]], exercised through the
+  * batched seam by [[BatchedDecode.decodeStats]] (q129). The
+  * container ships no compressed-format codecs, so THOSE decodes
+  * remain a deterministic fake — `===STUB===` markers below show
+  * exactly where a real decoder (javax.imageio, ffmpeg via
+  * mapPartitions, or a Python `mapInPandas` worker) plugs in, the
+  * same way the PGM/WAV decoders did. Everything around the stub
   * is real: a self-describing header in the binary payload, header
   * parsing with codegen'd binary Column functions (substring / hex /
   * conv — no UDFs), frame sampling by byte-range slicing, and
@@ -114,5 +118,53 @@ object MultimodalOps {
         height = lit(48) + id % 48,
         nFrames = lit(1) + id % 30,
         body = encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** Media table with REAL format payloads, closed-form in doc_id so
+    * an engine-independent oracle recomputes every decoded statistic
+    * without touching a byte: kind 0 docs become binary PGM images
+    * (pixel i = (id*31 + i*7) % 256 over a (16 + id%16) x (8 + id%8)
+    * raster), kind 1 docs become PCM16 mono WAVs (sample i =
+    * ((id*131 + i*17) % 4097) - 2048, 64 + id%128 samples, rate
+    * 8000 + (id%8)*1000), kind 2 docs keep the synthetic 'GM'
+    * container (the md5-fallback route — its decode IS still the
+    * documented stub, and q129's output labels it fmt='gm').
+    *
+    * Built with a typed map rather than Column combinators: payload
+    * assembly is inherently imperative byte layout. Narrow — one
+    * pass, no shuffle, payloads born in their output partition.
+    */
+  def codecMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            val w = (16 + id % 16).toInt
+            val h = (8 + id % 8).toInt
+            Codecs.encodePgm(w, h, i => ((id * 31 + i * 7) % 256).toInt)
+          case 1 =>
+            val n = (64 + id % 128).toInt
+            val rate = (8000 + (id % 8) * 1000).toInt
+            Codecs.encodeWav(rate, n,
+              i => (((id * 131 + i * 17) % 4097) - 2048).toInt)
+          case _ =>
+            val body = text.getBytes("UTF-8")
+            val out = new Array[Byte](HeaderBytes + body.length)
+            out(0) = 'G'; out(1) = 'M'
+            def p16(off: Int, v: Long): Unit = {
+              out(off) = ((v >> 8) & 0xff).toByte
+              out(off + 1) = (v & 0xff).toByte
+            }
+            p16(2, id % 3); p16(4, 64 + id % 64)
+            p16(6, 48 + id % 48); p16(8, 1 + id % 30)
+            System.arraycopy(body, 0, out, HeaderBytes, body.length)
+            out
+        }
+        (id, payload)
+      }
+      .toDF("media_id", "payload")
   }
 }

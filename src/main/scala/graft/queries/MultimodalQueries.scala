@@ -112,15 +112,81 @@ object MultimodalQueries {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  // ---- q129: REAL pixel/sample decode (PGM + WAV, pure JVM) ----
+  // The round-12 close of the one honest capability stub: kind-0
+  // docs are planted as REAL binary PGM images and kind-1 docs as
+  // REAL PCM16 mono WAVs (Codecs.encodePgm/encodeWav, closed-form
+  // rasters/samples in doc_id), then decoded back by content
+  // sniffing through the SAME one-handle-per-batch seam as q59
+  // (BatchedDecode.decodeStats). The decoded statistics — pixel
+  // sum/min/max, abs-amplitude sum and raw sample extremes — are
+  // recomputed closed-form by the DuckDB oracle from doc_id alone,
+  // so a single flipped byte anywhere in encoder, header parse,
+  // raster walk, or sample arithmetic hash-fails the gate. Kind-2
+  // docs stay in the synthetic 'GM' container and take the md5
+  // fallback route (fmt='gm' rows — the residual stub, visibly
+  // labeled), proving unknown-format routing alongside the real
+  // decodes.
+  //
+  // 100 TB posture: identical to q59 — narrow decode, payloads never
+  // shuffled, one codec handle per 64-payload batch, compact typed
+  // rows out; only the final oracle orderBy exchanges.
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeStats(codecMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q129Sql: String = {
+    val h = TextQueries.md5IntSql("text")
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, 'pgm' AS fmt,
+       |    16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+       |    (16 + doc_id % 16) * (8 + doc_id % 8) AS n_units,
+       |    list_transform(range(0, CAST((16 + doc_id % 16) * (8 + doc_id % 8) AS BIGINT)),
+       |      i -> (doc_id * 31 + i * 7) % 256) AS px
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), wav AS (
+       |  SELECT doc_id AS media_id, 'wav' AS fmt,
+       |    8000 + (doc_id % 8) * 1000 AS w, 1 AS h,
+       |    64 + doc_id % 128 AS n_units,
+       |    list_transform(range(0, CAST(64 + doc_id % 128 AS BIGINT)),
+       |      i -> ((doc_id * 131 + i * 17) % 4097) - 2048) AS smp
+       |  FROM documents WHERE doc_id % 3 = 1
+       |)
+       |SELECT media_id, fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       |  CAST(n_units AS BIGINT) AS n_units,
+       |  CAST(list_sum(px) AS BIGINT) AS sum_val,
+       |  CAST(list_min(px) AS BIGINT) AS min_val,
+       |  CAST(list_max(px) AS BIGINT) AS max_val
+       |FROM img
+       |UNION ALL
+       |SELECT media_id, fmt, CAST(w AS BIGINT), CAST(h AS BIGINT),
+       |  CAST(n_units AS BIGINT),
+       |  CAST(list_sum(list_transform(smp, s -> abs(s))) AS BIGINT),
+       |  CAST(list_min(smp) AS BIGINT),
+       |  CAST(list_max(smp) AS BIGINT)
+       |FROM wav
+       |UNION ALL
+       |SELECT doc_id AS media_id, 'gm' AS fmt,
+       |  CAST(64 + doc_id % 64 AS BIGINT), CAST(48 + doc_id % 48 AS BIGINT),
+       |  CAST(octet_length(encode(text)) AS BIGINT),
+       |  CAST($h % 10000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |FROM documents WHERE doc_id % 3 = 2
+       |ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_roundtrip" -> (q50 _),
     "q51_frame_features" -> (q51 _),
-    "q59_batched_decode" -> (q59 _)
+    "q59_batched_decode" -> (q59 _),
+    "q129_codec_decode" -> (q129 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q50_media_roundtrip" -> q50Sql,
     "q51_frame_features" -> q51Sql,
-    "q59_batched_decode" -> q59Sql
+    "q59_batched_decode" -> q59Sql,
+    "q129_codec_decode" -> q129Sql
   )
 }
