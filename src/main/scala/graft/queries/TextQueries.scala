@@ -124,7 +124,18 @@ object TextQueries {
   // ---- q31: MinHash + LSH near-duplicate detection ----
   // shingle(5-word) -> base md5 hash once -> minhash(k=8, affine
   // family) -> 4 bands x 2 rows -> bucket join on band key ->
-  // exact-Jaccard confirm >= 0.5.
+  // m8 >= 4 calibrated pre-filter -> exact-Jaccard confirm >= 0.5.
+  //
+  // The pre-filter is q127's calibration table APPLIED (r12): the
+  // confirm bar J >= 0.5 implies E[m8] >= 4, and the measured table
+  // shows every true pair at m8 >= 4 on all gate SFs while organic
+  // band collisions (J ~ 0.01) sit at m8 <= 3 — so candidates with
+  // m8 <= 3 are priced out BEFORE their shingle sets are fetched
+  // (measured at sf0.1: 2 of 1004 candidates drop, both J = 0.009;
+  // tiny here, but the 100 TB point is the SHAPE — only the 8-int
+  // signatures move for every candidate, the ~250-element sets move
+  // for calibrated survivors). Both engines carry the same floor, so
+  // parity is by construction, not by corpus luck.
   def q31(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = withNearCopies(tbl(spark, dir, "documents"))
@@ -148,7 +159,8 @@ object TextQueries {
     // matches bit-for-bit).
     val banded = sig.select(col("doc_id"),
       explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
-    val idPairs = TextOps.lshCandidatePairs(banded)
+    val idPairs = TextOps.calibratedCandidatePairs(
+      TextOps.lshCandidatePairs(banded), sig, M8Floor)
     val sets = sig.select(col("doc_id"), col("sh"))
     val pairs = idPairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
@@ -160,6 +172,11 @@ object TextQueries {
         round(col("jac") * 10000).cast("long").as("jaccard_e4"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The calibrated m8 pre-confirm floor (see q31's header and the
+    * q127 audit that sets it).
+    */
+  private[graft] val M8Floor = 4
 
   private def mhSql(i: Int) =
     s"list_min(list_transform(sh, h -> (h * ${MinHashA(i)} + ${MinHashB(i)}) % $MinHashP))"
@@ -199,8 +216,13 @@ object TextQueries {
   }.mkString(",\n    ")
 
   val q31Sql: String = {
+    val m8 = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
     s"""WITH $minhashSigCte, banded AS (
-       |  SELECT doc_id, sh, $mhBandsSql
+       |  SELECT doc_id, sh,
+       |    ${(0 until 8).map(i => s"mh$i").mkString(", ")},
+       |    $mhBandsSql
        |  FROM sig
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -210,6 +232,7 @@ object TextQueries {
        |FROM banded a JOIN banded b
        |  ON a.doc_id < b.doc_id
        | AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+       | AND $m8 >= $M8Floor
        |WHERE 1.0 * len(list_intersect(a.sh, b.sh)) /
        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin

@@ -126,6 +126,31 @@ object TextOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
+  /** q127-calibrated candidate pre-filter: keep only candidate pairs
+    * whose k=8 MinHash signatures agree on at least `m8Floor`
+    * components. The floor comes from the calibration audit, not a
+    * guess: E[m8/8] = J, so the J >= 0.5 confirm bar implies
+    * E[m8] >= 4, and q127's measured table shows every J >= 0.5 pair
+    * at m8 >= 4 across all gate SFs while the junk tail (organic
+    * band collisions, J ~ 0.01) sits at m8 <= 3. Shape: `idPairs`
+    * joins the 8-int signatures (narrow!) on both sides — the ~250-
+    * element shingle sets are fetched only for survivors, so at
+    * 100 TB the heavy confirm payload never moves for junk the
+    * calibration already prices out.
+    */
+  def calibratedCandidatePairs(idPairs: DataFrame, sig: DataFrame,
+      m8Floor: Int): DataFrame = {
+    def side(p: String) = sig.select(
+      (col("doc_id").as(s"id_$p") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"__${p}m$i"))): _*)
+    val m8 = (0 until 8)
+      .map(i => (col(s"__am$i") === col(s"__bm$i")).cast("int"))
+      .reduce(_ + _)
+    idPairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .filter(m8 >= m8Floor)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** 16-bit token hash array: first 4 hex chars of each token's md5.
     * Stage this as a NAMED column before [[simHash16FromHashes]] — the
     * 16 bit-vote aggregates each reference it, and an inline
