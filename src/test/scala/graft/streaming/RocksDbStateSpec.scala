@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
@@ -134,5 +135,69 @@ class RocksDbStateSpec extends AnyFunSuite {
           "in-flight sentinel — mark-only state survived the timeout " +
           "under RocksDB")
     } finally q.stop()
+  }
+
+  // r12 (the r11 verdict's rehearsal-refresh item): the ingest's
+  // per-key state is the curated TABLE itself (foreachBatch merge +
+  // digest probe), not a state-store — so the provider swap must be
+  // a structural no-op for it, and the whole r10/r11-era protocol
+  // (quarantine routing, in-batch window dedup, cross-batch
+  // delta-dedup, post-merge crash replay) must converge identically
+  // in a RocksDB-provider session. The zero-state assert keeps this
+  // honest the same way MonitorStateSpec does for the partials-only
+  // monitors: if a refactor ever grows a state-store operator inside
+  // the ingest, this goes red and the eviction story must be argued.
+  test("curated ingest under RocksDB: no store state, replay converges") {
+    val spark = rocksSession()
+    val root = Files.createTempDirectory("rocks_ingest")
+    val drop = Files.createDirectories(root.resolve("drop"))
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("curated").toString
+    val goodText =
+      "the quick brown fox jumps over the lazy dog and the cat is of " +
+        "the essence to win in the long game of the seasons"
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    def dropShard(name: String, lines: Seq[String]): Unit = {
+      val tmp = Files.createTempFile("shard", ".jsonl")
+      Files.write(tmp, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, drop.resolve(name))
+    }
+    // batch 1: two keepers, one in-batch dup, one malformed line
+    // (quarantine route)
+    dropShard("s1.jsonl", Seq(
+      jline(1, goodText),
+      jline(2, goodText + " again and again the end is near to all"),
+      jline(3, goodText),
+      """{"doc_id":oops"""))
+    val q1 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(q1.lastProgress != null &&
+        q1.lastProgress.stateOperators.isEmpty,
+        "ingest grew state-store operators under RocksDB")
+    } finally q1.stop()
+    // batch 2: crash AFTER the merge, BEFORE the checkpoint commit —
+    // the replay under the RocksDB session must converge (doc 5 once),
+    // and the cross-batch digest probe must drop doc 7's replayed text
+    dropShard("s2.jsonl", Seq(
+      jline(5, goodText + " a tale of two cities and the best of times"),
+      jline(7, goodText)))
+    val q2 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt,
+      postMergeHook = _ => sys.error("injected crash"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    q2.stop()
+    val q3 = Ingest.curatedJsonlIngest(spark, drop.toString, table, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    val ids = Ingest.readCurated(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L),
+      s"RocksDB-session ingest state diverged: $ids")
+    val quarantined = spark.read.json(Ingest.quarantinePath(table))
+    assert(quarantined.count() == 1 &&
+      quarantined.head().getAs[String]("reason") == "malformed")
   }
 }
