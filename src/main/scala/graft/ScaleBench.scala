@@ -124,18 +124,38 @@ object ScaleBench {
     // the part dim does NOT (dims grow with the catalog, not the
     // event volume) — join selectivity and the bloom's pruning rate
     // stay realistic
+    // SHARED orderkey stride for lineitem AND orders: replicas must
+    // step both tables by the same amount or the l_orderkey ->
+    // o_orderkey FK breaks inside replicas k > 0 (computed lazily —
+    // only if either table needs building; spans both maxima in case
+    // an order carries no lineitem rows)
+    lazy val okStep = math.max(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(max("l_orderkey")).head().getLong(0),
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(max("o_orderkey")).head().getLong(0)) + 1
+
     if (missing("lineitem")) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val okStep = li.agg(max("l_orderkey")).head().getLong(0) + 1
       (0 until factor).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStep))
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     }
+    // orders is a fact, not a dim: it grows with the order volume on
+    // the same key stride; o_custkey stays put (customers are the
+    // catalog), so each replica's orders join the one customer dim
+    if (missing("orders")) {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      (0 until factor).map { k =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStep))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    }
     // dims grow with the catalog, not the event volume: copy through
     // unchanged (part for q77; customer/supplier/nation for q99/q100 —
     // their cost law is the dim-sized aggregate, measured as such)
-    for (dim <- Seq("part", "customer", "supplier", "nation"))
+    for (dim <- Seq("part", "customer", "supplier", "nation", "region"))
       if (missing(dim))
         spark.read.parquet(s"$sfDir/$dim.parquet")
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
@@ -191,6 +211,22 @@ object ScaleBench {
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     }
+  }
+
+  /** Build-only entry (r12's above-sf0.1 oracle gate): replicate the
+    * full 10-table corpus without measuring anything, so check.py can
+    * run the DuckDB gate against the replica.
+    * Usage: runMain graft.ScaleBenchBuild [sfDir] [out] [factor]
+    */
+  def buildOnlyMain(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf0.3")
+    val factor = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, sfDir, out, factor)
+    spark.stop()
   }
 
   private def time(spark: SparkSession, name: String, dir: String,
@@ -251,4 +287,9 @@ object ScaleBench {
     }
     spark.stop()
   }
+}
+
+/** runMain alias for [[ScaleBench.buildOnlyMain]]. */
+object ScaleBenchBuild {
+  def main(args: Array[String]): Unit = ScaleBench.buildOnlyMain(args)
 }

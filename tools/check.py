@@ -142,7 +142,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table (scaled replicas): a directory of
+            # part files rather than the driver's single file
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
