@@ -23,7 +23,7 @@ object DumpPlans {
       "q05_sortmerge_join" -> "big-big sort-merge join",
       "q20_approaches" -> "flagship state-machine pipeline (one shuffle)",
       "q26_salted_join" -> "salted skew join",
-      "q31_minhash_lsh" -> "LSH band bucket join",
+      "q31_minhash_lsh" -> "LSH band bucket join (narrow m8>=4 calibrated pre-filter before the set fetch)",
       "q33_jaccard_pairs" -> "inverted shingle index join",
       "q40_cosine_topk" -> "brute-force ANN baseline (broadcast queries, bounded partial top-k agg)",
       "q43_ivf_ann" -> "IVF probe join (broadcast-variable codebook)",
@@ -87,13 +87,14 @@ object DumpPlans {
       "q119_rate_anomaly" -> "event-rate anomaly flags (rollup aggregate, 6-deep window frame, integer 2-sigma test)",
       "q120_rate_trend" -> "event-rate trend (rollup-sized row_number window, one regression aggregate per type)",
       "q121_bm25" -> "BM25 retrieval (one stats aggregate broadcast back, map-only scoring, TakeOrdered top-10)",
-      "q122_banded_align" -> "banded margin alignment (bipartite band-key bucket join, candidate-only margins, bounded top-4 partials)",
+      "q122_banded_align" -> "banded margin alignment (bipartite band-key bucket join, candidate-only margins, bounded top-4 partials, exact-cosine confirm floor)",
       "q123_align_recall" -> "alignment recall audit (exact vs banded pair sets, count-only single row)",
       "q124_cluster_split" -> "cluster-aware leakage-safe split (q47 CC + narrow keeper join + salted-hash projection)",
       "q125_packing_stats" -> "packing-efficiency audit (q58 window + 3-row partial aggregate)",
       "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)",
       "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, <=7-row table: a matching band forces m8 >= 2)",
-      "q128_pq_recall" -> "PQ/ADC recall audit (exact L2 sample baseline vs code-space top-3, broadcast codebook)")
+      "q128_pq_recall" -> "PQ/ADC recall audit (exact L2 sample baseline vs code-space top-3, broadcast codebook)",
+      "q129_codec_decode" -> "real PGM/WAV decode (narrow typed mapPartitions batches, payloads never shuffled, output-only sort)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
