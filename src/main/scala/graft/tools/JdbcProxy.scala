@@ -77,10 +77,27 @@ object JdbcProxy {
     * Primitive arrays filter on their (primitive) component type,
     * which no pattern rejects, so the depth/array limits bound them.
     */
-  private val requestFilter: ObjectInputFilter =
-    ObjectInputFilter.Config.createFilter(
-      "maxdepth=8;maxarray=65536;maxrefs=4096;" +
+  private val requestFilter: ObjectInputFilter = {
+    // NO maxrefs: the reference counter is cumulative over the
+    // stream's lifetime, and one proxied Connection serves thousands
+    // of calls on one long-lived stream (measured: the 4096 cap
+    // rejected every request after ~2k calls, surfacing to the
+    // executor as a bare broken pipe). maxdepth/maxarray are
+    // per-object and do bound each request; the class allow-list is
+    // the actual security boundary.
+    val pattern = ObjectInputFilter.Config.createFilter(
+      "maxdepth=8;maxarray=65536;" +
         "java.lang.*;java.math.*;java.sql.*;java.util.Date;!*")
+    // wrap for diagnosability: a rejected request otherwise surfaces
+    // to the client as a bare "broken pipe"
+    info => {
+      val st = pattern.checkInput(info)
+      if (st == ObjectInputFilter.Status.REJECTED)
+        System.err.println(s"[jdbc-proxy] filter rejected class=" +
+          s"${info.serialClass} depth=${info.depth} refs=${info.references}")
+      st
+    }
+  }
 
   /** One handler per client Connection: objectId 0 is "connect". */
   private def handle(sock: Socket, targetUrl: String): Unit = {
@@ -135,7 +152,12 @@ object JdbcProxy {
         out.flush()
       }
     } catch {
-      case _: java.io.IOException => // client went away: close its objects
+      case e: java.io.IOException => // client went away: close its objects
+        // a filter rejection (InvalidClassException IS an IOException)
+        // must be diagnosable, not silent — the client only ever sees
+        // "broken pipe" after this path runs
+        if (e.isInstanceOf[java.io.ObjectStreamException])
+          System.err.println(s"[jdbc-proxy] request stream rejected: $e")
         objects.values.forEach {
           case c: java.sql.Connection => try c.close() catch { case _: Throwable => () }
           case _ => ()

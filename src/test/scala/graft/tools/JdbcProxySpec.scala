@@ -94,4 +94,26 @@ class JdbcProxySpec extends AnyFunSuite {
       assert(rs2.getLong(1) === n1 && n1 === 97L)
     } finally { c1.close(); c2.close() }
   }
+
+  test("a long-lived connection survives >4096 proxied calls") {
+    // regression pin for the r12 deserialization filter: maxrefs
+    // counts CUMULATIVELY over the stream, so a per-stream cap killed
+    // every connection after ~2k calls (each call ships 2 arrays) —
+    // exactly the shape of a real executor's per-partition upsert
+    // loop. 5000 round-trips must all succeed on ONE socket.
+    val c = DriverManager.getConnection(proxied)
+    try {
+      val st = c.prepareStatement("VALUES (CAST(? AS INTEGER))")
+      var i = 0
+      while (i < 5000) {
+        st.setInt(1, i)
+        val rs = st.executeQuery()
+        rs.next()
+        assert(rs.getInt(1) == i)
+        rs.close()
+        i += 1
+      }
+      st.close()
+    } finally c.close()
+  }
 }
