@@ -132,10 +132,11 @@ object TextQueries {
   // band collisions (J ~ 0.01) sit at m8 <= 3 — so candidates with
   // m8 <= 3 are priced out BEFORE their shingle sets are fetched
   // (measured at sf0.1: 2 of 1004 candidates drop, both J = 0.009;
-  // tiny here, but the 100 TB point is the SHAPE — only the 8-int
-  // signatures move for every candidate, the ~250-element sets move
-  // for calibrated survivors). Both engines carry the same floor, so
-  // parity is by construction, not by corpus luck.
+  // tiny here, but the 100 TB point is the SHAPE — the 8-int
+  // signatures ride the band explode into the one banded self-join,
+  // and the ~250-element sets move only for calibrated survivors).
+  // Both engines carry the same floor, so parity is by construction,
+  // not by corpus luck.
   def q31(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = withNearCopies(tbl(spark, dir, "documents"))
@@ -152,15 +153,18 @@ object TextQueries {
     val sig = docs.select(
       (col("doc_id") +: col("sh") +: minHash(col("sh"), 8)): _*)
       .repartition(col("doc_id"))
-    // band join carries ids only — the ~250-element shingle arrays
-    // would otherwise be exploded 4x and shuffled with every band row.
-    // lshCandidatePairs adds the hot-bucket cap (default never binds
-    // on this corpus, so the DuckDB oracle — which has no cap — still
-    // matches bit-for-bit).
-    val banded = sig.select(col("doc_id"),
-      explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2)).as("bk"))
-    val idPairs = TextOps.calibratedCandidatePairs(
-      TextOps.lshCandidatePairs(banded), sig, M8Floor)
+    // band join carries ids + the 8-int signatures (the m8 floor's
+    // inputs, riding the explode) — the ~250-element shingle arrays
+    // would otherwise be exploded 4x and shuffled with every band
+    // row. calibratedLshCandidatePairs adds the hot-bucket cap
+    // (default never binds on this corpus, so the DuckDB oracle —
+    // which has no cap — still matches bit-for-bit) and the m8 floor
+    // in the same join.
+    val banded = sig.select(
+      (col("doc_id") +: (0 until 8).map(i => col(s"mh$i"))) :+
+        explode(lshBandKeys((0 until 8).map(i => col(s"mh$i")), 4, 2))
+          .as("bk"): _*)
+    val idPairs = TextOps.calibratedLshCandidatePairs(banded, M8Floor)
     val sets = sig.select(col("doc_id"), col("sh"))
     val pairs = idPairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")

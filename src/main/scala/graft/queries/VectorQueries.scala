@@ -1374,7 +1374,7 @@ object VectorQueries {
     * of every 50th source vector (the planted true alignments), as
     * (yid, yv, ny). Norms are staged once per row.
     */
-  private def alignSides(spark: SparkSession,
+  private[graft] def alignSides(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val e = tbl(spark, dir, "embeddings")
@@ -1551,7 +1551,11 @@ object VectorQueries {
   private val alignSideCounts =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def alignSideCardinalities(spark: SparkSession,
+  // private[graft] so the parity spec can pin this against the REAL
+  // alignSides counts — the two re-state the side definitions
+  // independently, and a drift between them silently desyncs the
+  // plane count from the data
+  private[graft] def alignSideCardinalities(spark: SparkSession,
       dir: String): (Long, Long) =
     alignSideCounts.computeIfAbsent(dir, { d =>
       val r = tbl(spark, d, "embeddings")

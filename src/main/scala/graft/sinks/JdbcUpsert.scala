@@ -117,7 +117,9 @@ object JdbcUpsert {
             val d = it.next()
             if (d.acceptsURL(url)) c = d.connect(url, props)
           }
-        } catch { case _: Throwable => () }
+        } catch {
+          case t: Throwable => e.addSuppressed(t) // keep both stories
+        }
         if (c == null) throw e
         c
     }

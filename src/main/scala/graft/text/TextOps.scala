@@ -126,29 +126,42 @@ object TextOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-  /** q127-calibrated candidate pre-filter: keep only candidate pairs
-    * whose k=8 MinHash signatures agree on at least `m8Floor`
-    * components. The floor comes from the calibration audit, not a
-    * guess: E[m8/8] = J, so the J >= 0.5 confirm bar implies
-    * E[m8] >= 4, and q127's measured table shows every J >= 0.5 pair
-    * at m8 >= 4 across all gate SFs while the junk tail (organic
-    * band collisions, J ~ 0.01) sits at m8 <= 3. Shape: `idPairs`
-    * joins the 8-int signatures (narrow!) on both sides — the ~250-
-    * element shingle sets are fetched only for survivors, so at
-    * 100 TB the heavy confirm payload never moves for junk the
-    * calibration already prices out.
+  /** q127-calibrated LSH candidate pairs: the banded self-join with
+    * an m8 >= `m8Floor` pre-confirm floor FUSED into it. `banded`
+    * must carry the k=8 signature columns (mh0..mh7) alongside
+    * (doc_id, bk) — the signatures ride the band explode, so the
+    * floor costs zero extra joins (an earlier join-the-signatures-
+    * back shape recomputed the whole minhash pipeline per side and
+    * benched 1.7x q31's baseline; this one is plan-identical to the
+    * uncalibrated join plus a filter).
+    *
+    * The floor comes from the calibration audit, not a guess:
+    * E[m8/8] = J, so the J >= 0.5 confirm bar implies E[m8] >= 4,
+    * and q127's measured table shows every J >= 0.5 pair at m8 >= 4
+    * across all gate SFs while the junk tail (organic band
+    * collisions, J ~ 0.01) sits at m8 <= 3. Shape at 100 TB: the
+    * banded shuffle widens by 8 ints per row; the ~250-element
+    * shingle sets are fetched only for floor survivors, so the heavy
+    * confirm payload never moves for junk the calibration already
+    * prices out.
     */
-  def calibratedCandidatePairs(idPairs: DataFrame, sig: DataFrame,
-      m8Floor: Int): DataFrame = {
-    def side(p: String) = sig.select(
-      (col("doc_id").as(s"id_$p") +:
-        (0 until 8).map(i => col(s"mh$i").as(s"__${p}m$i"))): _*)
+  def calibratedLshCandidatePairs(banded: DataFrame, m8Floor: Int,
+      maxBucket: Long = 100000L): DataFrame = {
+    // <=> (null-safe), NOT === : with null-intolerant equality the
+    // optimizer infers isnotnull(mh_i) on all 16 signature refs and
+    // pushes each below the band explode to the SCAN, where alias
+    // substitution re-expands every one into its full
+    // shingle+minhash pipeline — measured 1.7x on q31 (the
+    // signatures are never null anyway; sig drops empty shingle
+    // sets, so the two forms agree)
     val m8 = (0 until 8)
-      .map(i => (col(s"__am$i") === col(s"__bm$i")).cast("int"))
+      .map(i => (col(s"a.mh$i") <=> col(s"b.mh$i")).cast("int"))
       .reduce(_ + _)
-    idPairs.join(side("a"), "id_a").join(side("b"), "id_b")
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(banded, "doc_id", "bk", maxBucket)
       .filter(m8 >= m8Floor)
-      .select(col("id_a"), col("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
   }
 
   /** 16-bit token hash array: first 4 hex chars of each token's md5.

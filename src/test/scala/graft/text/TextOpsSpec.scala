@@ -300,13 +300,14 @@ class TextOpsSpec extends AnyFunSuite {
       "some planted doc matched no phone")
   }
 
-  test("calibratedCandidatePairs: m8 floor drops junk band collisions only") {
+  test("calibratedLshCandidatePairs: m8 floor drops junk collisions only") {
     import spark.implicits._
-    // synthetic k=8 signatures, hand-built so m8 is exact by
-    // construction: (1,2) agree on components 0,1 only — one
-    // matching 2-row band, the organic-collision shape q127 measures
-    // at J ~ 0.01 — while (3,4) agree on 6 of 8 (a true near-dup
-    // shape) and (5,6) on exactly 4 (the floor boundary, must KEEP)
+    // synthetic banded rows (doc_id, mh0..mh7, bk) hand-built so m8
+    // is exact by construction: (1,2) share a band key but agree on
+    // components 0,1 only — the organic-collision shape q127
+    // measures at J ~ 0.01 — while (3,4) agree on 6 of 8 (a true
+    // near-dup shape) and (5,6) on exactly 4 (the floor boundary,
+    // must KEEP); (5,6) collide in TWO bands, pinning the distinct
     val sig = Seq(
       (1L, 10L, 11L, 1L, 2L, 3L, 4L, 5L, 6L),
       (2L, 10L, 11L, 7L, 8L, 9L, 13L, 14L, 15L),
@@ -315,16 +316,22 @@ class TextOpsSpec extends AnyFunSuite {
       (5L, 30L, 31L, 32L, 33L, 50L, 51L, 52L, 53L),
       (6L, 30L, 31L, 32L, 33L, 60L, 61L, 62L, 63L))
       .toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
-    val idPairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
-    val kept = calibratedCandidatePairs(idPairs, sig, 4)
+    // band key = "b<i>:<mh2i>:<mh2i+1>" over 4 bands of 2 rows, the
+    // q31 banding; computed here directly from the fixture columns
+    val banded = sig.select(
+      (col("doc_id") +: (0 until 8).map(i => col(s"mh$i"))) :+
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(s"b$b"), col(s"mh${2 * b}"),
+            col(s"mh${2 * b + 1}"))): _*)).as("bk"): _*)
+    val kept = calibratedLshCandidatePairs(banded, 4)
       .as[(Long, Long)].collect().toSet
     assert(kept == Set((3L, 4L), (5L, 6L)),
       s"floor 4 must drop exactly the m8=2 junk pair, kept $kept")
     // the floor is a PRE-confirm optimization: on the gate corpus it
     // must not change q31's output (q127: every J >= 0.5 pair sits
     // at m8 >= 4) — proven end-to-end by the DuckDB gate, pinned
-    // here for the mechanism: floor 0 admits everything
-    val all = calibratedCandidatePairs(idPairs, sig, 0)
+    // here for the mechanism: floor 0 admits every banded collision
+    val all = calibratedLshCandidatePairs(banded, 0)
       .as[(Long, Long)].collect().toSet
     assert(all == Set((1L, 2L), (3L, 4L), (5L, 6L)))
   }

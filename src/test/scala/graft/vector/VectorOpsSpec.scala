@@ -79,4 +79,19 @@ class VectorOpsSpec extends AnyFunSuite {
     // negation flips every projection's sign -> bitwise complement
     assert((bs(0) ^ bs(1)) == 255)
   }
+
+  test("alignSideCardinalities matches the real alignSides counts") {
+    // the cached cardinality aggregate (r12, sizes q122's SRP plane
+    // count) re-states the side definitions independently of
+    // alignSides; if either side's filter drifts, the plane count
+    // silently desyncs from the data this pin makes that loud
+    val dir = "/root/testdata/sf0.001"
+    val (a, b) = graft.queries.VectorQueries.alignSides(spark, dir)
+    val (na, nb) =
+      graft.queries.VectorQueries.alignSideCardinalities(spark, dir)
+    assert(na == a.count(),
+      s"cached side-a cardinality $na != alignSides a ${a.count()}")
+    assert(nb == b.count(),
+      s"cached side-b cardinality $nb != alignSides b ${b.count()}")
+  }
 }
