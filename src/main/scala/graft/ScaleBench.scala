@@ -128,24 +128,29 @@ object ScaleBench {
     // step both tables by the same amount or the l_orderkey ->
     // o_orderkey FK breaks inside replicas k > 0 (computed lazily —
     // only if either table needs building; spans both maxima in case
-    // an order carries no lineitem rows)
+    // an order carries no lineitem rows).
+    // BOTH-or-neither: a dir holding one orderkey fact but not the
+    // other (e.g. pre-r12 pre-seeds had lineitem only) must rebuild
+    // BOTH — the surviving table's stride came from max(l_orderkey)
+    // alone, and pairing it with a both-maxima stride silently breaks
+    // the FK inside every replica k > 0 (joins drop rows, no error)
     lazy val okStep = math.max(
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .agg(max("l_orderkey")).head().getLong(0),
       spark.read.parquet(s"$sfDir/orders.parquet")
         .agg(max("o_orderkey")).head().getLong(0)) + 1
+    val rebuildOrderFacts = missing("lineitem") || missing("orders")
 
-    if (missing("lineitem")) {
+    if (rebuildOrderFacts) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       (0 until factor).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStep))
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    }
-    // orders is a fact, not a dim: it grows with the order volume on
-    // the same key stride; o_custkey stays put (customers are the
-    // catalog), so each replica's orders join the one customer dim
-    if (missing("orders")) {
+      // orders is a fact, not a dim: it grows with the order volume
+      // on the same key stride; o_custkey stays put (customers are
+      // the catalog), so each replica's orders join the one customer
+      // dim
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       (0 until factor).map { k =>
         o.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStep))

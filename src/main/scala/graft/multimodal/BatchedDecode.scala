@@ -51,6 +51,19 @@ object BatchedDecode {
   private def u16(b: Array[Byte], off: Int): Long =
     (((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)).toLong
 
+  /** The GM container's faked body decode (===STUB===, see
+    * [[decodeBatch]]): (first 15 md5 hex digits of the body) % 10000.
+    * ONE definition shared by the q59 and q129 paths — the stub
+    * formula and the header layout must never diverge between them.
+    */
+  private def gmLuma(codec: java.security.MessageDigest,
+      payload: Array[Byte]): Long = {
+    val body = java.util.Arrays.copyOfRange(
+      payload, HeaderBytes, payload.length)
+    val hex = codec.digest(body).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 10000
+  }
+
   /** Decode one batch with an already-opened codec handle. Payloads
     * failing the magic check are dropped (a production pipeline would
     * route them to a quarantine sink instead).
@@ -67,10 +80,6 @@ object BatchedDecode {
       if (payload.length < HeaderBytes ||
           payload(0) != 'G' || payload(1) != 'M') Iterator.empty
       else {
-        val body = java.util.Arrays.copyOfRange(
-          payload, HeaderBytes, payload.length)
-        val hex = codec.digest(body)
-          .map(b => f"$b%02x").mkString.substring(0, 15)
         Iterator.single(DecodedMedia(
           media_id = id,
           kind = u16(payload, 2),
@@ -78,7 +87,7 @@ object BatchedDecode {
           height = u16(payload, 6),
           n_frames = u16(payload, 8),
           body_bytes = (payload.length - HeaderBytes).toLong,
-          luma_e4 = java.lang.Long.parseLong(hex, 16) % 10000))
+          luma_e4 = gmLuma(codec, payload)))
       }
     }
   }
@@ -131,14 +140,11 @@ object BatchedDecode {
         Codecs.decodeWav(p).map(s => DecodedStats(id, "wav",
           s.sampleRate.toLong, 1L, s.nSamples.toLong,
           s.sumAbs, s.min.toLong, s.max.toLong)).iterator
-      else if (p.length >= HeaderBytes && p(0) == 'G' && p(1) == 'M') {
-        val body = java.util.Arrays.copyOfRange(p, HeaderBytes, p.length)
-        val hex = fallback.digest(body)
-          .map(b => f"$b%02x").mkString.substring(0, 15)
+      else if (p.length >= HeaderBytes && p(0) == 'G' && p(1) == 'M')
         Iterator.single(DecodedStats(id, "gm",
           u16(p, 4), u16(p, 6), (p.length - HeaderBytes).toLong,
-          java.lang.Long.parseLong(hex, 16) % 10000, 0L, 0L))
-      } else Iterator.empty
+          gmLuma(fallback, p), 0L, 0L))
+      else Iterator.empty
     }
   }
 

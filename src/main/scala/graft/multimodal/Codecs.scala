@@ -75,9 +75,15 @@ object Codecs {
       h <- token()
       maxval <- token()
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
-      // exactly ONE whitespace byte separates maxval from the raster
+      // ONE whitespace byte separates maxval from the raster — but a
+      // CRLF writer emits "\r\n", and counting the '\n' as pixel one
+      // would silently shift every statistic. Resolve the ambiguity
+      // toward CRLF (a lone-'\r' separator followed by a true 0x0A
+      // first pixel is vanishingly rare next to Windows-side
+      // writers); all other separators remain strictly one byte.
       if pos < b.length && isWs(b(pos))
-      raster = pos + 1
+      raster = if (b(pos) == '\r' && pos + 1 < b.length &&
+        b(pos + 1) == '\n') pos + 2 else pos + 1
       if b.length - raster >= w.toLong * h
     } yield {
       var sum = 0L

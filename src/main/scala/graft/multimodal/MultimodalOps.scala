@@ -151,7 +151,12 @@ object MultimodalOps {
             Codecs.encodeWav(rate, n,
               i => (((id * 131 + i * 17) % 4097) - 2048).toInt)
           case _ =>
-            val body = text.getBytes("UTF-8")
+            // NULL text -> empty body (the oracle coalesces the same
+            // way); without the guard every third null-text doc would
+            // NPE the whole job — a data-dependent crash the planted
+            // fixtures never exercise
+            val body =
+              (if (text == null) "" else text).getBytes("UTF-8")
             val out = new Array[Byte](HeaderBytes + body.length)
             out(0) = 'G'; out(1) = 'M'
             def p16(off: Int, v: Long): Unit = {

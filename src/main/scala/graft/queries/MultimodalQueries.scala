@@ -138,7 +138,9 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
 
   val q129Sql: String = {
-    val h = TextQueries.md5IntSql("text")
+    // coalesce: NULL text is an EMPTY body on the Spark side (see
+    // codecMediaFromDocuments), so the oracle digests '' too
+    val h = TextQueries.md5IntSql("coalesce(text, '')")
     s"""WITH img AS (
        |  SELECT doc_id AS media_id, 'pgm' AS fmt,
        |    16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
@@ -170,7 +172,7 @@ object MultimodalQueries {
        |UNION ALL
        |SELECT doc_id AS media_id, 'gm' AS fmt,
        |  CAST(64 + doc_id % 64 AS BIGINT), CAST(48 + doc_id % 48 AS BIGINT),
-       |  CAST(octet_length(encode(text)) AS BIGINT),
+       |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT),
        |  CAST($h % 10000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |FROM documents WHERE doc_id % 3 = 2
        |ORDER BY media_id""".stripMargin

@@ -1546,27 +1546,40 @@ object VectorQueries {
     * derive from one scan of (vec_id, label), and the counts size
     * only the SRP plane knob — recomputing them per bandedAlign
     * invocation (q123 calls it three times) was two extra side-scans
-    * each. One narrow aggregate per dir per JVM instead.
+    * each. One narrow aggregate per dir per JVM instead. Keyed by
+    * dir PLUS the embeddings table's mtime, so a rebuilt or grown
+    * table in the same JVM re-counts instead of silently desyncing
+    * the plane count from the data (the exact failure this check
+    * exists to prevent); local-FS mtime is enough — Spark's
+    * directory overwrite and the driver's single-file rewrite both
+    * touch it.
     */
   private val alignSideCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
 
   // private[graft] so the parity spec can pin this against the REAL
   // alignSides counts — the two re-state the side definitions
   // independently, and a drift between them silently desyncs the
   // plane count from the data
   private[graft] def alignSideCardinalities(spark: SparkSession,
-      dir: String): (Long, Long) =
-    alignSideCounts.computeIfAbsent(dir, { d =>
+      dir: String): (Long, Long) = {
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    alignSideCounts.computeIfAbsent((dir, mtime), { case (d, _) =>
+      // coalesce: sum over ZERO rows is SQL NULL, and getLong on a
+      // null field NPEs — an empty embeddings table (partially built
+      // replica) must mean (0, 0), matching the count() semantics
+      // this aggregate replaced
       val r = tbl(spark, d, "embeddings")
         .agg(
-          sum(when(col("label") < 5, 1L).otherwise(0L)).as("na"),
-          sum(when(col("label") >= 5, 1L).otherwise(0L)
+          coalesce(sum(when(col("label") < 5, 1L).otherwise(0L)),
+            lit(0L)).as("na"),
+          coalesce(sum(when(col("label") >= 5, 1L).otherwise(0L)
             + when(col("label") < 5 && col("vec_id") % 50 === 0, 1L)
-              .otherwise(0L)).as("nb"))
+              .otherwise(0L)), lit(0L)).as("nb"))
         .head()
       (r.getLong(0), r.getLong(1))
     })
+  }
 
   /** The banded margin miner, parameterized by the band-table salt
     * set (table count = the recall/precision knob q123 measures) and

@@ -85,8 +85,13 @@ object JdbcProxy {
     // executor as a bare broken pipe). maxdepth/maxarray are
     // per-object and do bound each request; the class allow-list is
     // the actual security boundary.
+    // maxarray=16M, not 64K: a proxied setBytes/batch argument over
+    // the cap is REJECTED mid-stream and the client only ever sees a
+    // broken pipe — the same silent size cliff the maxrefs fix
+    // removed. The class allow-list is the security boundary; the
+    // array cap only needs to bound memory per request.
     val pattern = ObjectInputFilter.Config.createFilter(
-      "maxdepth=8;maxarray=65536;" +
+      "maxdepth=8;maxarray=16777216;" +
         "java.lang.*;java.math.*;java.sql.*;java.util.Date;!*")
     // wrap for diagnosability: a rejected request otherwise surfaces
     // to the client as a bare "broken pipe"
