@@ -120,7 +120,9 @@ object BatchedDecode {
   /** Decode one batch by CONTENT SNIFFING — the real-decoder path.
     * Magic bytes pick the decoder: "P5" -> [[Codecs.decodePgm]]
     * (gray raster math, real), "RIFF" -> [[Codecs.decodeWav]]
-    * (PCM16 sample math, real), "GM" -> the synthetic container,
+    * (PCM16 sample math, real), the 0x89"PNG" signature ->
+    * [[Codecs.decodePng]] (CRC'd chunk walk + JDK-zlib inflate +
+    * filter reconstruction, real), "GM" -> the synthetic container,
     * whose body decode remains the md5 stand-in (===STUB=== residue:
     * compressed codecs aren't in the sandbox — this is now the ONLY
     * faked decode, and it is labeled in the output as fmt 'gm').
@@ -133,6 +135,11 @@ object BatchedDecode {
     batch.iterator.flatMap { case (id, p) =>
       if (p.length >= 2 && p(0) == 'P' && p(1) == '5')
         Codecs.decodePgm(p).map(s => DecodedStats(id, "pgm",
+          s.width.toLong, s.height.toLong, s.width.toLong * s.height,
+          s.sum, s.min.toLong, s.max.toLong)).iterator
+      else if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P' &&
+          p(2) == 'N' && p(3) == 'G')
+        Codecs.decodePng(p).map(s => DecodedStats(id, "png",
           s.width.toLong, s.height.toLong, s.width.toLong * s.height,
           s.sum, s.min.toLong, s.max.toLong)).iterator
       else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&

@@ -172,4 +172,44 @@ object MultimodalOps {
       }
       .toDF("media_id", "payload")
   }
+
+  /** Media table of REAL PNG payloads, closed-form in doc_id: kind 0
+    * docs are 8-bit GRAYSCALE (pixel i = (id*37 + i*11) % 256), kind
+    * 1 RGB and kind 2 RGBA (r = (id*13 + 3i) % 256, g = (id*17 + 5i)
+    * % 256, b = (id*19 + 7i) % 256, alpha = (id + i) % 256 — present
+    * in the stream, ignored by the stats), all over a (16 + id%16) x
+    * (8 + id%8) raster with the scanline filter CYCLING (id + y) % 5
+    * so every planted payload exercises None/Sub/Up/Average/Paeth
+    * reconstruction through real zlib round-trips. The oracle
+    * recomputes each decoded statistic from doc_id alone (gray value
+    * or integer luma (299r + 587g + 114b)/1000), so any flaw in chunk
+    * CRC-ing, inflate bookkeeping, or any filter direction
+    * hash-fails the gate. Narrow, same posture as
+    * [[codecMediaFromDocuments]].
+    */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (16 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        val colorType = (id % 3) match {
+          case 0 => 0
+          case 1 => 2
+          case _ => 6
+        }
+        val sample: (Int, Int) => Int =
+          if (colorType == 0) (i, _) => ((id * 37 + i * 11L) % 256).toInt
+          else (i, c) => c match {
+            case 0 => ((id * 13 + i * 3L) % 256).toInt
+            case 1 => ((id * 17 + i * 5L) % 256).toInt
+            case 2 => ((id * 19 + i * 7L) % 256).toInt
+            case _ => ((id + i) % 256).toInt
+          }
+        (id, Codecs.encodePng(w, h, colorType, sample,
+          y => ((id + y) % 5).toInt))
+      }
+      .toDF("media_id", "payload")
+  }
 }

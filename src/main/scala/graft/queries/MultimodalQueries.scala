@@ -178,17 +178,65 @@ object MultimodalQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  // ---- q130: REAL compressed-format decode (PNG, pure JVM) ----
+  // The step past q129's uncompressed formats: PNG payloads planted
+  // with closed-form rasters (gray / RGB / RGBA by doc_id % 3, the
+  // scanline filter cycling (id + y) % 5 so None/Sub/Up/Average/
+  // Paeth all reconstruct on gate data), decoded back through the
+  // same one-handle-per-batch seam — CRC-32 chunk verification, JDK
+  // zlib inflate, per-scanline filter reconstruction, integer-luma
+  // gray reduction — and hash-matched against a DuckDB oracle that
+  // recomputes sum/min/max from doc_id alone. Text never enters the
+  // planting, so the query replays identically at any SF or replica.
+  //
+  // 100 TB posture: identical to q59/q129 — narrow decode, payloads
+  // never shuffled, compact typed rows out; only the final oracle
+  // orderBy exchanges.
+  def q130(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeStats(pngMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q130Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    CASE WHEN media_id % 3 = 0 THEN
+      |      list_transform(range(0, CAST(w * h AS BIGINT)),
+      |        i -> (media_id * 37 + i * 11) % 256)
+      |    ELSE
+      |      list_transform(range(0, CAST(w * h AS BIGINT)),
+      |        i -> ((media_id * 13 + i * 3) % 256 * 299
+      |            + (media_id * 17 + i * 5) % 256 * 587
+      |            + (media_id * 19 + i * 7) % 256 * 114) // 1000)
+      |    END AS v
+      |  FROM g
+      |)
+      |SELECT media_id, 'png' AS fmt,
+      |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * h AS BIGINT) AS n_units,
+      |  CAST(list_sum(v) AS BIGINT) AS sum_val,
+      |  CAST(list_min(v) AS BIGINT) AS min_val,
+      |  CAST(list_max(v) AS BIGINT) AS max_val
+      |FROM px ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_roundtrip" -> (q50 _),
     "q51_frame_features" -> (q51 _),
     "q59_batched_decode" -> (q59 _),
-    "q129_codec_decode" -> (q129 _)
+    "q129_codec_decode" -> (q129 _),
+    "q130_png_decode" -> (q130 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q50_media_roundtrip" -> q50Sql,
     "q51_frame_features" -> q51Sql,
     "q59_batched_decode" -> q59Sql,
-    "q129_codec_decode" -> q129Sql
+    "q129_codec_decode" -> q129Sql,
+    "q130_png_decode" -> q130Sql
   )
 }

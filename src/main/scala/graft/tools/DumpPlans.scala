@@ -94,7 +94,8 @@ object DumpPlans {
       "q126_ivf_recall" -> "IVF probe-depth recall audit (exact sample baseline, broadcast codebook + claim-set joins)",
       "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, <=7-row table: a matching band forces m8 >= 2)",
       "q128_pq_recall" -> "PQ/ADC recall audit (exact L2 sample baseline vs code-space top-3, broadcast codebook)",
-      "q129_codec_decode" -> "real PGM/WAV decode (narrow typed mapPartitions batches, payloads never shuffled, output-only sort)")
+      "q129_codec_decode" -> "real PGM/WAV decode (narrow typed mapPartitions batches, payloads never shuffled, output-only sort)",
+      "q130_png_decode" -> "real PNG decode (CRC'd chunk walk + JDK-zlib inflate + filter reconstruction in narrow batches, output-only sort)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
