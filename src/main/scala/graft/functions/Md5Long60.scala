@@ -172,6 +172,12 @@ object GraftFunctions {
         s"got ${other.length}")
   }
 
+  private val deflateBuilder: Seq[Expression] => Expression = {
+    case Seq(s) => DeflateLen(s)
+    case other => throw new IllegalArgumentException(
+      s"deflate_len(<string>) takes exactly one argument — got ${other.length}")
+  }
+
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotF64(a, b)
     case other => throw new IllegalArgumentException(
@@ -215,6 +221,8 @@ object GraftFunctions {
       "simhash64", simHash64Builder, "built-in")
     registry.createOrReplaceTempFunction(
       "nfc_normalize", nfcBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "deflate_len", deflateBuilder, "built-in")
   }
 
   private val bloomBuilder: Seq[Expression] => Expression = {

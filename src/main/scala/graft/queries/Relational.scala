@@ -2196,8 +2196,101 @@ object Relational {
       |    AS slope_e6
       |FROM a WHERE k >= 2 ORDER BY event_type""".stripMargin
 
+  // ---- q131: semi-structured JSON extraction (from_json) ----
+  // The log-ingest shape every pipeline hits: a string column of JSON
+  // payloads (nested object + array + scalar), schema-projected into
+  // typed columns IN THE SCAN via `from_json` (Spark's Jackson-backed
+  // JsonToStructs — codegen-adjacent, no UDF) and aggregated. The
+  // organic `events.props` payload is a trivial {"k": N}, so the JSON
+  // is planted closed-form from event_id (the q88 URL posture):
+  // tier/score under a nested object, a 2-element tag array, a
+  // boolean — identical text in both engines, with every 11th payload
+  // MANGLED (leading '@') to exercise malformed-record routing.
+  //
+  // The mangle is a leading-byte corruption rather than a truncation
+  // on purpose: Spark's PERMISSIVE mode keeps PARTIAL results for
+  // records that fail mid-parse (spark.sql.json.enablePartialResults,
+  // default true on 4.x), so a tail truncation would leave the early
+  // fields populated while DuckDB's json_valid() calls the whole
+  // record invalid — a parity break by design, not by bug. Failing at
+  // byte 0 parses zero fields in both engines: the malformed class
+  // lands in one NULL-tier group with NULL aggregates.
+  //
+  // 100 TB posture: parse is map-only inside the scan projection
+  // (payloads never shuffle); the exchange carries 6 narrow columns
+  // for at most 6 tier groups (5 tiers + the NULL malformed group).
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val j = concat(
+      lit("""{"user":{"tier":"t"""), (id % 5).cast("string"),
+      lit("""","score":"""), (id % 97).cast("string"),
+      lit("""},"tags":["g"""), (id % 3).cast("string"),
+      lit("""","g"""), (id % 7).cast("string"),
+      lit(""""],"ok":"""),
+      when(id % 2 === 0, lit("true")).otherwise(lit("false")),
+      lit("}"))
+    val jm = when(id % 11 === 0, concat(lit("@"), j)).otherwise(j)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user STRUCT<tier: STRING, score: BIGINT>, " +
+        "tags ARRAY<STRING>, ok BOOLEAN")
+    events(spark, dir)
+      .select(id, from_json(jm, schema).as("p"))
+      .select(id,
+        col("p.user.tier").as("tier"),
+        col("p.user.score").as("score"),
+        col("p.tags").as("tags"),
+        col("p.ok").as("ok"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).as("sum_score"),
+        count(when(col("ok"), 1)).as("n_ok"),
+        sum(size(col("tags")).cast("long")).as("sum_tags"),
+        countDistinct(col("tags").getItem(0)).as("first_tags"))
+      .orderBy(col("tier"))
+  }
+
+  val q131Sql: String =
+    """WITH j AS (
+      |  SELECT event_id,
+      |    '{"user":{"tier":"t' || CAST(event_id % 5 AS VARCHAR) ||
+      |    '","score":' || CAST(event_id % 97 AS VARCHAR) ||
+      |    '},"tags":["g' || CAST(event_id % 3 AS VARCHAR) ||
+      |    '","g' || CAST(event_id % 7 AS VARCHAR) ||
+      |    '"],"ok":' ||
+      |    CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+      |    '}' AS full_j
+      |  FROM events
+      |), m AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 11 = 0 THEN '@' || full_j
+      |         ELSE full_j END AS s
+      |  FROM j
+      |), p AS (
+      |  SELECT event_id,
+      |    CASE WHEN json_valid(s)
+      |         THEN json_extract_string(s, '$.user.tier') END AS tier,
+      |    CASE WHEN json_valid(s)
+      |         THEN CAST(json_extract(s, '$.user.score') AS BIGINT)
+      |         END AS score,
+      |    CASE WHEN json_valid(s)
+      |         THEN CAST(json_extract(s, '$.ok') AS BOOLEAN) END AS ok,
+      |    CASE WHEN json_valid(s)
+      |         THEN CAST(json_array_length(s, '$.tags') AS BIGINT)
+      |         END AS n_tags,
+      |    CASE WHEN json_valid(s)
+      |         THEN json_extract_string(s, '$.tags[0]') END AS tag0
+      |  FROM m
+      |)
+      |SELECT tier, count(*) AS n,
+      |  CAST(sum(score) AS BIGINT) AS sum_score,
+      |  count(CASE WHEN ok THEN 1 END) AS n_ok,
+      |  CAST(sum(n_tags) AS BIGINT) AS sum_tags,
+      |  count(DISTINCT tag0) AS first_tags
+      |FROM p GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_json_extract" -> (q131 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join3_topk" -> (q03 _),
@@ -2248,6 +2341,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_json_extract" -> q131Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join3_topk" -> q03Sql,

@@ -3123,7 +3123,59 @@ object TextQueries {
        |WHERE 1.0 * common / least(na, nb) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q132: compression-ratio curation signal (zlib, native) ----
+  // The CCNet/RefinedWeb-style cheap repetition probe: a document's
+  // DEFLATE ratio (raw UTF-8 bytes / compressed bytes) separates
+  // boilerplate (compresses far better than prose) from
+  // high-entropy junk (barely compresses) in one map-only pass —
+  // no tokenization, no shuffle, the signal every curation stack
+  // computes before anything expensive. The compressor is the JDK's
+  // own zlib behind the codegen'd `deflate_len` native
+  // ([[graft.functions.DeflateLen]]).
+  //
+  // Oracle strategy (the q129/q130 posture): compressed sizes are
+  // not closed-form, so the gate plants two payload classes from
+  // doc_id alone — never reading `text`, so the query replays at any
+  // SF/replica — whose ratios sit FAR on either side of the 3.0
+  // flag threshold: cls 0 repeats a 24-char phrase 8-24x (measured
+  // ratio > 4.5 at the shortest plant), cls 1 chains 8 md5 hexes
+  // (256 chars of 4-bit/char entropy, ratio < 2). The oracle
+  // recomputes raw_len and the flag closed-form; DeflateLenSpec pins
+  // the actual ratio margins and an inflate round-trip so a wrong
+  // length can't hide behind the wide threshold.
+  //
+  // 100 TB posture: map-only scan (PlanSpec-pinned zero exchanges
+  // before the oracle orderBy); the per-row cost is zlib over ~200
+  // bytes, and the output is 4 narrow columns — the payload never
+  // shuffles.
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val id = col("doc_id")
+    val body = when(id % 2 === 0,
+        repeat(lit("the quick data pipeline "), (lit(8) + id % 17).cast("int")))
+      .otherwise(concat((0 until 8).map(k =>
+        md5(concat(id.cast("string"), lit(s":$k")))): _*))
+    tbl(spark, dir, "documents")
+      .select(id,
+        (id % 2).cast("int").as("cls"),
+        length(body).cast("long").as("raw_len"),
+        call_function("deflate_len", body).as("comp_len"))
+      .select(col("doc_id"), col("cls"), col("raw_len"),
+        when(col("raw_len") >= col("comp_len") * 3L, 1)
+          .otherwise(0).cast("int").as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q132Sql: String =
+    """SELECT doc_id, CAST(doc_id % 2 AS INT) AS cls,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 * (8 + doc_id % 17)
+      |            ELSE 256 END AS BIGINT) AS raw_len,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+      |    AS is_repetitive
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_compression_signal" -> (q132 _),
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
     "q47_dedup_clusters" -> (q47 _),
@@ -3178,6 +3230,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_compression_signal" -> q132Sql,
     "q38_tfidf" -> q38Sql,
     "q46_split" -> q46Sql,
     "q47_dedup_clusters" -> q47Sql,

@@ -412,6 +412,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"q64 re-grew a shuffle aggregate:\n$p")
   }
 
+  test("q132 compression signal is map-only: no shuffle but the output orderBy") {
+    val p = plan(TextQueries.q132(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q132 shuffles a per-document scalar:\n$p")
+    assert(p.contains("deflate_len"), s"q132 lost the native deflate:\n$p")
+  }
+
+  test("q131 JSON extraction parses in the scan projection, payloads never shuffle") {
+    val p = plan(Relational.q131(spark, dir))
+    // from_json must sit under the partial aggregate (map side); the
+    // exchanges carry narrow agg rows: distinct-agg two-phase (2) +
+    // the output orderBy (1)
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"q131 added an unexpected exchange:\n$p")
+    assert(p.contains("from_json"), s"q131 lost the JSON parse:\n$p")
+    val parseAt = p.indexOf("from_json")
+    val firstExchange = p.indexOf("Exchange")
+    // executedPlan prints top-down: the scan-side parse must appear
+    // BELOW (after, in print order) the first exchange
+    assert(parseAt > firstExchange,
+      s"from_json must evaluate before (below) the exchange:\n$p")
+  }
+
   test("q56 vocab top-k is TakeOrderedAndProject, never a full sort") {
     val p = plan(TextQueries.q56(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
