@@ -13,11 +13,17 @@ case class DecodedMedia(media_id: Long, kind: Long, width: Long,
   * unified per-format reduction — `fmt` names the decoder that
   * claimed the payload, (w, h) are pixels for images and
   * (sample_rate, 1) for audio, `n_units` counts pixels / samples /
-  * fallback body bytes, and sum/min/max reduce the decoded values
-  * (gray levels; abs-sum and raw extremes for audio).
+  * fallback body bytes, sum/min/max reduce the decoded values
+  * (gray levels; abs-sum and raw extremes for audio), and `wsum_val`
+  * is the ORDER-SENSITIVE Σ i * value(i) — the statistic that fails
+  * when a decoder recovers the right multiset of values in the wrong
+  * positions (bottom-up BMP rows read top-down, a permuting PNG
+  * filter bug). 0 for the gm fallback (its body decode is the md5
+  * stand-in; there is no value sequence to weight).
   */
 case class DecodedStats(media_id: Long, fmt: String, w: Long, h: Long,
-    n_units: Long, sum_val: Long, min_val: Long, max_val: Long)
+    n_units: Long, sum_val: Long, min_val: Long, max_val: Long,
+    wsum_val: Long)
 
 /** The batched decode path — the Spark-side plumbing a real codec
   * needs, as a typed `mapPartitions` (the JVM analogue of PySpark's
@@ -122,7 +128,9 @@ object BatchedDecode {
     * (gray raster math, real), "RIFF" -> [[Codecs.decodeWav]]
     * (PCM16 sample math, real), the 0x89"PNG" signature ->
     * [[Codecs.decodePng]] (CRC'd chunk walk + JDK-zlib inflate +
-    * filter reconstruction, real), "GM" -> the synthetic container,
+    * filter reconstruction, real), "BM" -> [[Codecs.decodeBmp]]
+    * (BGR/bottom-up/padded-row raster math, real), "GM" -> the
+    * synthetic container,
     * whose body decode remains the md5 stand-in (===STUB=== residue:
     * compressed codecs aren't in the sandbox — this is now the ONLY
     * faked decode, and it is labeled in the output as fmt 'gm').
@@ -136,21 +144,25 @@ object BatchedDecode {
       if (p.length >= 2 && p(0) == 'P' && p(1) == '5')
         Codecs.decodePgm(p).map(s => DecodedStats(id, "pgm",
           s.width.toLong, s.height.toLong, s.width.toLong * s.height,
-          s.sum, s.min.toLong, s.max.toLong)).iterator
+          s.sum, s.min.toLong, s.max.toLong, s.wsum)).iterator
       else if (p.length >= 4 && p(0) == 0x89.toByte && p(1) == 'P' &&
           p(2) == 'N' && p(3) == 'G')
         Codecs.decodePng(p).map(s => DecodedStats(id, "png",
           s.width.toLong, s.height.toLong, s.width.toLong * s.height,
-          s.sum, s.min.toLong, s.max.toLong)).iterator
+          s.sum, s.min.toLong, s.max.toLong, s.wsum)).iterator
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+        Codecs.decodeBmp(p).map(s => DecodedStats(id, "bmp",
+          s.width.toLong, s.height.toLong, s.width.toLong * s.height,
+          s.sum, s.min.toLong, s.max.toLong, s.wsum)).iterator
       else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' &&
           p(2) == 'F' && p(3) == 'F')
         Codecs.decodeWav(p).map(s => DecodedStats(id, "wav",
           s.sampleRate.toLong, 1L, s.nSamples.toLong,
-          s.sumAbs, s.min.toLong, s.max.toLong)).iterator
+          s.sumAbs, s.min.toLong, s.max.toLong, s.wsum)).iterator
       else if (p.length >= HeaderBytes && p(0) == 'G' && p(1) == 'M')
         Iterator.single(DecodedStats(id, "gm",
           u16(p, 4), u16(p, 6), (p.length - HeaderBytes).toLong,
-          gmLuma(fallback, p), 0L, 0L))
+          gmLuma(fallback, p), 0L, 0L, 0L))
       else Iterator.empty
     }
   }

@@ -35,13 +35,21 @@ package graft.multimodal
   */
 object Codecs {
 
-  /** Decoded image summary: `sum`/`min`/`max` over the gray raster. */
+  /** Decoded image summary: `sum`/`min`/`max` over the gray raster,
+    * plus `wsum` = Σ i * gray(i) over ROW-MAJOR TOP-DOWN pixel index —
+    * the order-SENSITIVE statistic. sum/min/max are multiset
+    * reductions: a decoder that permutes pixels (bottom-up rows read
+    * top-down, a mis-reconstructed PNG filter that swaps values, a
+    * stride bug) can pass them; wsum hash-fails the gate instead.
+    */
   final case class ImageStats(width: Int, height: Int, sum: Long,
-      min: Int, max: Int)
+      min: Int, max: Int, wsum: Long)
 
-  /** Decoded audio summary: `sumAbs` over samples, raw min/max. */
+  /** Decoded audio summary: `sumAbs` over samples, raw min/max, and
+    * the order-sensitive `wsum` = Σ i * |sample(i)|.
+    */
   final case class AudioStats(sampleRate: Int, nSamples: Int,
-      sumAbs: Long, min: Int, max: Int)
+      sumAbs: Long, min: Int, max: Int, wsum: Long)
 
   // ---- PGM (P5) ----
 
@@ -92,6 +100,7 @@ object Codecs {
       if b.length - raster >= w.toLong * h
     } yield {
       var sum = 0L
+      var wsum = 0L
       var min = 255
       var max = 0
       var i = raster
@@ -99,11 +108,12 @@ object Codecs {
       while (i < end) {
         val px = b(i) & 0xff
         sum += px
+        wsum += (i - raster).toLong * px // storage order IS image order
         if (px < min) min = px
         if (px > max) max = px
         i += 1
       }
-      ImageStats(w, h, sum, min, max)
+      ImageStats(w, h, sum, min, max, wsum)
     }
   }
 
@@ -167,18 +177,20 @@ object Codecs {
     if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) return None
     val n = dataLen / 2
     var sumAbs = 0L
+    var wsum = 0L
     var min = Int.MaxValue
     var max = Int.MinValue
     var i = 0
     while (i < n) {
       val s = s16le(b, dataOff + i * 2)
       sumAbs += math.abs(s)
+      wsum += i.toLong * math.abs(s)
       if (s < min) min = s
       if (s > max) max = s
       i += 1
     }
     if (n == 0) { min = 0; max = 0 }
-    Some(AudioStats(rate, n, sumAbs, min, max))
+    Some(AudioStats(rate, n, sumAbs, min, max, wsum))
   }
 
   /** Write a canonical PCM16LE mono WAV; `sample(i)` supplies the
@@ -205,6 +217,115 @@ object Codecs {
     while (i < nSamples) {
       p16(44 + i * 2, sample(i).toShort & 0xffff)
       i += 1
+    }
+    out
+  }
+
+  // ---- BMP (Windows DIB, 24-bit BI_RGB) ----
+
+  private def s32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Parse a BMP payload; None unless it is a 24-bit uncompressed
+    * (BI_RGB) BITMAPINFOHEADER bitmap. The format's three quirks are
+    * exactly what this decoder must get right and what the
+    * order-sensitive wsum catches if it doesn't:
+    *
+    *  - channel order is BGR, not RGB;
+    *  - rows are stored BOTTOM-UP when biHeight > 0 (a negative
+    *    biHeight flags top-down storage — both orientations decode
+    *    to the same top-down image);
+    *  - every stored row pads to a 4-byte boundary.
+    *
+    * `bfSize` is NOT validated against the payload length (real
+    * writers leave it stale/zero — the RIFF-size posture of
+    * [[decodeWav]]); the pixel-data offset and the raster extent are.
+    * A data offset past 54 (color-space gunk between the headers and
+    * the raster) is skipped. Color reduces through [[pngLuma]].
+    */
+  def decodeBmp(b: Array[Byte]): Option[ImageStats] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = u32le(b, 10)
+    val hdrSize = u32le(b, 14)
+    if (hdrSize != 40) return None // V4/V5/core headers out of scope
+    val w = s32le(b, 18)
+    val hRaw = s32le(b, 22)
+    val planes = u16le(b, 26)
+    val bpp = u16le(b, 28)
+    val compression = u32le(b, 30)
+    if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 ||
+      compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowSize = (w * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff + rowSize.toLong * h > b.length) return None
+    var sum = 0L
+    var wsum = 0L
+    var min = 255
+    var max = 0
+    var y = 0
+    while (y < h) {
+      val storageRow = if (topDown) y else h - 1 - y
+      val off = dataOff.toInt + storageRow * rowSize
+      var px = 0
+      while (px < w) {
+        val i = off + px * 3
+        val gray = pngLuma(b(i + 2) & 0xff, b(i + 1) & 0xff, b(i) & 0xff)
+        sum += gray
+        wsum += (y.toLong * w + px) * gray
+        if (gray < min) min = gray
+        if (gray > max) max = gray
+        px += 1
+      }
+      y += 1
+    }
+    Some(ImageStats(w, h, sum, min, max, wsum))
+  }
+
+  /** Write a canonical 24-bit BI_RGB BMP; `sample(i, c)` supplies
+    * channel `c` (0=r, 1=g, 2=b) of IMAGE row-major (top-down) pixel
+    * `i`. `topDown` picks the storage orientation: false writes the
+    * conventional bottom-up raster (positive biHeight), true writes
+    * top-down with a negative biHeight — the decoded image is
+    * identical either way, which is precisely what the planted q133
+    * corpus exercises by alternating orientations.
+    */
+  def encodeBmp(width: Int, height: Int, topDown: Boolean,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (width * 3 + 3) & ~3
+    val dataLen = rowSize * height
+    val out = new Array[Byte](54 + dataLen)
+    def p16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(off: Int, v: Long): Unit =
+      (0 until 4).foreach(i => out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54L + dataLen) // bfSize
+    p32(10, 54L) // data offset
+    p32(14, 40L) // BITMAPINFOHEADER
+    p32(18, width.toLong)
+    p32(22, (if (topDown) -height else height).toLong)
+    p16(26, 1) // planes
+    p16(28, 24) // bits per pixel
+    p32(30, 0L) // BI_RGB
+    p32(34, dataLen.toLong)
+    p32(38, 2835L); p32(42, 2835L) // 72 DPI
+    var y = 0
+    while (y < height) {
+      val storageRow = if (topDown) y else height - 1 - y
+      val off = 54 + storageRow * rowSize
+      var px = 0
+      while (px < width) {
+        val i = y * width + px
+        out(off + px * 3) = (sample(i, 2) & 0xff).toByte // blue first
+        out(off + px * 3 + 1) = (sample(i, 1) & 0xff).toByte
+        out(off + px * 3 + 2) = (sample(i, 0) & 0xff).toByte
+        px += 1
+      }
+      // pad bytes default to 0 in the array
+      y += 1
     }
     out
   }
@@ -346,6 +467,7 @@ object Codecs {
       y += 1
     }
     var sum = 0L
+    var wsum = 0L
     var min = 255
     var max = 0
     y = 0
@@ -357,13 +479,14 @@ object Codecs {
           if (bpp == 1) raw(i) & 0xff
           else pngLuma(raw(i) & 0xff, raw(i + 1) & 0xff, raw(i + 2) & 0xff)
         sum += gray
+        wsum += (y.toLong * w + px) * gray
         if (gray < min) min = gray
         if (gray > max) max = gray
         px += 1
       }
       y += 1
     }
-    Some(ImageStats(w, h, sum, min, max))
+    Some(ImageStats(w, h, sum, min, max, wsum))
   }
 
   /** Assemble a canonical PNG container around pre-filtered raw

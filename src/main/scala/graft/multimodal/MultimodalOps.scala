@@ -212,4 +212,32 @@ object MultimodalOps {
       }
       .toDF("media_id", "payload")
   }
+
+  /** Media table of REAL BMP payloads, closed-form in doc_id: every
+    * doc becomes a 24-bit BI_RGB bitmap over a (16 + id%16) x
+    * (8 + id%8) raster — r = (id*23 + 3i) % 256, g = (id*29 + 5i) %
+    * 256, b = (id*31 + 7i) % 256 in IMAGE (top-down row-major) pixel
+    * order — with the STORAGE orientation alternating by id parity:
+    * even ids store bottom-up (the format's conventional positive
+    * biHeight), odd ids top-down (negative biHeight). Both must
+    * decode to the same image; the oracle's order-sensitive wsum is
+    * what catches a decoder that reads either orientation wrong.
+    * Narrow, same posture as [[codecMediaFromDocuments]].
+    */
+  def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (16 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        (id, Codecs.encodeBmp(w, h, topDown = id % 2 == 1,
+          (i, c) => c match {
+            case 0 => ((id * 23 + i * 3L) % 256).toInt
+            case 1 => ((id * 29 + i * 5L) % 256).toInt
+            case _ => ((id * 31 + i * 7L) % 256).toInt
+          }))
+      }
+      .toDF("media_id", "payload")
+  }
 }

@@ -160,20 +160,25 @@ object MultimodalQueries {
        |  CAST(n_units AS BIGINT) AS n_units,
        |  CAST(list_sum(px) AS BIGINT) AS sum_val,
        |  CAST(list_min(px) AS BIGINT) AS min_val,
-       |  CAST(list_max(px) AS BIGINT) AS max_val
+       |  CAST(list_max(px) AS BIGINT) AS max_val,
+       |  CAST(list_sum(list_transform(range(0, CAST(n_units AS BIGINT)),
+       |    i -> i * px[i + 1])) AS BIGINT) AS wsum_val
        |FROM img
        |UNION ALL
        |SELECT media_id, fmt, CAST(w AS BIGINT), CAST(h AS BIGINT),
        |  CAST(n_units AS BIGINT),
        |  CAST(list_sum(list_transform(smp, s -> abs(s))) AS BIGINT),
        |  CAST(list_min(smp) AS BIGINT),
-       |  CAST(list_max(smp) AS BIGINT)
+       |  CAST(list_max(smp) AS BIGINT),
+       |  CAST(list_sum(list_transform(range(0, CAST(n_units AS BIGINT)),
+       |    i -> i * abs(smp[i + 1]))) AS BIGINT)
        |FROM wav
        |UNION ALL
        |SELECT doc_id AS media_id, 'gm' AS fmt,
        |  CAST(64 + doc_id % 64 AS BIGINT), CAST(48 + doc_id % 48 AS BIGINT),
        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT),
-       |  CAST($h % 10000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  CAST($h % 10000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(0 AS BIGINT)
        |FROM documents WHERE doc_id % 3 = 2
        |ORDER BY media_id""".stripMargin
   }
@@ -221,7 +226,53 @@ object MultimodalQueries {
       |  CAST(w * h AS BIGINT) AS n_units,
       |  CAST(list_sum(v) AS BIGINT) AS sum_val,
       |  CAST(list_min(v) AS BIGINT) AS min_val,
-      |  CAST(list_max(v) AS BIGINT) AS max_val
+      |  CAST(list_max(v) AS BIGINT) AS max_val,
+      |  CAST(list_sum(list_transform(range(0, CAST(w * h AS BIGINT)),
+      |    i -> i * v[i + 1])) AS BIGINT) AS wsum_val
+      |FROM px ORDER BY media_id""".stripMargin
+
+  // ---- q133: REAL BMP decode (24-bit BI_RGB, pure JVM) ----
+  // The Windows-DIB member of the decoder family, and the reason the
+  // whole family now carries the ORDER-SENSITIVE wsum statistic
+  // (Σ i * value(i) in image order): BMP's quirks — BGR channel
+  // order, BOTTOM-UP row storage under positive biHeight (alternated
+  // with top-down negative-biHeight payloads by id parity), 4-byte
+  // row padding — all produce the right value MULTISET when botched,
+  // so sum/min/max alone could green a decoder that reads every row
+  // upside down. The oracle recomputes sum/min/max/wsum closed-form
+  // from doc_id (integer-luma reduction, as q130); planting never
+  // reads `text`, so the query replays at any SF/replica.
+  //
+  // 100 TB posture: identical to q129/q130 — narrow decode through
+  // the one-handle-per-batch seam, payloads never shuffled, compact
+  // typed rows out; only the final oracle orderBy exchanges.
+  def q133(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeStats(bmpMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q133Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, CAST(w * h AS BIGINT)),
+      |      i -> ((media_id * 23 + i * 3) % 256 * 299
+      |          + (media_id * 29 + i * 5) % 256 * 587
+      |          + (media_id * 31 + i * 7) % 256 * 114) // 1000) AS v
+      |  FROM g
+      |)
+      |SELECT media_id, 'bmp' AS fmt,
+      |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * h AS BIGINT) AS n_units,
+      |  CAST(list_sum(v) AS BIGINT) AS sum_val,
+      |  CAST(list_min(v) AS BIGINT) AS min_val,
+      |  CAST(list_max(v) AS BIGINT) AS max_val,
+      |  CAST(list_sum(list_transform(range(0, CAST(w * h AS BIGINT)),
+      |    i -> i * v[i + 1])) AS BIGINT) AS wsum_val
       |FROM px ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -229,7 +280,8 @@ object MultimodalQueries {
     "q51_frame_features" -> (q51 _),
     "q59_batched_decode" -> (q59 _),
     "q129_codec_decode" -> (q129 _),
-    "q130_png_decode" -> (q130 _)
+    "q130_png_decode" -> (q130 _),
+    "q133_bmp_decode" -> (q133 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,6 +289,7 @@ object MultimodalQueries {
     "q51_frame_features" -> q51Sql,
     "q59_batched_decode" -> q59Sql,
     "q129_codec_decode" -> q129Sql,
-    "q130_png_decode" -> q130Sql
+    "q130_png_decode" -> q130Sql,
+    "q133_bmp_decode" -> q133Sql
   )
 }

@@ -89,12 +89,12 @@ class BatchedDecodeSpec extends AnyFunSuite {
     val img = Codecs.decodePgm(
       Codecs.encodePgm(5, 4, i => ((8 + i * 3) % 256).toInt)).get
     assert(pgm == DecodedStats(8, "pgm", 5, 4, 20, img.sum,
-      img.min.toLong, img.max.toLong))
+      img.min.toLong, img.max.toLong, img.wsum))
     val wav = rows.find(_.media_id == 9).get
     val aud = Codecs.decodeWav(
       Codecs.encodeWav(8000, 10, i => (9 * 7 + i).toInt)).get
     assert(wav == DecodedStats(9, "wav", 8000, 1, 10, aud.sumAbs,
-      aud.min.toLong, aud.max.toLong))
+      aud.min.toLong, aud.max.toLong, aud.wsum))
     val gm = rows.find(_.media_id == 10).get
     assert(gm.fmt == "gm" && gm.w == 9 && gm.h == 7 &&
       gm.n_units == "vid-10".length && gm.min_val == 0 && gm.max_val == 0)

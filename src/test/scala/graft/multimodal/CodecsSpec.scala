@@ -15,12 +15,13 @@ class CodecsSpec extends AnyFunSuite {
   test("PGM round-trip: stats match a hand-walked raster") {
     val b = encodePgm(4, 3, i => i * 20) // 0,20,...,220
     val s = decodePgm(b).get
-    assert(s == ImageStats(4, 3, (0 until 12).map(_ * 20).sum, 0, 220))
+    assert(s == ImageStats(4, 3, (0 until 12).map(_ * 20).sum, 0, 220,
+      (0 until 12).map(i => i.toLong * i * 20).sum)) // wsum = 20*Σi² = 10120
   }
 
   test("PGM: pixel values are masked bytes, 255 survives") {
     val s = decodePgm(encodePgm(2, 2, _ => 255)).get
-    assert(s == ImageStats(2, 2, 4L * 255, 255, 255))
+    assert(s == ImageStats(2, 2, 4L * 255, 255, 255, 255L * (0 + 1 + 2 + 3)))
   }
 
   test("PGM: comments and loose whitespace in the header parse") {
@@ -28,7 +29,8 @@ class CodecsSpec extends AnyFunSuite {
     val header = "P5 # netpbm tools write these\n  # another\n 3\t2 # wxh\n255 "
       .getBytes("US-ASCII")
     val s = decodePgm(header ++ raster).get
-    assert(s == ImageStats(3, 2, (0 until 6).map(_ * 10).sum, 0, 50))
+    assert(s == ImageStats(3, 2, (0 until 6).map(_ * 10).sum, 0, 50,
+      (0 until 6).map(i => i.toLong * i * 10).sum)) // wsum = 10*Σi² = 550
   }
 
   test("PGM: CRLF after maxval starts the raster after the LF") {
@@ -37,10 +39,12 @@ class CodecsSpec extends AnyFunSuite {
     // decoder resolves the lone-'\r'-vs-CRLF ambiguity toward CRLF
     val raster = Array.tabulate(4)(i => (i * 3).toByte)
     val b = "P5\n2 2\n255\r\n".getBytes("US-ASCII") ++ raster
-    assert(decodePgm(b).get == ImageStats(2, 2, 0 + 3 + 6 + 9, 0, 9))
+    assert(decodePgm(b).get ==
+      ImageStats(2, 2, 0 + 3 + 6 + 9, 0, 9, 0 + 3 + 12 + 27))
     // a lone '\r' separator still counts as exactly one byte
     val lone = "P5\n2 2\n255\r".getBytes("US-ASCII") ++ raster
-    assert(decodePgm(lone).get == ImageStats(2, 2, 0 + 3 + 6 + 9, 0, 9))
+    assert(decodePgm(lone).get ==
+      ImageStats(2, 2, 0 + 3 + 6 + 9, 0, 9, 0 + 3 + 12 + 27))
   }
 
   test("PGM rejections: magic, truncated raster, 16-bit maxval, zero dims") {
@@ -56,7 +60,7 @@ class CodecsSpec extends AnyFunSuite {
     val b = encodeWav(8000, samples.length, samples(_))
     val s = decodeWav(b).get
     assert(s == AudioStats(8000, 5, 100L + 200 + 0 + 32767 + 32768,
-      -32768, 32767))
+      -32768, 32767, 1L * 200 + 3L * 32767 + 4L * 32768))
   }
 
   test("WAV: foreign chunks (LIST before fmt, odd-size with pad) skip") {
@@ -67,7 +71,7 @@ class CodecsSpec extends AnyFunSuite {
     val spliced = core.take(12) ++ foreign ++ core.drop(12)
     // RIFF size field is now stale; the parser must not rely on it
     val s = decodeWav(spliced).get
-    assert(s == AudioStats(44100, 3, 3000L, 0, 2000))
+    assert(s == AudioStats(44100, 3, 3000L, 0, 2000, 0L + 1000 + 4000))
   }
 
   test("WAV rejections: magic, stereo, 8-bit, float, truncated data") {
@@ -85,7 +89,92 @@ class CodecsSpec extends AnyFunSuite {
 
   test("WAV: zero-sample data chunk decodes to zeroed stats") {
     val s = decodeWav(encodeWav(16000, 0, _ => 0)).get
-    assert(s == AudioStats(16000, 0, 0L, 0, 0))
+    assert(s == AudioStats(16000, 0, 0L, 0, 0, 0L))
+  }
+
+  // ---- BMP ----
+
+  /** Gray BMP via equal channels: luma of (v,v,v) is exactly v
+    * (299+587+114 = 1000), so hand statistics stay readable.
+    */
+  private def grayBmp(w: Int, h: Int, topDown: Boolean,
+      v: Int => Int): Array[Byte] =
+    encodeBmp(w, h, topDown, (i, _) => v(i))
+
+  test("BMP round-trip: bottom-up and top-down storage decode identically") {
+    // pixels (image order) 0,10,20,30,40,50 -> wsum = 10*Σi² = 550
+    val want = ImageStats(3, 2, 150, 0, 50, 550)
+    assert(decodeBmp(grayBmp(3, 2, topDown = false, _ * 10)).get == want)
+    assert(decodeBmp(grayBmp(3, 2, topDown = true, _ * 10)).get == want)
+  }
+
+  test("BMP: orientation is load-bearing — a flipped height sign moves wsum") {
+    val b = grayBmp(3, 2, topDown = false, _ * 10)
+    // lie about the orientation: patch biHeight 2 -> -2 (the stored
+    // bytes are bottom-up, the header now claims top-down)
+    val lied = b.clone()
+    lied(22) = (-2 & 0xff).toByte; lied(23) = 0xff.toByte
+    lied(24) = 0xff.toByte; lied(25) = 0xff.toByte
+    val s = decodeBmp(lied).get
+    assert(s.sum == 150 && s.min == 0 && s.max == 50,
+      "multiset stats must not see the row order")
+    // rows swap: image becomes [30,40,50, 0,10,20] -> wsum = 280
+    assert(s.wsum == 0L * 30 + 40 + 2 * 50 + 3 * 0 + 4 * 10 + 5 * 20,
+      s"row-reversed wsum should be 280, got ${s.wsum}")
+    assert(s.wsum != 550, "wsum failed to distinguish orientation")
+  }
+
+  test("BMP: channel order is BGR, not RGB") {
+    // pure red 1x1: stored bytes must be (0, 0, 255); luma 76. A
+    // decoder reading RGB order would report blue's 29 instead.
+    val b = encodeBmp(1, 1, topDown = false,
+      (_, c) => if (c == 0) 255 else 0)
+    assert(b(54) == 0 && b(55) == 0 && b(56) == -1,
+      "encoder must store BGR")
+    assert(decodeBmp(b).get == ImageStats(1, 1, 76, 76, 76, 0))
+  }
+
+  test("BMP: row padding is skipped, whatever bytes it holds") {
+    // width 2 -> 6 raster bytes + 2 pad per row
+    val b = grayBmp(2, 2, topDown = false, _ * 10)
+    assert(b.length == 54 + 2 * 8)
+    val dirty = b.clone()
+    dirty(54 + 6) = 0x7f; dirty(54 + 7) = 0x55 // bottom row's pad
+    dirty(54 + 14) = 0x33.toByte; dirty(54 + 15) = 0x11 // top row's pad
+    val want = ImageStats(2, 2, 60, 0, 30, 0 + 10 + 40 + 90)
+    assert(decodeBmp(b).get == want)
+    assert(decodeBmp(dirty).get == want, "pad bytes leaked into stats")
+  }
+
+  test("BMP: a data offset past 54 skips the gap; stale bfSize is ignored") {
+    val b = grayBmp(2, 2, topDown = false, _ * 10)
+    val want = decodeBmp(b).get
+    // splice 4 junk bytes between headers and raster, point the
+    // data offset at 58, and zero bfSize (writers leave it stale)
+    val gapped = b.take(54) ++ Array[Byte](9, 9, 9, 9) ++ b.drop(54)
+    gapped(10) = 58
+    gapped(2) = 0; gapped(3) = 0; gapped(4) = 0; gapped(5) = 0
+    assert(decodeBmp(gapped).contains(want))
+  }
+
+  test("BMP rejections: magic, depth, compression, dims, header, truncation") {
+    val ok = grayBmp(3, 2, topDown = false, _ * 10)
+    assert(decodeBmp(ok).isDefined)
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = ok.clone(); c(off) = (v & 0xff).toByte; c
+    }
+    assert(decodeBmp("XY".getBytes ++ ok.drop(2)).isEmpty) // magic
+    assert(decodeBmp(patched(28, 8)).isEmpty) // 8-bit palette depth
+    assert(decodeBmp(patched(28, 32)).isEmpty) // 32-bit BGRA
+    assert(decodeBmp(patched(30, 1)).isEmpty) // BI_RLE8
+    assert(decodeBmp(patched(26, 2)).isEmpty) // planes != 1
+    assert(decodeBmp(patched(14, 124)).isEmpty) // BITMAPV5HEADER
+    assert(decodeBmp(patched(18, 0)).isEmpty) // zero width
+    assert(decodeBmp(patched(22, 0)).isEmpty) // zero height
+    assert(decodeBmp(patched(10, 200)).isEmpty) // offset past payload
+    assert(decodeBmp(ok.dropRight(1)).isEmpty) // truncated raster
+    assert(decodeBmp(Array[Byte]()).isEmpty)
+    assert(decodeBmp(ok.take(53)).isEmpty) // shorter than the headers
   }
 
   // ---- PNG ----
@@ -133,7 +222,8 @@ class CodecsSpec extends AnyFunSuite {
     val px = Array.tabulate(4 * 5)(i => (i * 13) % 256)
     val b = encodePng(4, 5, 0, (i, _) => px(i), y => y % 5)
     assert(decodePng(b).get ==
-      ImageStats(4, 5, px.map(_.toLong).sum, px.min, px.max))
+      ImageStats(4, 5, px.map(_.toLong).sum, px.min, px.max,
+        px.zipWithIndex.map { case (v, i) => i.toLong * v }.sum))
   }
 
   test("PNG: hand-computed Sub+Paeth filtered bytes decode to known pixels") {
@@ -143,7 +233,8 @@ class CodecsSpec extends AnyFunSuite {
     // cancel out here
     val raw = Array[Byte](1, 10, 10, 10, 4, 30, 20, 30)
     val s = decodePng(buildPng(3, 2, 0, raw)).get
-    assert(s == ImageStats(3, 2, 10L + 20 + 30 + 40 + 60 + 90, 10, 90))
+    assert(s == ImageStats(3, 2, 10L + 20 + 30 + 40 + 60 + 90, 10, 90,
+      0L + 20 + 60 + 120 + 240 + 450))
   }
 
   test("PNG: hand-computed Average+Up filtered bytes decode to known pixels") {
@@ -151,21 +242,22 @@ class CodecsSpec extends AnyFunSuite {
     // row1 [50,200] (filter 2/Up: 50-100 -> 206, 200-101 -> 99)
     val raw = Array[Byte](3, 100, 51, 2, 206.toByte, 99)
     val s = decodePng(buildPng(2, 2, 0, raw)).get
-    assert(s == ImageStats(2, 2, 100L + 101 + 50 + 200, 50, 200))
+    assert(s == ImageStats(2, 2, 100L + 101 + 50 + 200, 50, 200,
+      0L + 101 + 100 + 600))
   }
 
   test("PNG: RGB reduces through integer luma") {
     // pure red / green / blue pixels: 299, 587, 114 per mille
     val px = Array(Array(255, 0, 0), Array(0, 255, 0), Array(0, 0, 255))
     val b = encodePng(3, 1, 2, (i, c) => px(i)(c))
-    assert(decodePng(b).get == ImageStats(3, 1, 76L + 149 + 29, 29, 149))
+    assert(decodePng(b).get == ImageStats(3, 1, 76L + 149 + 29, 29, 149, 0L + 149 + 58))
   }
 
   test("PNG: RGBA carries alpha in the stream but not the stats") {
     val b = encodePng(1, 1, 6,
       (_, c) => Array(10, 20, 30, 255)(c))
     assert(decodePng(b).get ==
-      ImageStats(1, 1, (10 * 299 + 20 * 587 + 30 * 114) / 1000L, 18, 18))
+      ImageStats(1, 1, (10 * 299 + 20 * 587 + 30 * 114) / 1000L, 18, 18, 0L))
   }
 
   test("PNG: consecutive multi-IDAT decodes; interleaved IDAT rejects") {
