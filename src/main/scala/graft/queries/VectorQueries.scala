@@ -1782,7 +1782,88 @@ object VectorQueries {
        |ORDER BY cfg""".stripMargin
   }
 
+  // ---- q134: hard-negative mining (contrastive training data) ----
+  // The embedding-training sibling of near-dup mining: for each
+  // anchor, the top-k MOST similar vectors carrying a DIFFERENT
+  // label — the "hard negatives" a contrastive objective needs
+  // (easy negatives are plentiful and uninformative; the
+  // highest-cosine wrong-label neighbors carry the gradient).
+  //
+  // Same scale skeleton as q62/q122: candidates come from the
+  // 3-table SRP band join (hot-bucket-capped on BOTH sides via
+  // cappedBipartitePairs, never all-pairs), the label-mismatch
+  // filter rides the candidate join, exact cosine confirms, DISTINCT
+  // collapses multi-table collisions, and the per-anchor top-3 is
+  // the bounded `topk_by_score` partial — no window over candidates.
+  // At 100 TB: anchors are a hash sample (every 50th vector), band
+  // keys are 3 map-only ints per vector, and candidate volume is the
+  // banded-join bound b * n^2 / 2^planes, linear while planes track
+  // log2(n). Banding is recall-lossy for LOW-cosine pairs by design —
+  // exactly the right bias here, since only the highest-cosine
+  // negatives matter and those are the pairs banding keeps.
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val banded = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bk", explode(bandKeyArr(col("v"))))
+      .persist()
+    banded.count() // eager barrier: the two join sides are siblings
+    val anchors = banded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nv").as("nq"), col("bk"))
+    graft.operators.Buckets
+      .cappedBipartitePairs(anchors, banded, "bk", 100000L)
+      .filter(col("a.query_id") =!= col("b.vec_id") &&
+        col("a.qlabel") =!= col("b.label"))
+      .select(col("a.query_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.qv"), col("b.v")) / (col("a.nq") * col("b.nv")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .distinct()
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q134Sql: String = {
+    val d = dotSql("q.qv", "b.v")
+    val nq = dotSql("q.qv", "q.qv")
+    val nb = dotSql("b.v", "b.v")
+    val tableSel = bandTables.zipWithIndex.map { case (tab, t) =>
+      s"SELECT vec_id, label, v, $t AS t, " +
+        s"CAST(${bucketBitsSql(tab)} AS INT) AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, ${vSql("embedding")} AS v FROM embeddings
+       |), banded AS (
+       |  $tableSel
+       |), q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv, t, bucket
+       |  FROM banded WHERE vec_id % 50 = 0
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * ($d / (sqrt($nq) * sqrt($nb))), 0) AS BIGINT)
+       |      AS cos_e6
+       |  FROM q JOIN banded b ON q.t = b.t AND q.bucket = b.bucket
+       |  WHERE b.vec_id <> q.query_id AND b.label <> q.qlabel
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_e6
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_hard_negatives" -> (q134 _),
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
     "q42_ann_neardup" -> (q42 _),
@@ -1805,6 +1886,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_hard_negatives" -> q134Sql,
     "q40_cosine_topk" -> q40Sql,
     "q41_srp_buckets" -> q41Sql,
     "q42_ann_neardup" -> q42Sql,

@@ -97,6 +97,16 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(VectorQueries.q62(spark, dir), "q62")
   }
 
+  test("q134 hard negatives: banded bipartite candidates, bounded top-k, no window") {
+    val df = VectorQueries.q134(spark, dir)
+    assertNoAllPairs(df, "q134")
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"q134 must rank through the bounded partial, not a window:\n$p")
+    assert(p.contains("topk_by_score"),
+      s"q134 lost the bounded top-k aggregate:\n$p")
+  }
+
   test("q43 IVF assignment is map-only: no cross join, bounded exchanges") {
     val p = plan(VectorQueries.q43(spark, dir))
     assert(!p.contains("CartesianProduct"),
