@@ -1798,9 +1798,13 @@ object VectorQueries {
   // At 100 TB: anchors are a hash sample (every 50th vector), band
   // keys are 3 map-only ints per vector, and candidate volume is the
   // banded-join bound b * n^2 / 2^planes, linear while planes track
-  // log2(n). Banding is recall-lossy for LOW-cosine pairs by design —
-  // exactly the right bias here, since only the highest-cosine
-  // negatives matter and those are the pairs banding keeps.
+  // log2(n). Banding's recall bias favors the highest-cosine pairs —
+  // the ones a contrastive objective wants — but how much of the
+  // exact top-3 that buys depends on how aligned those negatives
+  // actually are: q135 is the audit that measures it (13% on the
+  // gate's RANDOM corpus, where "hard" negatives sit near chance
+  // cosine and banding can't beat its q105 collision floor; a real
+  // clustered corpus separates the two).
   def q134(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val banded = tbl(spark, dir, "embeddings")
@@ -1831,7 +1835,14 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q134Sql: String = {
+  /** Shared oracle CTE chain for the banded hard-negative miner —
+    * `e` (id, label, vector), `banded` (3 band tables), `q` (the 2%
+    * anchor sample), `cand` (banded different-label candidates),
+    * `ranked` — used by q134 (the miner's output) and q135 (its
+    * recall audit), so the band keys, tie order, and FP sequence are
+    * spelled once.
+    */
+  private val hardNegCteSql: String = {
     val d = dotSql("q.qv", "b.v")
     val nq = dotSql("q.qv", "q.qv")
     val nb = dotSql("b.v", "b.v")
@@ -1839,7 +1850,7 @@ object VectorQueries {
       s"SELECT vec_id, label, v, $t AS t, " +
         s"CAST(${bucketBitsSql(tab)} AS INT) AS bucket FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, label, ${vSql("embedding")} AS v FROM embeddings
        |), banded AS (
        |  $tableSel
@@ -1857,13 +1868,105 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY query_id
        |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
        |  FROM cand
-       |)
+       |)""".stripMargin
+  }
+
+  val q134Sql: String =
+    s"""WITH $hardNegCteSql
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_e6
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---- q135: hard-negative recall audit (q134 vs exact top-3) ----
+  // q134 is an approximate path, so it ships with its own measurement
+  // (the q105/q123/q126/q127/q128 posture): for the same anchors, the
+  // EXACT top-3 different-label neighbors (brute force over the
+  // corpus — the audit's priced cost, bounded by the 2% anchor
+  // sample) are compared against what the banded miner returned. One
+  // row per anchor: n_exact, n_hit (overlap), recall_e6. Measured at
+  // sf0.01: 4/30 = 13% — exactly q105's banding collision floor, NOT
+  // better, because this corpus is random: its exact top-3
+  // different-label neighbors sit near chance cosine (~0.3), so the
+  // "banding keeps high-cosine pairs" bias has nothing to bite on.
+  // The unflattering number is the audit working (the q105/q128
+  // posture): it gates shipping the miner on corpora whose negatives
+  // aren't actually aligned, where exact mining (this baseline, on
+  // the anchor sample) is the honest fallback.
+  //
+  // Scale posture: exact scoring is the documented all-pairs baseline
+  // (crossJoin(broadcast(anchors)) — the PLANS.md exact-baseline
+  // exemption class) over the anchor SAMPLE only, ranked by the
+  // bounded topk_by_score partial; the overlap join carries 3 ids per
+  // anchor. The production path re-runs q134 itself, unchanged.
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val all = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val anchors = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nv").as("nq"))
+    val exact = all.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("neighbor_id"), lit(3)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("hit"))
+      .select(col("query_id"), col("hit.id").as("neighbor_id"))
+      .persist()
+    exact.count() // eager: n_exact and the overlap join are siblings
+    val mined = q134(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(mined, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_e6", expr("n_hit * 1000000L div n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  val q135Sql: String = {
+    val d = dotSql("a.v", "b.v")
+    val na = dotSql("a.v", "a.v")
+    val nb = dotSql("b.v", "b.v")
+    s"""WITH $hardNegCteSql, mined AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT)
+       |      AS cos_e6
+       |  FROM e a JOIN e b
+       |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+       |      AND b.label <> a.label
+       |), exr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_e6 DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM exr WHERE rank <= 3
+       |), nex AS (
+       |  SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id
+       |), hits AS (
+       |  SELECT ex.query_id, count(*) AS n_hit
+       |  FROM ex JOIN mined USING (query_id, neighbor_id)
+       |  GROUP BY ex.query_id
+       |)
+       |SELECT n.query_id, n.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1000000 // n.n_exact AS recall_e6
+       |FROM nex n LEFT JOIN hits h ON h.query_id = n.query_id
+       |ORDER BY n.query_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_hard_negatives" -> (q134 _),
+    "q135_negatives_recall" -> (q135 _),
     "q40_cosine_topk" -> (q40 _),
     "q41_srp_buckets" -> (q41 _),
     "q42_ann_neardup" -> (q42 _),
@@ -1887,6 +1990,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q134_hard_negatives" -> q134Sql,
+    "q135_negatives_recall" -> q135Sql,
     "q40_cosine_topk" -> q40Sql,
     "q41_srp_buckets" -> q41Sql,
     "q42_ann_neardup" -> q42Sql,
