@@ -111,7 +111,17 @@ object ScaleBench {
     // machinery (decades measured, and the q116 run already measured
     // that machinery under composition); the only work q124 adds is
     // one narrow (id, label) join and a map-only hash projection
-    "q122_banded_align")
+    "q122_banded_align",
+    // r12 second-leg additions: three scan-throughput decades (the
+    // per-row cost must stay constant as volume grows — JSON parse
+    // for q131, zlib deflate for q132, BMP raster walk for q133) and
+    // the banded hard-negative miner (q134 — same linearity question
+    // as q122: candidates per anchor must not grow with corpus size
+    // beyond the band-collision rate). q135 is deliberately NOT
+    // here: it embeds the exact different-label baseline as its
+    // ground truth — the q105/q123 exclusion class.
+    "q131_json_extract", "q132_compression_signal",
+    "q133_bmp_decode", "q134_hard_negatives")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

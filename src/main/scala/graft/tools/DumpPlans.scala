@@ -95,7 +95,12 @@ object DumpPlans {
       "q127_minhash_calibration" -> "MinHash estimator calibration (banded candidates, per-pair m8 vs exact Jaccard, <=7-row table: a matching band forces m8 >= 2)",
       "q128_pq_recall" -> "PQ/ADC recall audit (exact L2 sample baseline vs code-space top-3, broadcast codebook)",
       "q129_codec_decode" -> "real PGM/WAV decode (narrow typed mapPartitions batches, payloads never shuffled, output-only sort)",
-      "q130_png_decode" -> "real PNG decode (CRC'd chunk walk + JDK-zlib inflate + filter reconstruction in narrow batches, output-only sort)")
+      "q130_png_decode" -> "real PNG decode (CRC'd chunk walk + JDK-zlib inflate + filter reconstruction in narrow batches, output-only sort)",
+      "q131_json_extract" -> "semi-structured JSON extraction (from_json under the partial agg, payloads never shuffle)",
+      "q132_compression_signal" -> "compression-ratio curation signal (codegen'd deflate_len, map-only, output-only sort)",
+      "q133_bmp_decode" -> "real BMP decode (BGR/bottom-up/padded rows in narrow batches, order-sensitive wsum, output-only sort)",
+      "q134_hard_negatives" -> "hard-negative mining (capped 3-table band join, label filter on candidates, bounded top-3 partial)",
+      "q135_negatives_recall" -> "hard-negative recall audit (exact different-label baseline on the anchor sample vs the banded miner)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
