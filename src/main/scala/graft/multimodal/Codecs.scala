@@ -88,6 +88,7 @@ object Codecs {
       h <- token()
       maxval <- token()
       if w > 0 && h > 0 && maxval > 0 && maxval < 256
+      if w.toLong * h <= MaxStatPixels // wsum overflow bound
       // ONE whitespace byte separates maxval from the raster — but a
       // CRLF writer emits "\r\n", and counting the '\n' as pixel one
       // would silently shift every statistic. Resolve the ambiguity
@@ -176,6 +177,7 @@ object Codecs {
     }
     if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) return None
     val n = dataLen / 2
+    if (n > MaxStatPixels) return None // wsum overflow bound
     var sumAbs = 0L
     var wsum = 0L
     var min = Int.MaxValue
@@ -254,12 +256,17 @@ object Codecs {
     val planes = u16le(b, 26)
     val bpp = u16le(b, 28)
     val compression = u32le(b, 30)
-    if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 ||
-      compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || planes != 1 ||
+      bpp != 24 || compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowSize = (w * 3 + 3) & ~3
-    if (dataOff < 54 || dataOff + rowSize.toLong * h > b.length) return None
+    if (w.toLong * h > MaxStatPixels) return None // wsum overflow bound
+    // Long arithmetic: a hostile biWidth near 2^30 overflows an Int
+    // rowSize to NEGATIVE, which would sail through the raster bounds
+    // check below and crash the pixel walk instead of returning None
+    val rowSizeL = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || dataOff + rowSizeL * h > b.length) return None
+    val rowSize = rowSizeL.toInt // <= b.length after the check
     var sum = 0L
     var wsum = 0L
     var min = 255
@@ -331,6 +338,19 @@ object Codecs {
   }
 
   // ---- PNG (8-bit gray / RGB / RGBA, non-interlaced) ----
+
+  /** Upper bound on pixels/samples a stats decode accepts: the
+    * order-sensitive wsum is Σ i·value(i), whose worst case
+    * (255 · n²/2 for images, 32768 · n²/2 for PCM16) must stay inside
+    * a signed Long — and the DuckDB oracle's BIGINT, which ERRORS on
+    * overflow where the JVM would silently wrap, so past this bound
+    * the two engines stop being comparable. 2^27 pixels (an
+    * 11.5k × 11.5k image, a 2.2-hour 16 kHz mono clip) leaves a
+    * > 250x margin for images and the payloads this engine decodes
+    * inline; anything larger belongs in a streaming decode, not a
+    * per-row stats probe.
+    */
+  val MaxStatPixels: Long = 1L << 27
 
   /** The 8-byte PNG signature. */
   private val PngMagic: Array[Byte] =
@@ -416,6 +436,7 @@ object Codecs {
       pos += 12 + n
     }
     if (pos != b.length || idat.size() == 0) return None
+    if (w.toLong * h > MaxStatPixels) return None // wsum overflow bound
     val bpp = pngBpp(colorType)
     val stride = 1 + w * bpp
     if (h.toLong * stride > Int.MaxValue) return None

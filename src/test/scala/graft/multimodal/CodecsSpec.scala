@@ -175,6 +175,33 @@ class CodecsSpec extends AnyFunSuite {
     assert(decodeBmp(ok.dropRight(1)).isEmpty) // truncated raster
     assert(decodeBmp(Array[Byte]()).isEmpty)
     assert(decodeBmp(ok.take(53)).isEmpty) // shorter than the headers
+    // hostile biWidth = 2^30: an Int rowSize would wrap NEGATIVE,
+    // sail through the raster bounds check, and crash the pixel walk
+    // with AIOOBE — the decoder must return None, not throw
+    val wide = ok.clone()
+    wide(18) = 0; wide(19) = 0; wide(20) = 0; wide(21) = 0x40
+    assert(decodeBmp(wide).isEmpty)
+    // biHeight = Int.MinValue: math.abs is identity there
+    val deep = ok.clone()
+    deep(22) = 0; deep(23) = 0; deep(24) = 0; deep(25) = 0x80.toByte
+    assert(decodeBmp(deep).isEmpty)
+  }
+
+  test("stats decoders reject rasters past the wsum overflow bound") {
+    // MaxStatPixels bounds sum(i*value): past it the JVM Long would
+    // silently wrap while DuckDB's BIGINT errors — the engines stop
+    // being comparable, so the decode must refuse, not wrap
+    assert(Codecs.MaxStatPixels == (1L << 27))
+    // PGM header declaring 2^14 x 2^14 = 2^28 pixels (> 2^27); the
+    // raster needn't exist — the header bound must reject first
+    val pgm = "P5\n16384 16384\n255\n".getBytes("US-ASCII") ++
+      Array.fill(64)(0.toByte)
+    assert(decodePgm(pgm).isEmpty)
+    // ... and exactly AT the bound the guard itself passes (the
+    // truncated raster then rejects, proving the bound is what gated)
+    val atBound = "P5\n16384 8192\n255\n".getBytes("US-ASCII") ++
+      Array.fill(64)(0.toByte)
+    assert(decodePgm(atBound).isEmpty) // truncated, but past the bound check
   }
 
   // ---- PNG ----
