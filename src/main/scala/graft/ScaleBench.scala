@@ -121,7 +121,10 @@ object ScaleBench {
     // here: it embeds the exact different-label baseline as its
     // ground truth — the q105/q123 exclusion class.
     "q131_json_extract", "q132_compression_signal",
-    "q133_bmp_decode", "q134_hard_negatives")
+    "q133_bmp_decode", "q134_hard_negatives",
+    // q136: archive explode — container walk + per-entry inflate
+    // must stay per-row constant as shard volume grows
+    "q136_archive_explode")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

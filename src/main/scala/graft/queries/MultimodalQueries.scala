@@ -275,7 +275,54 @@ object MultimodalQueries {
       |    i -> i * v[i + 1])) AS BIGINT) AS wsum_val
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ---- q136: archive-shard explode (real ZIP, pure JVM) ----
+  // Training corpora arrive as archives of members (tar/zip shards,
+  // WARC segments); the ingest boundary explodes each container into
+  // per-member rows without materializing the inflated archive. The
+  // JDK ships the COMPLETE zip codec, so this path is fully real:
+  // container walk via ZipInputStream, per-entry DEFLATE inflate,
+  // and both methods on gate data (members alternate DEFLATED /
+  // STORED by index — STORED declares size+CRC up front, the second
+  // header layout a reader must handle). Output per member: name,
+  // decompressed size, the method READ BACK from the entry header,
+  // and the body md5 — recomputed closed-form by the DuckDB oracle
+  // (repeat() rebuilds each planted body from the ids). Planting
+  // never reads `text`; replays at any SF/replica.
+  //
+  // 100 TB posture: the BatchedDecode seam — archives stream through
+  // partitions in 64-payload batches, one digest handle per batch,
+  // one member's bytes in memory at a time, compact typed rows out;
+  // only the final oracle orderBy exchanges.
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Archives
+      .explodeZipStats(
+        graft.multimodal.Archives.zipMediaFromDocuments(
+          tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"), col("entry"))
+
+  val q136Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id, u.j
+      |  FROM documents,
+      |    unnest(range(0, CAST(2 + doc_id % 3 AS BIGINT))) AS u(j)
+      |), e AS (
+      |  SELECT media_id,
+      |    'e' || CAST(j AS VARCHAR) || '.txt' AS entry,
+      |    repeat('doc ' || CAST(media_id AS VARCHAR) || ' entry ' ||
+      |      CAST(j AS VARCHAR) || ' ',
+      |      CAST(1 + (media_id + j) % 5 AS BIGINT)) AS body,
+      |    CASE WHEN j % 2 = 0 THEN 'deflated' ELSE 'stored' END
+      |      AS method
+      |  FROM g
+      |)
+      |SELECT media_id, entry,
+      |  CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+      |  method, md5(body) AS body_md5
+      |FROM e ORDER BY media_id, entry""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_archive_explode" -> (q136 _),
     "q50_media_roundtrip" -> (q50 _),
     "q51_frame_features" -> (q51 _),
     "q59_batched_decode" -> (q59 _),
@@ -285,6 +332,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_archive_explode" -> q136Sql,
     "q50_media_roundtrip" -> q50Sql,
     "q51_frame_features" -> q51Sql,
     "q59_batched_decode" -> q59Sql,

@@ -100,7 +100,8 @@ object DumpPlans {
       "q132_compression_signal" -> "compression-ratio curation signal (codegen'd deflate_len, map-only, output-only sort)",
       "q133_bmp_decode" -> "real BMP decode (BGR/bottom-up/padded rows in narrow batches, order-sensitive wsum, output-only sort)",
       "q134_hard_negatives" -> "hard-negative mining (capped 3-table band join, label filter on candidates, bounded top-3 partial)",
-      "q135_negatives_recall" -> "hard-negative recall audit (exact different-label baseline on the anchor sample vs the banded miner)")
+      "q135_negatives_recall" -> "hard-negative recall audit (exact different-label baseline on the anchor sample vs the banded miner)",
+      "q136_archive_explode" -> "archive-shard explode (real ZIP walk + per-entry inflate in narrow batches, output-only sort)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

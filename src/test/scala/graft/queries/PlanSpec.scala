@@ -447,6 +447,14 @@ class PlanSpec extends AnyFunSuite {
       s"from_json must evaluate before (below) the exchange:\n$p")
   }
 
+  test("q136 archive explode is narrow: payloads never shuffle") {
+    val p = plan(MultimodalQueries.q136(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // the one exchange is the oracle orderBy over compact entry rows
+    assert(exchanges <= 1, s"q136 shuffles archive payloads:\n$p")
+  }
+
   test("q56 vocab top-k is TakeOrderedAndProject, never a full sort") {
     val p = plan(TextQueries.q56(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
