@@ -124,7 +124,10 @@ object ScaleBench {
     "q133_bmp_decode", "q134_hard_negatives",
     // q136: archive explode — container walk + per-entry inflate
     // must stay per-row constant as shard volume grows
-    "q136_archive_explode")
+    "q136_archive_explode",
+    // q137: tar-shard walk + in-worker stem grouping — same per-row
+    // constancy question as q136 with the grouping added
+    "q137_tar_samples")
 
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {

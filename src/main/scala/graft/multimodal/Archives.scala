@@ -137,4 +137,162 @@ object Archives {
       }
       .toDF("media_id", "payload")
   }
+
+  // ---- tar (POSIX ustar) — the WebDataset shard container ----
+
+  /** One extracted tar member with its WebDataset grouping key: the
+    * STEM (name up to the first '.') groups the members of one
+    * training sample (stem.jpg + stem.json + stem.cls in real
+    * shards); `n_in_sample` counts the stem's members so downstream
+    * can reject incomplete samples without re-reading the shard.
+    */
+  final case class TarEntryRow(media_id: Long, stem: String,
+      entry: String, n_bytes: Long, body_md5: String,
+      n_in_sample: Long)
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    var seen = false
+    val end = off + len
+    while (i < end && b(i) != 0 && b(i) != ' ') {
+      if (b(i) < '0' || b(i) > '7') return None
+      v = v * 8 + (b(i) - '0'); seen = true; i += 1
+    }
+    if (seen) Some(v) else None
+  }
+
+  /** Parse a ustar payload into (name, body) members; None on any
+    * malformation. Real-format strictness where it matters: the
+    * header CHECKSUM is verified (sum of header bytes with the
+    * chksum field read as spaces — the field every tar writer
+    * computes and corrupted shards fail), sizes are octal, member
+    * data pads to 512-byte blocks, and the archive ends at the
+    * first all-zero block. Only regular files (typeflag '0' or NUL)
+    * are emitted; directories and extension headers are skipped by
+    * their declared size like any tar reader.
+    */
+  def decodeTar(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var pos = 0
+    while (pos + 512 <= b.length) {
+      if ((pos until pos + 512).forall(b(_) == 0))
+        return Some(out.toSeq) // end-of-archive marker
+      // verify the header checksum before trusting any field
+      val declared = octal(b, pos + 148, 8).getOrElse(return None)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else b(pos + i) & 0xff)
+        i += 1
+      }
+      if (sum != declared) return None
+      var nameEnd = pos
+      while (nameEnd < pos + 100 && b(nameEnd) != 0) nameEnd += 1
+      val name = new String(b, pos, nameEnd - pos, "US-ASCII")
+      if (name.isEmpty) return None
+      val size = octal(b, pos + 124, 12).getOrElse(return None)
+      if (size < 0 || size > Int.MaxValue) return None
+      val typeflag = b(pos + 156)
+      val dataStart = pos + 512
+      val padded = ((size + 511) / 512) * 512
+      if (dataStart + size > b.length) return None
+      if (typeflag == '0' || typeflag == 0)
+        out += ((name, java.util.Arrays.copyOfRange(
+          b, dataStart, dataStart + size.toInt)))
+      pos = dataStart + padded.toInt
+    }
+    // a shard truncated before its end-of-archive marker is malformed
+    None
+  }
+
+  /** Write a canonical ustar archive (regular files, correct octal
+    * checksum, ustar magic, 512-block padding, two-zero-block end).
+    */
+  def encodeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, body) =>
+      require(name.length < 100, s"name too long: $name")
+      val hdr = new Array[Byte](512)
+      name.getBytes("US-ASCII").copyToArray(hdr, 0)
+      f"${0x1a4}%07o".getBytes.copyToArray(hdr, 100) // mode 0644
+      "0000000".getBytes.copyToArray(hdr, 108) // uid
+      "0000000".getBytes.copyToArray(hdr, 116) // gid
+      f"${body.length}%011o".getBytes.copyToArray(hdr, 124)
+      "00000000000".getBytes.copyToArray(hdr, 136) // mtime
+      hdr(156) = '0' // regular file
+      "ustar".getBytes.copyToArray(hdr, 257)
+      hdr(263) = '0'; hdr(264) = '0' // version "00"
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      hdr.foreach(x => sum += (x & 0xff))
+      f"$sum%06o".getBytes.copyToArray(hdr, 148)
+      hdr(154) = 0; hdr(155) = ' '
+      bos.write(hdr)
+      bos.write(body)
+      val pad = ((body.length + 511) / 512) * 512 - body.length
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024)) // end-of-archive
+    bos.toByteArray
+  }
+
+  /** Explode WebDataset-style tar shards into per-member rows with
+    * the stem grouping and per-stem member counts computed INSIDE
+    * the batch worker (the shard's members are already co-located in
+    * one payload — counting them there costs nothing and saves the
+    * downstream a (media_id, stem) shuffle). Same seam and drop
+    * semantics as [[explodeZipStats]].
+    */
+  def explodeTarSamples(media: DataFrame,
+      batchSize: Int = BatchedDecode.DefaultBatch,
+      newDigest: () => java.security.MessageDigest =
+        () => java.security.MessageDigest.getInstance("MD5"))
+      : Dataset[TarEntryRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        val md = newDigest()
+        batch.iterator.flatMap { case (id, payload) =>
+          decodeTar(payload) match {
+            case None => Iterator.empty
+            case Some(members) =>
+              val byStem = members.groupBy(_._1.takeWhile(_ != '.'))
+              members.iterator.map { case (name, body) =>
+                md.reset()
+                val stem = name.takeWhile(_ != '.')
+                TarEntryRow(id, stem, name, body.length.toLong,
+                  md.digest(body).map(x => f"$x%02x").mkString,
+                  byStem(stem).size.toLong)
+              }
+          }
+        }
+      })
+  }
+
+  /** Media table of REAL WebDataset-style tar shards, closed-form in
+    * doc_id: each doc becomes a shard of 1 + id%2 samples; sample j
+    * carries members `s<j>.txt` and `s<j>.json` (bodies from
+    * [[plantedBody]] at j*2 and j*2+1), plus a `.cls` member when
+    * (id+j) is even — so per-stem member counts vary 2/3 closed-form.
+    */
+  def tarMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val samples = (0 until (1 + id % 2).toInt).flatMap { j =>
+          val base = Seq(
+            (s"s$j.txt", plantedBody(id, j * 2L).getBytes("UTF-8")),
+            (s"s$j.json", plantedBody(id, j * 2L + 1).getBytes("UTF-8")))
+          if ((id + j) % 2 == 0)
+            base :+ ((s"s$j.cls", s"$j".getBytes("UTF-8")))
+          else base
+        }
+        (id, encodeTar(samples))
+      }
+      .toDF("media_id", "payload")
+  }
 }

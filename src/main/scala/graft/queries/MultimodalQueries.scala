@@ -321,7 +321,70 @@ object MultimodalQueries {
       |  method, md5(body) AS body_md5
       |FROM e ORDER BY media_id, entry""".stripMargin
 
+  // ---- q137: WebDataset-style tar shard explode (real ustar) ----
+  // Multimodal training corpora ship as TAR shards whose members
+  // group into samples by name stem (stem.jpg + stem.json +
+  // stem.cls — the WebDataset convention); the ingest boundary
+  // explodes each shard into per-member rows WITH the grouping: stem
+  // and per-stem member count computed inside the batch worker (the
+  // shard's members are co-located in one payload — counting there
+  // is free and saves downstream a (shard, stem) shuffle). The tar
+  // walk is real ustar: header CHECKSUM verified before any field is
+  // trusted, octal sizes, 512-block padding, zero-block terminator;
+  // truncated or checksum-corrupt shards drop whole. Planted shards
+  // vary samples per shard (1 + id%2) and members per sample (2 or 3
+  // — the .cls member appears when (id+j) is even), so incomplete-
+  // sample detection has both counts on gate data. The oracle
+  // rebuilds every member body closed-form with repeat(); planting
+  // never reads `text`.
+  //
+  // 100 TB posture: the BatchedDecode seam, one member's bytes in
+  // memory at a time; only the final oracle orderBy exchanges.
+  def q137(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Archives
+      .explodeTarSamples(
+        graft.multimodal.Archives.tarMediaFromDocuments(
+          tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"), col("entry"))
+
+  val q137Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id, u.j
+      |  FROM documents,
+      |    unnest(range(0, CAST(1 + doc_id % 2 AS BIGINT))) AS u(j)
+      |), m AS (
+      |  SELECT media_id, j,
+      |    's' || CAST(j AS VARCHAR) AS stem,
+      |    's' || CAST(j AS VARCHAR) || '.txt' AS entry,
+      |    repeat('doc ' || CAST(media_id AS VARCHAR) || ' entry ' ||
+      |      CAST(j * 2 AS VARCHAR) || ' ',
+      |      CAST(1 + (media_id + j * 2) % 5 AS BIGINT)) AS body
+      |  FROM g
+      |  UNION ALL
+      |  SELECT media_id, j,
+      |    's' || CAST(j AS VARCHAR),
+      |    's' || CAST(j AS VARCHAR) || '.json',
+      |    repeat('doc ' || CAST(media_id AS VARCHAR) || ' entry ' ||
+      |      CAST(j * 2 + 1 AS VARCHAR) || ' ',
+      |      CAST(1 + (media_id + j * 2 + 1) % 5 AS BIGINT))
+      |  FROM g
+      |  UNION ALL
+      |  SELECT media_id, j,
+      |    's' || CAST(j AS VARCHAR),
+      |    's' || CAST(j AS VARCHAR) || '.cls',
+      |    CAST(j AS VARCHAR)
+      |  FROM g WHERE (media_id + j) % 2 = 0
+      |)
+      |SELECT media_id, stem, entry,
+      |  CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+      |  md5(body) AS body_md5,
+      |  CAST(CASE WHEN (media_id + j) % 2 = 0 THEN 3 ELSE 2 END
+      |    AS BIGINT) AS n_in_sample
+      |FROM m ORDER BY media_id, entry""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_tar_samples" -> (q137 _),
     "q136_archive_explode" -> (q136 _),
     "q50_media_roundtrip" -> (q50 _),
     "q51_frame_features" -> (q51 _),
@@ -332,6 +395,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_tar_samples" -> q137Sql,
     "q136_archive_explode" -> q136Sql,
     "q50_media_roundtrip" -> q50Sql,
     "q51_frame_features" -> q51Sql,

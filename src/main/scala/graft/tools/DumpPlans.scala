@@ -101,7 +101,8 @@ object DumpPlans {
       "q133_bmp_decode" -> "real BMP decode (BGR/bottom-up/padded rows in narrow batches, order-sensitive wsum, output-only sort)",
       "q134_hard_negatives" -> "hard-negative mining (capped 3-table band join, label filter on candidates, bounded top-3 partial)",
       "q135_negatives_recall" -> "hard-negative recall audit (exact different-label baseline on the anchor sample vs the banded miner)",
-      "q136_archive_explode" -> "archive-shard explode (real ZIP walk + per-entry inflate in narrow batches, output-only sort)")
+      "q136_archive_explode" -> "archive-shard explode (real ZIP walk + per-entry inflate in narrow batches, output-only sort)",
+      "q137_tar_samples" -> "WebDataset tar-shard explode (checksummed ustar walk, in-worker stem grouping, output-only sort)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")

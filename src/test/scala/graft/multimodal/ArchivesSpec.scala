@@ -66,6 +66,59 @@ class ArchivesSpec extends AnyFunSuite {
       s"only the intact container may emit rows, got ${rows.toSeq}")
   }
 
+  // ---- tar (ustar / WebDataset shards) ----
+
+  test("tar round-trip: names, bodies, block padding, zero-block end") {
+    val entries = Seq(
+      ("a.txt", "hello tar".getBytes("UTF-8")),
+      ("a.json", ("x" * 513).getBytes("UTF-8")), // spans two blocks
+      ("b.txt", Array.emptyByteArray))
+    val tar = Archives.encodeTar(entries)
+    assert(tar.length % 512 == 0)
+    val back = Archives.decodeTar(tar).get
+    assert(back.map(_._1) == entries.map(_._1))
+    assert(back.map(_._2.toSeq) == entries.map(_._2.toSeq))
+  }
+
+  test("tar rejections: checksum corrupt, truncated, missing terminator, bad octal") {
+    val ok = Archives.encodeTar(Seq(("a.txt", "hello".getBytes)))
+    assert(Archives.decodeTar(ok).isDefined)
+    // flip a NAME byte without re-sealing the checksum
+    val corrupt = ok.clone(); corrupt(0) = 'z'
+    assert(Archives.decodeTar(corrupt).isEmpty)
+    // cut mid-member-data
+    assert(Archives.decodeTar(ok.take(700)).isEmpty)
+    // strip the end-of-archive zero blocks: a truncated shard upload
+    assert(Archives.decodeTar(ok.dropRight(1024)).isEmpty)
+    // non-octal size field, checksum re-sealed so ONLY the size is bad
+    val badSize = ok.clone()
+    badSize(124) = '9' + 1 // ':' — outside octal
+    java.util.Arrays.fill(badSize, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (badSize(i) & 0xff))
+    f"$sum%06o".getBytes.copyToArray(badSize, 148)
+    badSize(154) = 0; badSize(155) = ' '
+    assert(Archives.decodeTar(badSize).isEmpty)
+    // an EMPTY payload is malformed too: tar demands the zero-block
+    // terminator, and an empty "archive" is a failed shard write
+    assert(Archives.decodeTar(Array[Byte]()).isEmpty)
+  }
+
+  test("WebDataset explode: stems group members, per-stem counts ride along") {
+    import spark.implicits._
+    val shard = Archives.encodeTar(Seq(
+      ("s0.txt", "t0".getBytes), ("s0.json", "j0".getBytes),
+      ("s0.cls", "0".getBytes),
+      ("s1.txt", "t1".getBytes), ("s1.json", "j1".getBytes)))
+    val rows = Archives.explodeTarSamples(
+      Seq((3L, shard)).toDF("media_id", "payload"))
+      .collect().sortBy(_.entry)
+    assert(rows.map(r => (r.stem, r.entry, r.n_in_sample)).toSeq == Seq(
+      ("s0", "s0.cls", 3L), ("s0", "s0.json", 3L), ("s0", "s0.txt", 3L),
+      ("s1", "s1.json", 2L), ("s1", "s1.txt", 2L)))
+    assert(rows.find(_.entry == "s0.txt").get.body_md5 == md5hex("t0"))
+  }
+
   test("one digest handle per 64-payload batch (the BatchedDecode seam)") {
     import spark.implicits._
     val media = spark.range(200).as[Long]

@@ -455,6 +455,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"q136 shuffles archive payloads:\n$p")
   }
 
+  test("q137 tar-shard explode is narrow: payloads never shuffle") {
+    val p = plan(MultimodalQueries.q137(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    // stem grouping happens inside the batch worker, so even the
+    // per-sample counts cost no exchange; the one is the oracle sort
+    assert(exchanges <= 1, s"q137 shuffles shard payloads:\n$p")
+  }
+
   test("q56 vocab top-k is TakeOrderedAndProject, never a full sort") {
     val p = plan(TextQueries.q56(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
