@@ -66,9 +66,13 @@ object Archives {
         out.iterator
       } catch {
         // a container whose walk throws mid-entry is dropped WHOLE:
-        // half an archive is worse than none for exactly-once ingest
-        case _: java.util.zip.ZipException | _: java.io.IOException =>
-          Iterator.empty
+        // half an archive is worse than none for exactly-once ingest.
+        // NonFatal, not just ZipException/IOException: getNextEntry
+        // also throws IllegalArgumentException for entry names that
+        // are not valid UTF-8 (legacy-charset archives without the
+        // UTF-8 flag) — any decode failure is quarantine, never a
+        // task kill
+        case scala.util.control.NonFatal(_) => Iterator.empty
       } finally zin.close()
     }
   }
@@ -155,6 +159,10 @@ object Archives {
     var i = off
     var seen = false
     val end = off + len
+    // POSIX permits LEADING space padding on numeric fields (BSD-
+    // lineage writers right-justify chksum with spaces); skip it —
+    // a space after digits still terminates
+    while (i < end && b(i) == ' ') i += 1
     while (i < end && b(i) != 0 && b(i) != ' ') {
       if (b(i) < '0' || b(i) > '7') return None
       v = v * 8 + (b(i) - '0'); seen = true; i += 1
@@ -162,18 +170,23 @@ object Archives {
     if (seen) Some(v) else None
   }
 
-  /** Parse a ustar payload into (name, body) members; None on any
-    * malformation. Real-format strictness where it matters: the
-    * header CHECKSUM is verified (sum of header bytes with the
-    * chksum field read as spaces — the field every tar writer
-    * computes and corrupted shards fail), sizes are octal, member
-    * data pads to 512-byte blocks, and the archive ends at the
-    * first all-zero block. Only regular files (typeflag '0' or NUL)
-    * are emitted; directories and extension headers are skipped by
-    * their declared size like any tar reader.
+  /** Walk a ustar payload into (name, dataOffset, size) member
+    * descriptors — the copy-FREE core: consumers digest/read member
+    * bytes in place from the payload array, so per-payload memory is
+    * the payload itself plus descriptors, never a second copy of
+    * every member (the 512 MB-shard case the batch seam exists for).
+    * None on any malformation. Real-format strictness where it
+    * matters: the header CHECKSUM is verified (sum of header bytes
+    * with the chksum field read as spaces — the field every tar
+    * writer computes and corrupted shards fail), sizes are octal
+    * (leading-space padding accepted), member data pads to 512-byte
+    * blocks, and the archive ends at the first all-zero block. Only
+    * regular files (typeflag '0' or NUL) are emitted; directories
+    * and extension headers are skipped by their declared size like
+    * any tar reader.
     */
-  def decodeTar(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+  def tarMembers(b: Array[Byte]): Option[Seq[(String, Int, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     var pos = 0
     while (pos + 512 <= b.length) {
       if ((pos until pos + 512).forall(b(_) == 0))
@@ -198,13 +211,21 @@ object Archives {
       val padded = ((size + 511) / 512) * 512
       if (dataStart + size > b.length) return None
       if (typeflag == '0' || typeflag == 0)
-        out += ((name, java.util.Arrays.copyOfRange(
-          b, dataStart, dataStart + size.toInt)))
+        out += ((name, dataStart, size.toInt))
       pos = dataStart + padded.toInt
     }
     // a shard truncated before its end-of-archive marker is malformed
     None
   }
+
+  /** [[tarMembers]] with the bodies materialized — the small-archive
+    * convenience (specs, fixtures); the streaming explode path uses
+    * the descriptor form directly.
+    */
+  def decodeTar(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] =
+    tarMembers(b).map(_.map { case (name, off, len) =>
+      (name, java.util.Arrays.copyOfRange(b, off, off + len))
+    })
 
   /** Write a canonical ustar archive (regular files, correct octal
     * checksum, ustar magic, 512-block padding, two-zero-block end).
@@ -256,16 +277,20 @@ object Archives {
       .mapPartitions(_.grouped(batchSize).flatMap { batch =>
         val md = newDigest()
         batch.iterator.flatMap { case (id, payload) =>
-          decodeTar(payload) match {
+          tarMembers(payload) match {
             case None => Iterator.empty
             case Some(members) =>
-              val byStem = members.groupBy(_._1.takeWhile(_ != '.'))
-              members.iterator.map { case (name, body) =>
+              // digest IN PLACE from the payload array — member
+              // bodies are never copied out (tarMembers' contract)
+              val stemCounts = members
+                .groupMapReduce(_._1.takeWhile(_ != '.'))(_ => 1L)(_ + _)
+              members.iterator.map { case (name, off, len) =>
                 md.reset()
+                md.update(payload, off, len)
                 val stem = name.takeWhile(_ != '.')
-                TarEntryRow(id, stem, name, body.length.toLong,
-                  md.digest(body).map(x => f"$x%02x").mkString,
-                  byStem(stem).size.toLong)
+                TarEntryRow(id, stem, name, len.toLong,
+                  md.digest().map(x => f"$x%02x").mkString,
+                  stemCounts(stem))
               }
           }
         }

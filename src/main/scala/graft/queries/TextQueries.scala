@@ -3158,11 +3158,13 @@ object TextQueries {
     tbl(spark, dir, "documents")
       .select(id,
         (id % 2).cast("int").as("cls"),
-        length(body).cast("long").as("raw_len"),
-        call_function("deflate_len", body).as("comp_len"))
-      .select(col("doc_id"), col("cls"), col("raw_len"),
-        when(col("raw_len") >= col("comp_len") * 3L, 1)
-          .otherwise(0).cast("int").as("is_repetitive"))
+        // BYTES, not chars: the ratio compares byte counts, and the
+        // one flag definition (TextOps.repetitiveFlag — shared with
+        // the QualityStream monitor) is byte-based; the planted
+        // classes are ASCII so the oracle's closed forms hold either
+        // way, but CJK-heavy real documents flag 3x differently
+        octet_length(body).cast("long").as("raw_len"),
+        TextOps.repetitiveFlag(body).cast("int").as("is_repetitive"))
       .orderBy(col("doc_id"))
   }
 

@@ -26,13 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object QualityStream {
 
-  /** q132's flag: UTF-8 length at least 3x the DEFLATE length. ONE
-    * definition for the monitor; the batch query spells the identical
-    * predicate (pinned by QualityStreamSpec against q132's classes).
+  /** q132's flag, BY REFERENCE: the one definition lives in
+    * [[graft.text.TextOps.repetitiveFlag]] (UTF-8 bytes >= 3x the
+    * DEFLATE length) and both the batch signal and this monitor call
+    * it — a re-spelled predicate here already diverged once (chars vs
+    * bytes: a CJK document flags differently under the two).
     */
   def repetitiveFlag(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    octet_length(text) >= call_function("deflate_len", text) * 3L
+    graft.text.TextOps.repetitiveFlag(text)
 
   /** Streaming per-(window, source) totals and repetitive counts:
     * tumbling `windowLen` windows over `tsCol`, watermarked. The

@@ -24,6 +24,18 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Distinct word `n`-gram shingles from a token array. */
+  /** q132's repetition flag — THE one definition, shared by the
+    * batch signal and its streaming twin (`QualityStream`) so the
+    * two can never disagree on what "repetitive" means: UTF-8 BYTE
+    * length at least 3x the DEFLATE length. Bytes, not characters —
+    * a compression ratio compares byte counts, and a char-based
+    * numerator would silently deflate the ratio 3x on CJK-heavy
+    * documents. Callers must have registered GraftFunctions on the
+    * session (every query entry point does).
+    */
+  def repetitiveFlag(text: Column): Column =
+    octet_length(text) >= call_function("deflate_len", text) * 3L
+
   def wordShingles(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

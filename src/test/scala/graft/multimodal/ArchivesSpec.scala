@@ -104,6 +104,26 @@ class ArchivesSpec extends AnyFunSuite {
     assert(Archives.decodeTar(Array[Byte]()).isEmpty)
   }
 
+  test("tar: BSD-style space-padded numeric fields parse (POSIX allows them)") {
+    val ok = Archives.encodeTar(Seq(("a.txt", "hello".getBytes)))
+    val want = Archives.decodeTar(ok).get
+    // rewrite chksum right-justified with LEADING SPACES instead of
+    // leading zeros — the same value, the layout historic/BSD
+    // writers emit; the reader must not mistake the pad for
+    // end-of-field
+    val spaced = ok.clone()
+    java.util.Arrays.fill(spaced, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (spaced(i) & 0xff))
+    val digits = java.lang.Long.toOctalString(sum)
+    digits.getBytes.copyToArray(spaced, 148 + (6 - digits.length))
+    spaced(154) = 0; spaced(155) = ' '
+    val got = Archives.decodeTar(spaced)
+    assert(got.isDefined, "space-padded checksum must parse")
+    assert(got.get.map { case (n, b) => (n, b.toSeq) } ==
+      want.map { case (n, b) => (n, b.toSeq) })
+  }
+
   test("WebDataset explode: stems group members, per-stem counts ride along") {
     import spark.implicits._
     val shard = Archives.encodeTar(Seq(

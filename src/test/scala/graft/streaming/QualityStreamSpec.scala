@@ -98,4 +98,25 @@ class QualityStreamSpec extends AnyFunSuite {
       .as[Boolean].collect().toSeq
     assert(flags == Seq(true, true, false, false))
   }
+
+  test("the flag is BYTE-based: repeated CJK flags the same as repeated ASCII") {
+    // a 30-distinct-kanji sentence repeated 5x: 150 chars, 450 UTF-8
+    // bytes, deflating to roughly one sentence's worth (~75-110
+    // bytes) — the BYTE ratio clears 3.0 while the char "ratio"
+    // (150 / z) stays under it. This is the exact divergence the
+    // shared TextOps.repetitiveFlag definition closed: a char-based
+    // numerator under-counts multi-byte text 3x
+    import spark.implicits._
+    val cjk = "春夏秋冬雨雪風雷山川海空木火土金水月日星雲霧虹朝昼夜東西南北" * 5
+    val got = Seq(cjk).toDF("text")
+      .select(QualityStream.repetitiveFlag(col("text")).as("f"),
+        (length(col("text")) >=
+          call_function("deflate_len", col("text")) * 3L).as("charBased"))
+      .collect()(0)
+    assert(got.getBoolean(0), "byte-based flag must fire on repeated CJK")
+    assert(!got.getBoolean(1),
+      "the char-based form should NOT fire here — if it does, this " +
+        "corpus no longer demonstrates the divergence the shared " +
+        "definition guards against")
+  }
 }
