@@ -22,10 +22,11 @@ package graft.multimodal
   * documented at the `===STUB===` seam (MultimodalOps.scala /
   * BatchedDecode.scala): pixel/sample decode used to be faked for
   * EVERY format because the sandbox ships no codec libraries; for
-  * these formats it is now real. Entropy-coded formats whose decoders
-  * are NOT in the JDK (JPEG, MP3, H.264 ...) still route to the
-  * deterministic fallback — the seam and batching are unchanged, a
-  * JNI/imageio decoder drops in the same way these did.
+  * these formats it is now real. JPEG is also real — via the JDK's
+  * bundled ImageIO reader, see [[Jpeg]] — so the deterministic
+  * fallback remains only for formats with NO in-JDK decoder at all
+  * (MP3, H.264 ...); the seam and batching are unchanged, a JNI
+  * decoder drops in the same way these did.
   *
   * Decoders return reduced STATISTICS, not rasters: at 100 TB the
   * decode worker must emit compact typed rows, never re-materialized
@@ -177,7 +178,7 @@ object Codecs {
     }
     if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) return None
     val n = dataLen / 2
-    if (n > MaxStatPixels) return None // wsum overflow bound
+    if (n > MaxStatSamples) return None // PCM16 wsum overflow bound
     var sumAbs = 0L
     var wsum = 0L
     var min = Int.MaxValue
@@ -339,18 +340,26 @@ object Codecs {
 
   // ---- PNG (8-bit gray / RGB / RGBA, non-interlaced) ----
 
-  /** Upper bound on pixels/samples a stats decode accepts: the
-    * order-sensitive wsum is Σ i·value(i), whose worst case
-    * (255 · n²/2 for images, 32768 · n²/2 for PCM16) must stay inside
-    * a signed Long — and the DuckDB oracle's BIGINT, which ERRORS on
-    * overflow where the JVM would silently wrap, so past this bound
-    * the two engines stop being comparable. 2^27 pixels (an
-    * 11.5k × 11.5k image, a 2.2-hour 16 kHz mono clip) leaves a
-    * > 250x margin for images and the payloads this engine decodes
-    * inline; anything larger belongs in a streaming decode, not a
-    * per-row stats probe.
+  /** Upper bound on pixels an image stats decode accepts: the
+    * order-sensitive wsum is Σ i·value(i), whose image worst case
+    * 255 · n²/2 must stay inside a signed Long — and the DuckDB
+    * oracle's BIGINT, which ERRORS on overflow where the JVM would
+    * silently wrap, so past this bound the two engines stop being
+    * comparable. At 2^27 pixels (an 11.5k × 11.5k image) the worst
+    * case is 255 · 2^53 ≈ 2^61, a ~4x margin under Long.MaxValue;
+    * anything larger belongs in a streaming decode, not a per-row
+    * stats probe.
     */
   val MaxStatPixels: Long = 1L << 27
+
+  /** Audio gets a tighter bound than images because PCM16 amplitudes
+    * reach 32767, not 255: at 2^23 samples (an 8.7-minute 16 kHz mono
+    * clip) the wsum worst case 32767 · (2^23)²/2 ≈ 2^60 keeps an ~8x
+    * margin under Long.MaxValue, whereas the image bound 2^27 would
+    * put audio at ~2^68 — silent JVM wraparound against a DuckDB
+    * BIGINT that errors, the exact divergence this bound prevents.
+    */
+  val MaxStatSamples: Long = 1L << 23
 
   /** The 8-byte PNG signature. */
   private val PngMagic: Array[Byte] =

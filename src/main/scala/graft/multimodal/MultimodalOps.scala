@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, plus the Spark-side plumbing a real
   * decode/feature pipeline needs (schema, partitioning, batch shape).
   *
-  * Decode status: PGM and WAV/PCM16 payloads decode FOR REAL — pure
-  * JVM raster/sample math in [[Codecs]], exercised through the
-  * batched seam by [[BatchedDecode.decodeStats]] (q129). The
-  * container ships no compressed-format codecs, so THOSE decodes
-  * remain a deterministic fake — `===STUB===` markers below show
-  * exactly where a real decoder (javax.imageio, ffmpeg via
-  * mapPartitions, or a Python `mapInPandas` worker) plugs in, the
-  * same way the PGM/WAV decoders did. Everything around the stub
+  * Decode status: PGM, WAV/PCM16, PNG, BMP (pure JVM raster/sample
+  * math in [[Codecs]]) and JPEG (the JDK's bundled ImageIO reader,
+  * [[Jpeg]]) all decode FOR REAL, exercised through the batched seam
+  * by [[BatchedDecode.decodeStats]] (q129/q130/q133/q138). Only
+  * formats with NO in-JDK codec (video containers, MP3) remain a
+  * deterministic fake — `===STUB===` markers below show exactly
+  * where a real decoder (ffmpeg via mapPartitions, or a Python
+  * `mapInPandas` worker) plugs in, the same way the JPEG and PGM/WAV
+  * decoders did. Everything around the stub
   * is real: a self-describing header in the binary payload, header
   * parsing with codegen'd binary Column functions (substring / hex /
   * conv — no UDFs), frame sampling by byte-range slicing, and
@@ -224,6 +225,35 @@ object MultimodalOps {
     * what catches a decoder that reads either orientation wrong.
     * Narrow, same posture as [[codecMediaFromDocuments]].
     */
+  /** Media table of REAL JPEG payloads, closed-form in doc_id: every
+    * doc becomes a grayscale JPEG over a (16 + (id%3)·8) x
+    * (8 + (id%2)·8) raster — 2 to 5 block columns by 1 or 2 block
+    * rows — whose 8x8 blocks are each constant at
+    * v(bi) = (id·41 + bi·59) % 256 (bi = row-major block index),
+    * encoded at quality 1.0 through the JDK's ImageIO JPEG writer.
+    * Block-constant at quality 1.0 is the EXACT-round-trip regime
+    * (all AC coefficients identically zero, unit quantizers — see
+    * [[Jpeg]]'s scaladoc; JpegSpec pins it for all 256 gray levels),
+    * so the oracle recomputes every decoded statistic, including the
+    * order-sensitive wsum, from doc_id alone — through a real lossy
+    * codec's entropy decode, dequant, and IDCT. Blocks differ from
+    * each other, so a decoder that permutes blocks (stride bug,
+    * bottom-up walk) still hash-fails on wsum. Narrow, same posture
+    * as [[codecMediaFromDocuments]].
+    */
+  def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (16 + (id % 3) * 8).toInt
+        val h = (8 + (id % 2) * 8).toInt
+        (id, Jpeg.encodeBlockGray(w, h,
+          bi => ((id * 41 + bi * 59L) % 256).toInt))
+      }
+      .toDF("media_id", "payload")
+  }
+
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -275,6 +275,54 @@ object MultimodalQueries {
       |    i -> i * v[i + 1])) AS BIGINT) AS wsum_val
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ---- q138: REAL entropy-coded decode (JPEG via JDK ImageIO) ----
+  // The close of the decoder family's last capability stub: payloads
+  // are REAL JPEGs — Huffman entropy decode, dequantization, and the
+  // IDCT run in the JDK's bundled libjpeg (java.desktop's ImageIO
+  // plugin), not a stand-in. A lossy codec can't normally be oracled
+  // closed-form, so planting pins the one regime where the round
+  // trip is EXACT: per-8x8-block-constant grayscale at quality 1.0
+  // (all AC coefficients identically zero, unit quant tables —
+  // JpegSpec proves decode(encode(v)) == v for all 256 gray levels).
+  // The oracle recomputes sum/min/max and the order-sensitive wsum
+  // from doc_id alone; blocks differ from each other, so a permuted
+  // block walk hash-fails. fmt='gm' now remains only for formats
+  // with no in-sandbox codec at all (video containers).
+  //
+  // 100 TB posture: identical to q129/q130/q133 — narrow decode
+  // through the one-reader-handle-per-batch seam (the ImageIO reader
+  // is reused across the batch's payloads and disposed at batch
+  // end), payloads never shuffled, compact typed rows out; only the
+  // final oracle orderBy exchanges.
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeStats(jpegMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q138Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    16 + (doc_id % 3) * 8 AS w, 8 + (doc_id % 2) * 8 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, CAST(w * h AS BIGINT)),
+      |      i -> (media_id * 41 +
+      |            (((i // w) // 8) * (w // 8) + ((i % w) // 8)) * 59)
+      |           % 256) AS v
+      |  FROM g
+      |)
+      |SELECT media_id, 'jpg' AS fmt,
+      |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |  CAST(w * h AS BIGINT) AS n_units,
+      |  CAST(list_sum(v) AS BIGINT) AS sum_val,
+      |  CAST(list_min(v) AS BIGINT) AS min_val,
+      |  CAST(list_max(v) AS BIGINT) AS max_val,
+      |  CAST(list_sum(list_transform(range(0, CAST(w * h AS BIGINT)),
+      |    i -> i * v[i + 1])) AS BIGINT) AS wsum_val
+      |FROM px ORDER BY media_id""".stripMargin
+
   // ---- q136: archive-shard explode (real ZIP, pure JVM) ----
   // Training corpora arrive as archives of members (tar/zip shards,
   // WARC segments); the ingest boundary explodes each container into
@@ -391,7 +439,8 @@ object MultimodalQueries {
     "q59_batched_decode" -> (q59 _),
     "q129_codec_decode" -> (q129 _),
     "q130_png_decode" -> (q130 _),
-    "q133_bmp_decode" -> (q133 _)
+    "q133_bmp_decode" -> (q133 _),
+    "q138_jpeg_decode" -> (q138 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +451,7 @@ object MultimodalQueries {
     "q59_batched_decode" -> q59Sql,
     "q129_codec_decode" -> q129Sql,
     "q130_png_decode" -> q130Sql,
-    "q133_bmp_decode" -> q133Sql
+    "q133_bmp_decode" -> q133Sql,
+    "q138_jpeg_decode" -> q138Sql
   )
 }

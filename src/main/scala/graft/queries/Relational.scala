@@ -1986,6 +1986,92 @@ object Relational {
       |) u
       |ORDER BY metric, key_id""".stripMargin
 
+  // ---- q139: measured salting — q106's scout FEEDING q26's join ----
+  // r12's verdict item: the skew audit (q106) and the salted join
+  // (q26) existed side by side but the salt count was still a
+  // hand-picked constant. This query composes them: measure the fact
+  // side's key distribution (Skew.measureSkew — one map-side-combined
+  // aggregate, a stats row + a BOUNDED hot-key list driver-side),
+  // derive the fan-out (salts = ceil(max/mean), clamped) and the hot
+  // set (>= 5x floor mean), then join with hot-key-ONLY salting
+  // (Skew.saltedJoinFor): cold keys keep one sub-key, so the dim side
+  // replicates |hotKeys| x salts rows, not |dim| x salts. Skew is
+  // PLANTED closed-form (every user_id % 50 == 7 event replicated
+  // 20x -> 3 keys at ~18x mean), so the oracle recomputes the join
+  // AND every derived decision number (salts, hot-key count, max)
+  // from the fixture alone — the measurement is gate-checked, not
+  // just the join identity.
+  //
+  // At 100 TB: the scout is the cheap first job (key-column scan,
+  // catalog-sized output); the decision it emits is exactly what you
+  // feed AQE-disabled engines or pre-partitioned writers. The hot
+  // set rides as an isin literal (map-only); no exchange beyond the
+  // join's own.
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    val fact = events(spark, dir).select(col("user_id"))
+      .withColumn("rep", explode(sequence(lit(1),
+        when(col("user_id") % 50 === 7, 20).otherwise(1))))
+    val dim = tbl(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val prof = graft.operators.Skew.measureSkew(fact, "user_id")
+    val joined = graft.operators.Skew
+      .saltedJoinFor(prof, fact, dim, "user_id", col("rep"))
+    val perNation = joined.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("key_sum"))
+    val nationRows = perNation.select(lit("nation_rows").as("metric"),
+      col("c_nationkey").cast("long").as("key_id"), col("n_rows").as("n"))
+    val nationSums = perNation.select(lit("nation_keysum").as("metric"),
+      col("c_nationkey").cast("long").as("key_id"), col("key_sum").as("n"))
+    // the measured DECISION, surfaced as oracle-checked rows: the
+    // gate fails if the derivation ever drifts from the documented
+    // integer math (q106's divide-first floor-mean sequence)
+    val decision = spark.range(1).selectExpr(
+      s"""stack(3,
+         |'salts', CAST(NULL AS BIGINT), ${prof.salts}L,
+         |'n_hot', CAST(NULL AS BIGINT), ${prof.hotKeys.size}L,
+         |'max_cnt', CAST(NULL AS BIGINT), ${prof.maxCnt}L)
+         | AS (metric, key_id, n)""".stripMargin)
+    nationRows.unionAll(nationSums).unionAll(decision)
+      .orderBy(col("metric"), col("key_id"))
+  }
+
+  val q139Sql: String =
+    """WITH f AS (
+      |  SELECT e.user_id
+      |  FROM events e, unnest(range(0,
+      |    CAST(CASE WHEN e.user_id % 50 = 7 THEN 20 ELSE 1 END AS BIGINT)))
+      |    AS u(r)
+      |), counts AS (
+      |  SELECT user_id, count(*) AS cnt FROM f GROUP BY user_id
+      |), derived AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS d,
+      |    max(cnt) AS mx,
+      |    greatest(1, CAST(sum(cnt) AS BIGINT) // count(*)) AS mean
+      |  FROM counts
+      |), j AS (
+      |  SELECT c.c_nationkey, f.user_id
+      |  FROM f JOIN customer c ON c.c_custkey = f.user_id
+      |)
+      |SELECT metric, key_id, n FROM (
+      |  SELECT 'nation_rows' AS metric, CAST(c_nationkey AS BIGINT) AS key_id,
+      |    count(*) AS n
+      |  FROM j GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT 'nation_keysum', CAST(c_nationkey AS BIGINT),
+      |    CAST(sum(user_id) AS BIGINT)
+      |  FROM j GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT 'salts', NULL,
+      |    least(64, greatest(1, (mx + mean - 1) // mean)) FROM derived
+      |  UNION ALL
+      |  SELECT 'n_hot', NULL,
+      |    (SELECT count(*) FROM counts, derived
+      |     WHERE cnt * 1000 >= 5000 * mean) FROM derived
+      |  UNION ALL
+      |  SELECT 'max_cnt', NULL, mx FROM derived
+      |) u ORDER BY metric, key_id""".stripMargin
+
   // ---- q115: unpivot (melt) — the inverse reshape of q55's pivot ----
   // Wide -> long: q55's pivoted (status x priority) money matrix back
   // to (status, priority, total) rows via Dataset.unpivot. Empty
@@ -2335,6 +2421,7 @@ object Relational {
     "q102_setops_all" -> (q102 _),
     "q104_profile" -> (q104 _),
     "q106_key_skew" -> (q106 _),
+    "q139_measured_salt_join" -> (q139 _),
     "q115_unpivot" -> (q115 _),
     "q119_rate_anomaly" -> (q119 _),
     "q120_rate_trend" -> (q120 _)
@@ -2386,6 +2473,7 @@ object Relational {
     "q102_setops_all" -> q102Sql,
     "q104_profile" -> q104Sql,
     "q106_key_skew" -> q106Sql,
+    "q139_measured_salt_join" -> q139Sql,
     "q115_unpivot" -> q115Sql,
     "q119_rate_anomaly" -> q119Sql,
     "q120_rate_trend" -> q120Sql

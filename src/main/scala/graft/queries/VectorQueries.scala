@@ -1557,6 +1557,15 @@ object VectorQueries {
   private val alignSideCounts =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
 
+  /** Bound on [[alignSideCounts]]: entries are two longs, but a
+    * long-lived JVM replaying over ever-fresh replica dirs (ScaleBench
+    * decade loops rewrite the same dirs, changing mtime each time)
+    * would still grow it without limit. Past the cap the map is
+    * simply cleared — the values are one narrow aggregate to
+    * recompute, so eviction precision is worth zero complexity.
+    */
+  private val AlignSideCountsCap = 64
+
   // private[graft] so the parity spec can pin this against the REAL
   // alignSides counts — the two re-state the side definitions
   // independently, and a drift between them silently desyncs the
@@ -1564,6 +1573,7 @@ object VectorQueries {
   private[graft] def alignSideCardinalities(spark: SparkSession,
       dir: String): (Long, Long) = {
     val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    if (alignSideCounts.size() > AlignSideCountsCap) alignSideCounts.clear()
     alignSideCounts.computeIfAbsent((dir, mtime), { case (d, _) =>
       // coalesce: sum over ZERO rows is SQL NULL, and getLong on a
       // null field NPEs — an empty embeddings table (partially built
@@ -1588,7 +1598,30 @@ object VectorQueries {
     */
   private def bandedAlign(spark: SparkSession, dir: String,
       salts: Seq[String],
-      confirmFloorE6: Option[Long] = None): DataFrame = {
+      confirmFloorE6: Option[Long] = None): DataFrame =
+    finishBandedAlign(bandedAlignAdmitted(spark, dir, salts),
+      confirmFloorE6)
+
+  /** The confirm floor + output shaping, split from the candidate
+    * stage so callers measuring BOTH the margin-only and confirmed
+    * configs over the same salt set (q123) run the band join once
+    * and derive the two result sets from one persisted admitted set
+    * — the floor only filters a column the candidate stage already
+    * computed, so sharing changes no row of either output.
+    */
+  private def finishBandedAlign(admitted: DataFrame,
+      confirmFloorE6: Option[Long]): DataFrame =
+    confirmFloorE6.fold(admitted)(f => admitted.filter(col("cos_e6") >= f))
+      .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
+      .orderBy(col("xid"))
+
+  /** Everything up to margin admission — band keys, capped bipartite
+    * join, exact cosine, both top-4 partials, the margin filter —
+    * WITHOUT the confirm floor: columns (xid, yid, cos_e6,
+    * margin_e6, ...), unsorted.
+    */
+  private def bandedAlignAdmitted(spark: SparkSession, dir: String,
+      salts: Seq[String]): DataFrame = {
     val (a, b) = alignSides(spark, dir)
     // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
     // count must track log2(n)"): plane count targets <= 8 vectors
@@ -1645,15 +1678,14 @@ object VectorQueries {
       .withColumn("margin_e6",
         expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
       .filter(col("margin_e6") >= 1400000L)
-    // the confirm floor (q42/q31 pattern): margin cancels hubness but
-    // on sparse candidate neighborhoods it also INFLATES — a junk
-    // pair can clear 1.4x margin at near-zero absolute cosine. The
-    // floor re-tests each admitted pair on its EXACT cosine (already
+    // the confirm floor (q42/q31 pattern) is applied downstream in
+    // finishBandedAlign: margin cancels hubness but on sparse
+    // candidate neighborhoods it also INFLATES — a junk pair can
+    // clear 1.4x margin at near-zero absolute cosine. The floor
+    // re-tests each admitted pair on its EXACT cosine (already
     // computed on the candidate, zero extra work) — output-sized, not
     // candidate-sized. q123's band3x8c row measures what it buys.
-    confirmFloorE6.fold(admitted)(f => admitted.filter(col("cos_e6") >= f))
-      .select(col("xid"), col("yid"), col("cos_e6"), col("margin_e6"))
-      .orderBy(col("xid"))
+    admitted
   }
 
   /** DuckDB CTE chain for the BANDED margin mining, ending in
@@ -1733,27 +1765,37 @@ object VectorQueries {
     val exact = q118(spark, dir).select(col("xid"), col("yid"))
       .persist()
     exact.count() // eager: each config's counts + hit join re-read it
-    def audit(cfg: String, salts: Seq[String],
-        confirmFloorE6: Option[Long] = None): DataFrame = {
-      val banded = bandedAlign(spark, dir, salts, confirmFloorE6)
+    def audit(cfg: String, banded: DataFrame): DataFrame = {
+      val pairs = banded
         .select(col("xid").as("bxid"), col("yid").as("byid"))
-        .persist()
-      banded.count()
-      val hit = exact.join(banded,
+      val hit = exact.join(pairs,
         col("xid") === col("bxid") && col("yid") === col("byid"))
       exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(banded.agg(count(lit(1)).as("n_banded"))))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_banded"))))
         .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .select(lit(cfg).as("cfg"), col("n_exact"), col("n_banded"),
           col("n_hit"),
           expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
           expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
     }
+    // band3x8 and band3x8c differ ONLY by the confirm floor — a
+    // filter on a column the candidate stage already computed — so
+    // both configs derive from ONE persisted admitted set and the
+    // identical 3-table band join runs once, not twice (the r12
+    // verdict measured the rebuild as ~a third of q123's cost).
+    val adm3 = bandedAlignAdmitted(spark, dir, BandSalts).persist()
+    adm3.count() // eager: both configs' counts + hit joins re-read it
+    // margin-only 6-table config; the audit never sorts, so take the
+    // unsorted admitted set directly (counts are order-free)
+    val b6 = bandedAlignAdmitted(spark, dir, BandSalts6).persist()
+    b6.count()
     // band3x8c = q122's SHIPPED config (margin + confirm floor): the
     // third row prices exactly what the confirm stage buys over the
     // margin-only configs it audits
-    audit("band3x8", BandSalts).union(audit("band6x8", BandSalts6))
-      .union(audit("band3x8c", BandSalts, Some(ConfirmFloorE6)))
+    audit("band3x8", adm3)
+      .union(audit("band6x8", b6))
+      .union(audit("band3x8c",
+        adm3.filter(col("cos_e6") >= ConfirmFloorE6)))
       .orderBy(col("cfg"))
   }
 
@@ -1805,6 +1847,19 @@ object VectorQueries {
   // gate's RANDOM corpus, where "hard" negatives sit near chance
   // cosine and banding can't beat its q105 collision floor; a real
   // clustered corpus separates the two).
+  //
+  // ORACLE-COMPARABILITY BOUND (same posture as q42/q62): the Spark
+  // path caps each band bucket at 100k rows per side — on BOTH the
+  // full side and the 2% anchor side — while the DuckDB oracle CTE
+  // pairs buckets uncapped, so the two are hash-comparable only
+  // while every bucket is under the cap. At the gate SFs the largest
+  // bucket holds ~n/2^8 rows over the fixed 8-plane tables (sf0.1:
+  // ~23 full-side, ~1 anchor-side; the 10x replica: ~230) — 3+
+  // orders of magnitude under the cap, and the expected bucket only
+  // reaches 100k at n ≈ 2^25 vectors. Past that, production raises
+  // the plane count to track log2(n) (q122's bandedAlign shows the
+  // adaptive shape) and the oracle CTE must be regenerated with the
+  // same tables; the gate never runs there.
   def q134(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val banded = tbl(spark, dir, "embeddings")

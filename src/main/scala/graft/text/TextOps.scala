@@ -23,7 +23,6 @@ object TextOps {
   /** Whitespace tokens of `text` (lowercased). */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word `n`-gram shingles from a token array. */
   /** q132's repetition flag — THE one definition, shared by the
     * batch signal and its streaming twin (`QualityStream`) so the
     * two can never disagree on what "repetitive" means: UTF-8 BYTE
@@ -36,6 +35,7 @@ object TextOps {
   def repetitiveFlag(text: Column): Column =
     octet_length(text) >= call_function("deflate_len", text) * 3L
 
+  /** Distinct word `n`-gram shingles from a token array. */
   def wordShingles(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(

@@ -204,6 +204,23 @@ class CodecsSpec extends AnyFunSuite {
     assert(decodePgm(atBound).isEmpty) // truncated, but past the bound check
   }
 
+  test("audio uses its own, tighter wsum bound (PCM16 reaches 32767, not 255)") {
+    // At the IMAGE bound 2^27, the audio worst case 32767 * n^2 / 2
+    // is ~2^68 — 32x over Long.MaxValue, silent JVM wraparound
+    // against a DuckDB BIGINT that errors. 2^23 keeps ~8x margin.
+    assert(Codecs.MaxStatSamples == (1L << 23))
+    // A structurally valid mono PCM16 WAV whose data chunk declares
+    // 2^23 + 1 samples (all-zero payload — the guard must fire before
+    // the sample walk): must decode to None, not a wrapped wsum.
+    val n = (1 << 23) + 1
+    val over = Codecs.encodeWav(16000, n, _ => 0)
+    assert(decodeWav(over).isEmpty)
+    // One sample fewer sits AT the bound and decodes fine.
+    val at = Codecs.encodeWav(16000, n - 1, _ => 0)
+    val st = decodeWav(at).get
+    assert(st.nSamples == n - 1 && st.sumAbs == 0L && st.wsum == 0L)
+  }
+
   // ---- PNG ----
 
   /** Patch one IHDR byte and re-seal the chunk CRC, so structural
