@@ -56,7 +56,7 @@ object VectorQueries {
   // cosine() would re-fold sqrt(dot(x,x)) per PAIR — n x q times);
   // sqrt-then-multiply-then-divide is the identical FP sequence, so
   // scores are bit-equal to the composed form and the oracle
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nv", sqrt(dot(col("v"), col("v"))))
 
   /** The baseline/audit query sample: every 100th vector, renamed for
@@ -246,7 +246,7 @@ object VectorQueries {
     * column `v` — the explode payload shared by the banded pair
     * generator, the q105 claim keys, and q122's bipartite sides.
     */
-  private def bandKeyArr(v: Column,
+  private[graft] def bandKeyArr(v: Column,
       tables: Seq[Seq[Seq[Double]]] = bandTables): Column =
     array(tables.zipWithIndex.map { case (signs, t) =>
       struct(lit(t).as("t"), srpBucket(v, signs).cast("int").as("b"))
@@ -1620,24 +1620,23 @@ object VectorQueries {
     * WITHOUT the confirm floor: columns (xid, yid, cos_e6,
     * margin_e6, ...), unsorted.
     */
-  private def bandedAlignAdmitted(spark: SparkSession, dir: String,
-      salts: Seq[String]): DataFrame = {
-    val (a, b) = alignSides(spark, dir)
-    // the documented SRP scale knob, APPLIED (annNearDupPairs: "plane
-    // count must track log2(n)"): plane count targets <= 8 vectors
-    // per bucket per table, so per-vector candidate volume is bounded
-    // by a constant and total candidates stay LINEAR in n as the
-    // corpus decades — fixed planes would grow buckets (and the
-    // bucketed join) as n^2/2^planes. Floored at the 8-plane config,
-    // which the DuckDB oracle hard-codes: identical up to n = 2048
-    // per side, clearing every gate SF with margin (measured sides:
-    // ~250 at sf0.001/sf0.01, 1025 at sf0.1 — an n/4 target put the
-    // boundary at 1024 and the sf0.1 cross-check caught the one-row
-    // overshoot). Above the boundary the oracle is WRONG, so crossing
-    // it is loud: decade runs (oracle-free by design) opt in via the
-    // graft.q122.adaptivePlanes property (ScaleBench sets it);
-    // anything else — a gate-SF or fixture-density change — fails
-    // here with the reason, not downstream with an opaque row diff.
+  /** The documented SRP scale knob, APPLIED (annNearDupPairs: "plane
+    * count must track log2(n)"): plane count targets <= 8 vectors
+    * per bucket per table, so per-vector candidate volume is bounded
+    * by a constant and total candidates stay LINEAR in n as the
+    * corpus decades — fixed planes would grow buckets (and the
+    * bucketed join) as n^2/2^planes. Floored at the 8-plane config,
+    * which the DuckDB oracle hard-codes: identical up to n = 2048
+    * per side, clearing every gate SF with margin (measured sides:
+    * ~250 at sf0.001/sf0.01, 1025 at sf0.1 — an n/4 target put the
+    * boundary at 1024 and the sf0.1 cross-check caught the one-row
+    * overshoot). Above the boundary the oracle is WRONG, so crossing
+    * it is loud: decade runs (oracle-free by design) opt in via the
+    * graft.q122.adaptivePlanes property (ScaleBench sets it);
+    * anything else — a gate-SF or fixture-density change — fails
+    * here with the reason, not downstream with an opaque row diff.
+    */
+  private def alignPlaneCount(spark: SparkSession, dir: String): Int = {
     val (na, nb) = alignSideCardinalities(spark, dir)
     val n = math.max(na, nb)
     val planes = math.max(Planes,
@@ -1649,6 +1648,48 @@ object VectorQueries {
           s"DuckDB oracle hard-codes $Planes (valid to 2048/side). " +
           "Set -Dgraft.q122.adaptivePlanes=true for oracle-free runs, " +
           "or regenerate the oracle's plane config.")
+    planes
+  }
+
+  /** Exact-cosine-scored banded candidate pairs between band-keyed
+    * sides ka (xid, xv, nx, bk) and kb (yid, yv, ny, bk): capped
+    * bipartite bucket join, one cosine per pair, DISTINCT collapsing
+    * multi-table collisions (identical FP fold -> identical e6 score
+    * -> exact collapse). Shared by the batch miner and the streaming
+    * twin so the candidate semantics can never drift.
+    */
+  private[graft] def alignScoredPairs(ka: DataFrame,
+      kb: DataFrame): DataFrame =
+    graft.operators.Buckets
+      .cappedBipartitePairs(ka, kb, "bk", 100000L)
+      .select(col("a.xid"), col("b.yid"),
+        round(dot(col("a.xv"), col("b.yv")) / (col("a.nx") * col("b.ny")) * 1e6)
+          .cast("long").as("cos_e6"))
+      .distinct()
+
+  /** Per-xid top-4 neighborhood reduction of scored pairs: best
+    * partner, its score, and the hubness average ax.
+    */
+  private[graft] def alignXTop4(scored: DataFrame): DataFrame =
+    scored.groupBy(col("xid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("yid"), lit(4)).as("top"))
+      .select(col("xid"), col("top")(0).getField("id").as("ybest"),
+        col("top")(0).getField("score").as("cos_e6"),
+        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ax"))
+
+  /** Per-yid top-4 hubness average ay — the y-side calibration. */
+  private[graft] def alignYTop4(scored: DataFrame): DataFrame =
+    scored.groupBy(col("yid"))
+      .agg(call_function("topk_by_score",
+        col("cos_e6"), col("xid"), lit(4)).as("top"))
+      .select(col("yid"),
+        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ay"))
+
+  private def bandedAlignAdmitted(spark: SparkSession, dir: String,
+      salts: Seq[String]): DataFrame = {
+    val (a, b) = alignSides(spark, dir)
+    val planes = alignPlaneCount(spark, dir)
     val tables = salts.map(s => srpSignsSalted(s, planes, Dim))
     val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
       .persist()
@@ -1656,24 +1697,10 @@ object VectorQueries {
     val kb = b.withColumn("bk", explode(bandKeyArr(col("yv"), tables)))
       .persist()
     kb.count()
-    val scored = graft.operators.Buckets
-      .cappedBipartitePairs(ka, kb, "bk", 100000L)
-      .select(col("a.xid"), col("b.yid"),
-        round(dot(col("a.xv"), col("b.yv")) / (col("a.nx") * col("b.ny")) * 1e6)
-          .cast("long").as("cos_e6"))
-      .distinct() // multi-table collisions: identical FP fold -> identical e6 score -> exact collapse
+    val scored = alignScoredPairs(ka, kb)
       .repartition(col("xid"))
-    val xside = scored.groupBy(col("xid"))
-      .agg(call_function("topk_by_score",
-        col("cos_e6"), col("yid"), lit(4)).as("top"))
-      .select(col("xid"), col("top")(0).getField("id").as("ybest"),
-        col("top")(0).getField("score").as("cos_e6"),
-        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ax"))
-    val yside = scored.groupBy(col("yid"))
-      .agg(call_function("topk_by_score",
-        col("cos_e6"), col("xid"), lit(4)).as("top"))
-      .select(col("yid"),
-        expr("aggregate(top, 0L, (s, t) -> s + t.score) DIV size(top)").as("ay"))
+    val xside = alignXTop4(scored)
+    val yside = alignYTop4(scored)
     val admitted = xside.join(yside, col("ybest") === col("yid"))
       .withColumn("margin_e6",
         expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
@@ -1687,6 +1714,65 @@ object VectorQueries {
     // candidate-sized. q123's band3x8c row measures what it buys.
     admitted
   }
+
+  // ---- streaming alignment-miner seam (streaming/AlignStream) ----
+
+  /** Release-time artifacts for the STREAMING twin of q122: the
+    * band-keyed target side (yid, yv, ny, bk), the y-side hubness
+    * calibration (yid, ay — each target's top-4 average cosine
+    * against the REFERENCE source corpus), and the band tables the
+    * index was keyed with (arriving batches must hash with the SAME
+    * tables or buckets never collide). ay is a corpus-level
+    * calibration statistic, computed once per index release exactly
+    * like the signature index itself — per-batch ay would make a
+    * pair's verdict depend on how the crawl was batched, which is
+    * the property the parity spec forbids.
+    */
+  private[graft] def alignStreamIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[Seq[Seq[Double]]]) = {
+    val (a, b) = alignSides(spark, dir)
+    val planes = alignPlaneCount(spark, dir)
+    val tables = BandSalts.map(s => srpSignsSalted(s, planes, Dim))
+    val bandedY = b.withColumn("bk", explode(bandKeyArr(col("yv"), tables)))
+    val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
+    val yCal = alignYTop4(alignScoredPairs(ka, bandedY))
+    (bandedY, yCal, tables)
+  }
+
+  /** Band-key one delta batch of source vectors (xid,
+    * v: array<double>) into the ka shape [[alignScoredPairs]] pairs —
+    * the SAME norm and band-key expressions the batch miner uses, so
+    * the streaming twin cannot drift on either.
+    */
+  private[graft] def alignBatchKeys(xBatch: DataFrame,
+      tables: Seq[Seq[Seq[Double]]]): DataFrame =
+    withNorm(xBatch.select(col("xid"), col("v")))
+      .select(col("xid"), col("v").as("xv"), col("nv").as("nx"))
+      .withColumn("bk", explode(bandKeyArr(col("xv"), tables)))
+
+  /** Margin + confirm admission over a batch's per-xid top-4 rows
+    * (xid, ybest, cos_e6, ax) joined against the release-time y-side
+    * calibration — the tail of the streaming twin. `yCalForBatch`
+    * must already be batch-sized (the caller semi-fetches only the
+    * ybest keys the batch needs — the index never enters an
+    * exchange); a target outside the calibration (a y that had no
+    * reference candidates — impossible while batches split the
+    * reference corpus, possible for genuinely novel sources)
+    * conservatively defaults ay to the pair's own cosine, deflating
+    * its margin toward 1.0x: unseen neighborhoods don't admit on
+    * hubness they never measured.
+    */
+  private[graft] def alignAdmit(xTop: DataFrame,
+      yCalForBatch: DataFrame): DataFrame =
+    xTop.join(broadcast(yCalForBatch),
+      col("ybest") === col("yid"), "left")
+      .withColumn("ay", coalesce(col("ay"), col("cos_e6")))
+      .withColumn("margin_e6",
+        expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
+      .filter(col("margin_e6") >= 1400000L &&
+        col("cos_e6") >= ConfirmFloorE6)
+      .select(col("xid"), col("ybest").as("yid"), col("cos_e6"),
+        col("margin_e6"))
 
   /** DuckDB CTE chain for the BANDED margin mining, ending in
     * `${prefix}banded_res` — shared by q122Sql and the q123 recall
