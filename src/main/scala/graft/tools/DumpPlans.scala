@@ -6,9 +6,15 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Dev tool: dump formatted physical plans of representative queries
+/** Dev tool: dump formatted physical plans of EVERY registered query
   * to PLANS.md so plan quality (pushdown, join strategies, shuffle
   * counts, codegen spans) is reviewable without running Spark.
+  * Coverage is enforced: a registered query without a `notes` entry
+  * fails the dump, so a new query cannot silently skip the artifact.
+  * Iterative/multi-job queries (q47's CC rounds, q117's power
+  * iteration, q81's per-round merges) print the FINAL composed plan;
+  * the per-round shape repeats inside it and the entry is capped, so
+  * the note carries the round count.
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
@@ -16,7 +22,7 @@ object DumpPlans {
     val spark = graft.GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val picks = Seq(
+    val notes = Map(
       "q01_pricing_summary" -> "hash agg + filter pushdown",
       "q03_join3_topk" -> "3-way join + top-k",
       "q04_broadcast_join" -> "broadcast dim join",
@@ -102,12 +108,73 @@ object DumpPlans {
       "q134_hard_negatives" -> "hard-negative mining (capped 3-table band join, label filter on candidates, bounded top-3 partial)",
       "q135_negatives_recall" -> "hard-negative recall audit (exact different-label baseline on the anchor sample vs the banded miner)",
       "q136_archive_explode" -> "archive-shard explode (real ZIP walk + per-entry inflate in narrow batches, output-only sort)",
-      "q137_tar_samples" -> "WebDataset tar-shard explode (checksummed ustar walk, in-worker stem grouping, output-only sort)")
+      "q137_tar_samples" -> "WebDataset tar-shard explode (checksummed ustar walk, in-worker stem grouping, output-only sort)",
+      // ---- r13: full-registry coverage (the 51 previously absent) ----
+      "q02_filter_project" -> "projection + pushed filter (scan-dominated plan, pruned ReadSchema)",
+      "q06_semi_join" -> "left semi join (broadcast build side)",
+      "q07_anti_join" -> "left anti join (work-list complement)",
+      "q08_rollup" -> "ROLLUP grouping sets (Expand + one agg exchange)",
+      "q09_window_rank" -> "ranking window (one partition-key shuffle)",
+      "q10_window_frame" -> "rolling 5-row mean frame (A3 warm-up + one-step-delay quirk)",
+      "q11_sessionize" -> "gap-based sessionization (one per-user window shuffle)",
+      "q12_topk" -> "global top-k (TakeOrderedAndProject, no full sort)",
+      "q13_setops" -> "distinct set ops (union/intersect/except)",
+      "q14_distinct_agg" -> "multi-distinct aggregate (expand-based two-phase)",
+      "q15_hourly_window" -> "event-time hourly tumbling window aggregate",
+      "q16_geodesy" -> "geodesy Column pipeline G1-G11 (map-only, zero shuffle)",
+      "q17_worklist_anti" -> "pending work-list anti join (S1/J5, pruned one-column scan)",
+      "q18_aircraft_join" -> "flight-to-type equi join (S2/J4, broadcast dim)",
+      "q19_nulldrop" -> "NULL-row filter (F2, pushed IsNotNull on all 9 sensor columns)",
+      "q21_landing_types" -> "landing classifier readout (W7 over the typed detector, same one shuffle as q20)",
+      "q22_stability_flags" -> "stability predicate flags (F6/A2 over the typed detector)",
+      "q23_analysis_flags" -> "analysis-flag coupling readout (S7, detector + flag agg)",
+      "q24_airport_dims" -> "airport-runway dims (explicit-schema CSV scans + J3 association join)",
+      "q25_geodesy2" -> "geodesy second family (bearing/midpoint/destination, map-only)",
+      "q27_cube" -> "full CUBE + grouping_id (Expand, one agg exchange)",
+      "q28_per_aircraft_thresholds" -> "per-aircraft threshold overrides (resurrected dead-code path; broadcast threshold dim)",
+      "q29_percentiles" -> "exact grouped percentiles (sort-within-group percentile agg)",
+      "q30_exact_dedup" -> "exact dedup (digest-only shuffle, document bytes stay put)",
+      "q32_simhash" -> "16-bit SimHash signatures + bucket grouping (map-only signature, one band shuffle)",
+      "q34_langid" -> "n-gram language ID (map-only scoring, zero data shuffle)",
+      "q35_quality" -> "quality scoring: length/punct/stopword ratios (map-only)",
+      "q36_tokens" -> "token counting, whitespace + BPE-ish regex (map-only)",
+      "q37_fingerprint" -> "min rolling char-8-gram fingerprint (map-only fold)",
+      "q38_tfidf" -> "TF-IDF (doc-freq agg broadcast back, map-only scoring, top-k cut)",
+      "q39_merge_sink" -> "crash-atomic bucketed merge sink readout (S6)",
+      "q41_srp_buckets" -> "SRP-LSH bucket assignment (map-only plane signs)",
+      "q42_ann_neardup" -> "bucketed ANN near-dup (hot-capped self-join, exact-cosine confirm)",
+      "q44_validity_probe" -> "validity probe (F4; single bounded probe, no full scan)",
+      "q45_latlon_format" -> "lat/lon sexagesimal formatting (G14, map-only)",
+      "q46_split" -> "deterministic train/valid/test hash split (map-only, zero shuffle)",
+      "q47_dedup_clusters" -> "connected components (pointer-doubling, O(log n) rounds — final round's plan shown; narrow (id,label) exchanges per round)",
+      "q49_simhash64" -> "native codegen'd 64-bit SimHash expression (map-only)",
+      "q50_media_roundtrip" -> "media header round-trip (binary Column expressions, map-only)",
+      "q51_frame_features" -> "frame sampling + md5 features (byte-range slicing, map-only)",
+      "q52_kmeans_step" -> "one k-means Lloyd step (broadcast centroids, map-side assign + one agg exchange)",
+      "q59_batched_decode" -> "batched decode seam (narrow typed mapPartitions, one handle per 64-item batch)",
+      "q65_mixture_weights" -> "domain-mixture weights (catalog-sized aggregate, the planning half of q57)",
+      "q68_stratified_topk" -> "per-stratum top-k sample (bounded topk_by_score partial per stratum, window-free)",
+      "q72_training_order" -> "global curriculum order (salted-hash sort key; the one global sort is the product)",
+      "q73_jsonl_roundtrip" -> "JSONL ingest round-trip (explicit-schema line parse, checksum agg)",
+      "q76_overlap_chunks" -> "sliding-window chunking with overlap (explode, map-only)",
+      "q78_pii_scrub" -> "PII scrubbing (regexp_replace chain, map-only, zero data shuffle)",
+      "q79_semantic_clusters" -> "embedding-cosine near-dup clusters (banded pairs into q47's pointer-doubled CC)",
+      "q87_asof_forward" -> "forward as-of join (q53's tag-union window with the direction flipped)",
+      "q88_domain_stats" -> "URL/domain extraction + per-domain stats (one domain-key agg)",
+      "q138_jpeg_decode" -> "real JPEG decode via the JDK ImageIO reader (narrow batches, one reader handle per batch, output-only sort)",
+      "q139_measured_salt_join" -> "measured salting: skew scout derives fan-out + hot set; hot-key-only salted join (decision rows oracle-checked)")
+
+    val all = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
+    val missing = all.filterNot(notes.contains)
+    require(missing.isEmpty,
+      s"every registered query needs a PLANS.md note; missing: ${missing.mkString(", ")}")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.DumpPlans at sf0.001)\n")
-    sb.append("\nRegenerate: `sbt \"runMain graft.tools.DumpPlans\"`.\n")
-    picks.foreach { case (name, why) =>
+    sb.append("\nRegenerate: `sbt \"runMain graft.tools.DumpPlans\"`. ")
+    sb.append(s"Covers all ${all.size} registered queries.\n")
+    all.map(n => n -> notes(n)).foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name — $why\n\n```\n")
       // embedded array literals (e.g. q43's IVF codebook) blow single
