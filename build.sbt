@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forked run/test JVMs don't inherit the sbt JVM's -D flags;
+  // GRAFT_JAVA_OPTS passes extras through (e.g. the replica gates'
+  // -Dgraft.q122.adaptivePlanes=true)
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -211,8 +211,25 @@ object ScaleBench {
     if (missing("embeddings")) {
       val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
       (0 until factor).map { k =>
+        // per-replica PERTURBATION (the documents " r$k" treatment,
+        // vector form): replica k cyclically rotates each vector's
+        // dimensions by k. Unperturbed copies made every vector have
+        // factor-1 EXACT twins — cos 1.0 neighbors that saturate
+        // every top-4 neighborhood, so margin-normalized mining
+        // (q122) admits zero pairs on the replica BY CONSTRUCTION
+        // and the scaled gate can't catch anything. A rotation keeps
+        // each replica's internal geometry identical (norms, planted
+        // twins, per-replica neighborhoods) while cross-replica
+        // cosines drop to chance — the realistic "10x more vectors",
+        // not "10 copies of each vector".
+        val rot = ((k % 64) + 64) % 64
+        val perturbed =
+          if (rot == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), rot + 1, 64 - rot),
+            slice(col("embedding"), 1, rot))
         em.select((col("vec_id") + lit(k * docStep)).as("vec_id"),
-          col("embedding"), col("label"))
+          perturbed.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
         .filter(col("vec_id") < docStep || col("vec_id") % 97 =!= 0)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")

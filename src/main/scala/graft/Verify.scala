@@ -56,7 +56,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filterNot { case (k, _) => skip(k) }
+    // the banded-alignment oracle is regenerated at the SRP plane
+    // count derived from THIS dir's side cardinalities (identical to
+    // the static entry at every driver gate SF; differs only on
+    // replica dirs past the 2048/side boundary, where the static
+    // 8-plane SQL would be wrong) — the self-describing-boundary
+    // treatment that lets the replica gate cover the ANN family
+    val oracle = SparkEntry.oracleSql ++
+      graft.queries.VectorQueries.alignOracleOverlay(spark, sfDir)
+    val json = oracle.filterNot { case (k, _) => skip(k) }
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -296,7 +296,11 @@ object VectorQueries {
     */
   private def bucketBitsSql(tab: Seq[Seq[Double]],
       vcol: String = "v"): String =
-    (0 until Planes).map { p =>
+    // tab.size, NOT the Planes constant: adaptive-plane oracle
+    // regeneration (alignOracleOverlay) passes deeper tables, and a
+    // count pinned to the 8-plane default would silently truncate
+    // their buckets to the low 8 bits
+    tab.indices.map { p =>
       s"CASE WHEN ${dotSql(vcol, s"(${planeSqlT(tab, p)})")} > 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" +\n    ")
 
@@ -1637,17 +1641,17 @@ object VectorQueries {
     * here with the reason, not downstream with an opaque row diff.
     */
   private def alignPlaneCount(spark: SparkSession, dir: String): Int = {
-    val (na, nb) = alignSideCardinalities(spark, dir)
-    val n = math.max(na, nb)
-    val planes = math.max(Planes,
-      math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    val planes = alignPlaneCountRaw(spark, dir)
     if (planes > Planes &&
         !sys.props.get("graft.q122.adaptivePlanes").contains("true"))
       throw new IllegalStateException(
-        s"bandedAlign: side size $n needs $planes SRP planes but the " +
-          s"DuckDB oracle hard-codes $Planes (valid to 2048/side). " +
-          "Set -Dgraft.q122.adaptivePlanes=true for oracle-free runs, " +
-          "or regenerate the oracle's plane config.")
+        s"bandedAlign: this dir's side size needs $planes SRP planes " +
+          s"but the STATIC DuckDB oracle hard-codes $Planes (valid to " +
+          "2048/side). Set -Dgraft.q122.adaptivePlanes=true for " +
+          "oracle-free runs, or gate through Verify, whose " +
+          "alignOracleOverlay regenerates the oracle at the derived " +
+          "count (set the property there too — the overlay keeps the " +
+          "two engines in lockstep).")
     planes
   }
 
@@ -1778,12 +1782,16 @@ object VectorQueries {
     * `${prefix}banded_res` — shared by q122Sql and the q123 recall
     * audit (which instantiates it twice, once per band-table count).
     * The divisor is the actual candidate count (see the q122 note).
+    * `planes` parameterizes the SRP table depth so replica gates can
+    * regenerate the oracle at the plane count the Spark path actually
+    * uses (see [[alignOracleOverlay]]).
     */
   private def bandedAlignCteFor(salts: Seq[String], prefix: String,
-      confirmFloorE6: Option[Long] = None): String = {
+      confirmFloorE6: Option[Long] = None,
+      planes: Int = Planes): String = {
     val confirm =
       confirmFloorE6.fold("")(f => s"\n    AND x.best_cos >= $f")
-    val tables = salts.map(s => srpSignsSalted(s, Planes, Dim))
+    val tables = salts.map(s => srpSignsSalted(s, planes, Dim))
     val d = dotSql("a.xv", "bb.yv")
     val nx = dotSql("a.xv", "a.xv")
     val ny = dotSql("bb.yv", "bb.yv")
@@ -1830,10 +1838,45 @@ object VectorQueries {
        |)""".stripMargin
   }
 
-  val q122Sql: String =
-    s"""WITH $alignSidesCte, ${bandedAlignCteFor(BandSalts, "", Some(ConfirmFloorE6))}
+  /** q122's oracle at an explicit SRP plane count — the default is
+    * the gate's 8-plane config; replica sweeps regenerate at the
+    * derived count via [[alignOracleOverlay]].
+    */
+  def q122SqlFor(planes: Int): String =
+    s"""WITH $alignSidesCte, ${bandedAlignCteFor(BandSalts, "",
+        Some(ConfirmFloorE6), planes)}
        |SELECT xid, yid, cos_e6, margin_e6 FROM banded_res
        |ORDER BY xid""".stripMargin
+
+  val q122Sql: String = q122SqlFor(Planes)
+
+  /** The plane count [[bandedAlignAdmitted]] will use for `dir`,
+    * WITHOUT the oracle guard — for callers that regenerate the
+    * oracle at this same count (the guard's premise, a hard-coded
+    * 8-plane oracle, doesn't apply to them).
+    */
+  private def alignPlaneCountRaw(spark: SparkSession, dir: String): Int = {
+    val (na, nb) = alignSideCardinalities(spark, dir)
+    val n = math.max(na, nb)
+    math.max(Planes, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+  }
+
+  /** Self-describing oracle regeneration for the banded alignment
+    * family (the r12 verdict's replica-gate item): derive the SRP
+    * plane count from the dir's ACTUAL side cardinalities — the same
+    * formula the Spark path uses — and emit q122's oracle SQL at that
+    * count, so the replica gate covers the production ANN path
+    * instead of excluding it at the 2048/side boundary. At every
+    * driver gate SF the derived count IS the 8-plane default, so the
+    * overlay is the identity there (OracleOverlaySpec pins this).
+    * q123 stays excluded above the boundary by DESIGN: it embeds the
+    * exact all-pairs baseline as its ground truth, which is
+    * O(n^2)-priced in the oracle engine regardless of plane count.
+    */
+  def alignOracleOverlay(spark: SparkSession,
+      dir: String): Map[String, String] =
+    Map("q122_banded_align" ->
+      q122SqlFor(alignPlaneCountRaw(spark, dir)))
 
   // ---- q123: alignment recall audit (banded vs exact margins) ----
   // The q105 posture applied to margin mining: BEFORE trusting q122's
