@@ -2025,7 +2025,14 @@ object Relational {
       col("c_nationkey").cast("long").as("key_id"), col("key_sum").as("n"))
     // the measured DECISION, surfaced as oracle-checked rows: the
     // gate fails if the derivation ever drifts from the documented
-    // integer math (q106's divide-first floor-mean sequence)
+    // integer math (q106's divide-first floor-mean sequence). n_hot
+    // reports the CAPPED hot-list size (maxHot = 1000 bounds the
+    // driver-side collect and the isin literal), and the oracle
+    // mirrors the cap with least(count, 1000) — the r13 100x gate
+    // caught the uncapped oracle diverging exactly there (spark 1000
+    // vs duck 3000 hot keys at 1.5M events); result identity is
+    // unaffected (which keys get salted never changes join output),
+    // only the decision row needed the mirrored bound.
     val decision = spark.range(1).selectExpr(
       s"""stack(3,
          |'salts', CAST(NULL AS BIGINT), ${prof.salts}L,
@@ -2066,7 +2073,7 @@ object Relational {
       |    least(64, greatest(1, (mx + mean - 1) // mean)) FROM derived
       |  UNION ALL
       |  SELECT 'n_hot', NULL,
-      |    (SELECT count(*) FROM counts, derived
+      |    (SELECT least(count(*), 1000) FROM counts, derived
       |     WHERE cnt * 1000 >= 5000 * mean) FROM derived
       |  UNION ALL
       |  SELECT 'max_cnt', NULL, mx FROM derived

@@ -13,6 +13,7 @@ Reports exact mismatches and float near-misses separately.
 """
 import json
 import math
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -139,19 +140,35 @@ def main():
     if "--skip-verify" not in sys.argv:
         run_verify(sf_dir, out_dir)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.is_dir():
-            # Spark-written table (scaled replicas): a directory of
-            # part files rather than the driver's single file
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # replica gates run sf1/sf10-equivalent tables: without a
+        # limit + spill dir the in-memory connection OOM-kills itself
+        # (and, worse, whatever Spark JVM shares the box) on the first
+        # blocking join
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '60GB')}'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        for t in TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.is_dir():
+                # Spark-written table (scaled replicas): a directory
+                # of part files rather than the driver's single file
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            elif p.exists():
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    results = {}
+    # incremental progress: replica-gate runs grind for an hour before
+    # the batch summary — print each verdict the moment it lands
+    class _Progress(dict):
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(f"[check] {k}: {v}", flush=True)
+    results = _Progress()
     # a query that threw during Verify has no output dir — surface it
     present = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
     for name in oracle:
@@ -188,6 +205,14 @@ def main():
             dtbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
+            # an OOM'd oracle leaves the buffer pool saturated — the
+            # NEXT query (or even pyarrow's own reads) then dies on
+            # malloc; start clean so one oracle's limit can't cascade
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         dcols, drows = table_rows(dtbl)
         if scols != dcols:
@@ -213,7 +238,18 @@ def main():
             # 1222425) but the driver's value hash differs (round-10
             # bite: q111 was the only red, caught by the driver alone).
             # Replicate that path and compare per-cell reprs.
-            perr = pandas_parity(spark_tbl, con, oracle[name])
+            # the parity probe re-runs the oracle through pandas; an
+            # OOM there must record THIS query and move on, not kill
+            # the whole replica sweep
+            try:
+                perr = pandas_parity(spark_tbl, con, oracle[name])
+            except Exception as e:
+                perr = f"PARITY-ERROR {e}"
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
             if perr:
                 results[name] = perr
             else:
