@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-trend harness (dev tool backing SCALE.md): measures the
@@ -129,6 +129,31 @@ object ScaleBench {
     // constancy question as q136 with the grouping added
     "q137_tar_samples")
 
+  /** Replica-k embedding perturbation: cyclic rotation by k % Dim
+    * composed with a Walsh sign flip (dimension j negated iff
+    * popcount(j & phase) is odd, phase = k / Dim). The rotation alone
+    * repeats at k + Dim — replicas k and k+Dim would carry identical
+    * embeddings, reintroducing exact cross-replica cos-1.0 twins at
+    * factor > Dim — and Walsh sign patterns are distinct for distinct
+    * phases, so the composition stays twin-free for all factors up to
+    * Dim^2 replicas. Both transforms are orthogonal: norms, planted
+    * twins, and per-replica neighborhoods are preserved exactly while
+    * cross-replica cosines drop to chance. `arr` is 0-indexed in the
+    * Walsh test (transform's index), 1-indexed in slice.
+    */
+  def perturbEmbedding(k: Int, arr: Column): Column = {
+    val dim = graft.queries.VectorQueries.Dim
+    val rot = k % dim
+    val phase = (k / dim) % dim
+    val rotated =
+      if (rot == 0) arr
+      else concat(slice(arr, rot + 1, dim - rot), slice(arr, 1, rot))
+    if (phase == 0) rotated
+    else transform(rotated, (x, i) =>
+      when(bit_count(i.bitwiseAND(lit(phase))) % 2 === 1, -x)
+        .otherwise(x))
+  }
+
   def buildScaled(spark: SparkSession, sfDir: String, out: String,
       factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -213,23 +238,25 @@ object ScaleBench {
       (0 until factor).map { k =>
         // per-replica PERTURBATION (the documents " r$k" treatment,
         // vector form): replica k cyclically rotates each vector's
-        // dimensions by k. Unperturbed copies made every vector have
+        // dimensions by k % Dim, then — for k >= Dim, where the
+        // rotation alone would repeat (replicas k and k+Dim were
+        // identical, re-creating cos-1.0 twins at factor > Dim) —
+        // applies a Walsh sign flip: dimension j is negated iff
+        // popcount(j & phase) is odd, phase = k / Dim. Walsh sign
+        // patterns are distinct for distinct phases, so all factors
+        // up to Dim^2 replicas stay twin-free. Both transforms are
+        // orthogonal: each replica's internal geometry (norms,
+        // planted twins, per-replica neighborhoods) is identical to
+        // the original while cross-replica cosines drop to chance —
+        // the realistic "10x more vectors", not "10 copies of each
+        // vector". Unperturbed copies made every vector have
         // factor-1 EXACT twins — cos 1.0 neighbors that saturate
         // every top-4 neighborhood, so margin-normalized mining
         // (q122) admits zero pairs on the replica BY CONSTRUCTION
-        // and the scaled gate can't catch anything. A rotation keeps
-        // each replica's internal geometry identical (norms, planted
-        // twins, per-replica neighborhoods) while cross-replica
-        // cosines drop to chance — the realistic "10x more vectors",
-        // not "10 copies of each vector".
-        val rot = ((k % 64) + 64) % 64
-        val perturbed =
-          if (rot == 0) col("embedding")
-          else concat(
-            slice(col("embedding"), rot + 1, 64 - rot),
-            slice(col("embedding"), 1, rot))
+        // and the scaled gate can't catch anything.
         em.select((col("vec_id") + lit(k * docStep)).as("vec_id"),
-          perturbed.as("embedding"), col("label"))
+          perturbEmbedding(k, col("embedding")).as("embedding"),
+          col("label"))
       }.reduce(_ unionByName _)
         .filter(col("vec_id") < docStep || col("vec_id") % 97 =!= 0)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")

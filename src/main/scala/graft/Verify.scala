@@ -62,8 +62,20 @@ object Verify {
     // replica dirs past the 2048/side boundary, where the static
     // 8-plane SQL would be wrong) — the self-describing-boundary
     // treatment that lets the replica gate cover the ANN family
-    val oracle = SparkEntry.oracleSql ++
-      graft.queries.VectorQueries.alignOracleOverlay(spark, sfDir)
+    // Overlay only when q122 is actually in this dump's scope, and
+    // never let an overlay failure (missing/corrupt embeddings on a
+    // partial replica dir) zero the whole gate — the static q122Sql
+    // stays in place as the fallback, correct at every driver SF.
+    val overlay: Map[String, String] =
+      if (!only.forall(_("q122_banded_align"))) Map.empty
+      else try graft.queries.VectorQueries.alignOracleOverlay(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] q122 oracle overlay failed, keeping static SQL: " +
+            e.getMessage)
+        Map.empty
+      }
+    val oracle = SparkEntry.oracleSql ++ overlay
     val json = oracle.filterNot { case (k, _) => skip(k) }
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

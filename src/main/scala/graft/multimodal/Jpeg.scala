@@ -92,7 +92,7 @@ object Jpeg {
         if (w <= 0 || ht <= 0 || w.toLong * ht > Codecs.MaxStatPixels)
           return None
         val img = r.read(0)
-        Some(stats(img))
+        stats(img)
       } finally {
         // detach before closing: a reader holding a closed stream
         // poisons the NEXT item's setInput on some JDK codecs
@@ -116,11 +116,56 @@ object Jpeg {
     try decodeWith(h, b) finally h.close()
   }
 
-  private def stats(img: BufferedImage): ImageStats = {
+  /** dHash of a JPEG payload through a reusable [[Handle]] — the
+    * second real decoder wired into [[Phash]] (PGM is the first), so
+    * the perceptual near-dup path is format-plural like the stats
+    * family. Same gray reduction and rejection rules as
+    * [[decodeWith]].
+    */
+  def dhashWith(h: Handle, b: Array[Byte]): Option[Array[Int]] = {
+    if (!sniff(b)) return None
+    try {
+      val r = h.reader()
+      val in = new MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        r.setInput(in, true, true)
+        val w = r.getWidth(0)
+        val ht = r.getHeight(0)
+        if (w <= 0 || ht <= 0 || w.toLong * ht > Codecs.MaxStatPixels)
+          return None
+        val img = r.read(0)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        if (bands != 1 && bands != 3) return None
+        val gray: Int => Int =
+          if (bands == 1) i => raster.getSample(i % w, i / w, 0)
+          else i => Codecs.pngLuma(
+            raster.getSample(i % w, i / w, 0),
+            raster.getSample(i % w, i / w, 1),
+            raster.getSample(i % w, i / w, 2))
+        Phash.dhashLimbs(w, ht, gray)
+      } finally {
+        r.setInput(null)
+        in.close()
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+  }
+
+  private def stats(img: BufferedImage): Option[ImageStats] = {
     val raster = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
-    val gray = raster.getNumBands < 3
+    // 1 band = grayscale, 3 = RGB. Anything else — a 4-band
+    // CMYK/YCCK JPEG ImageIO happens to decode — must be REJECTED
+    // like other unsupported layouts: reducing bands 0/1/2 through
+    // pngLuma would silently emit luma over C/M/Y.
+    val bands = raster.getNumBands
+    if (bands != 1 && bands != 3) return None
+    val gray = bands == 1
     var sum = 0L; var wsum = 0L
     var min = Int.MaxValue; var max = Int.MinValue
     var y = 0
@@ -139,7 +184,7 @@ object Jpeg {
       }
       y += 1
     }
-    ImageStats(w, h, sum, min, max, wsum)
+    Some(ImageStats(w, h, sum, min, max, wsum))
   }
 
   /** Encode a grayscale JPEG at quality 1.0 whose 8x8 blocks are each

@@ -59,22 +59,26 @@ object Skew {
     val counts = fact.select(col(key))
       .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .persist() // stats + hot-key list are sibling consumers
-    counts.count()
-    val r = counts.agg(
-      coalesce(sum(col("cnt")), lit(0L)).as("total"),
-      count(lit(1)).as("d"),
-      coalesce(max(col("cnt")), lit(0L)).as("mx")).head()
-    val (total, d, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    val mean = math.max(1L, total / math.max(1L, d))
-    val hot = counts
-      .filter(col("cnt") * 1000L >= lit(hotRatioX1000) * lit(mean))
-      .orderBy(col("cnt").desc, col(key))
-      .limit(maxHot)
-      .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
-    counts.unpersist()
-    val salts = math.min(maxSalts.toLong,
-      math.max(1L, (mx + mean - 1) / mean)).toInt
-    SkewProfile(total, d, mx, salts, hot)
+    // finally-unpersist: a throw in the stats row or hot-key collect
+    // (executor loss, cast failure on a non-numeric key) must not
+    // leak the cached RDD in a long-lived JVM (ScaleBench decades)
+    try {
+      counts.count()
+      val r = counts.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("total"),
+        count(lit(1)).as("d"),
+        coalesce(max(col("cnt")), lit(0L)).as("mx")).head()
+      val (total, d, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mean = math.max(1L, total / math.max(1L, d))
+      val hot = counts
+        .filter(col("cnt") * 1000L >= lit(hotRatioX1000) * lit(mean))
+        .orderBy(col("cnt").desc, col(key))
+        .limit(maxHot)
+        .select(col(key).cast("long")).collect().map(_.getLong(0)).toSeq
+      val salts = math.min(maxSalts.toLong,
+        math.max(1L, (mx + mean - 1) / mean)).toInt
+      SkewProfile(total, d, mx, salts, hot)
+    } finally counts.unpersist()
   }
 
   /** Equi join `fact ⋈ dim` on `key`, salted ONLY where the measured

@@ -20,7 +20,8 @@ object VectorQueries {
   import Relational.tbl
 
   private val Planes = 8
-  private val Dim = 64
+  // shared with ScaleBench's replica perturbation — one constant, not two
+  private[graft] val Dim = 64
   private val signs = srpSigns(Planes, Dim)
 
   /** The embeddings as (vec_id, v: array<double>). */

@@ -146,7 +146,17 @@ def main():
         # (and, worse, whatever Spark JVM shares the box) on the first
         # blocking join
         c = duckdb.connect()
-        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '60GB')}'")
+        # default to min(60GB, 60% of physical RAM): an unconditional
+        # 60GB would RAISE the limit above DuckDB's 80%-of-RAM default
+        # on smaller hosts, making the OOM it exists to prevent more
+        # likely. GRAFT_DUCK_MEM stays the override.
+        try:
+            phys_gb = (os.sysconf("SC_PHYS_PAGES")
+                       * os.sysconf("SC_PAGE_SIZE")) / 2**30
+            default_mem = f"{min(60, max(1, int(phys_gb * 0.6)))}GB"
+        except (ValueError, OSError, AttributeError):
+            default_mem = "60GB"
+        c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', default_mem)}'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             p = Path(sf_dir) / f"{t}.parquet"
