@@ -127,7 +127,12 @@ object ScaleBench {
     "q136_archive_explode",
     // q137: tar-shard walk + in-worker stem grouping — same per-row
     // constancy question as q136 with the grouping added
-    "q137_tar_samples")
+    "q137_tar_samples",
+    // q140: perceptual near-dup — decode+hash is per-row constant,
+    // and the banded pair join must stay linear (the planted scene
+    // mix guarantees 3 true pairs per scene; a superlinear decade
+    // here means the banding degenerated)
+    "q140_image_neardup")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -25,6 +25,13 @@ case class DecodedStats(media_id: Long, fmt: String, w: Long, h: Long,
     n_units: Long, sum_val: Long, min_val: Long, max_val: Long,
     wsum_val: Long)
 
+/** One perceptual-hash row ([[BatchedDecode.decodeDHash]]): the
+  * 64-bit dHash as four 16-bit limbs — [[graft.multimodal.Phash]]'s
+  * limb layout, which is also the SimHash banding layout the
+  * near-dup join buckets on.
+  */
+case class DHashRow(media_id: Long, l0: Int, l1: Int, l2: Int, l3: Int)
+
 /** The batched decode path — the Spark-side plumbing a real codec
   * needs, as a typed `mapPartitions` (the JVM analogue of PySpark's
   * `mapInPandas`): payloads stream through each partition in
@@ -193,6 +200,35 @@ object BatchedDecode {
       .mapPartitions(_.grouped(batchSize).flatMap { b =>
         val jpeg = new Jpeg.Handle
         try decodeStatsBatch(newCodec(), jpeg, b).toVector
+        finally jpeg.close()
+      })
+  }
+
+  /** Batched perceptual hashing — the decode stage of the image
+    * near-dup family (q140/q141): content-sniffed real decode (PGM
+    * walked in place, JPEG through the reusable per-batch ImageIO
+    * handle) straight to [[graft.multimodal.Phash]]'s 64-bit dHash,
+    * emitted as four 16-bit limbs. Unclaimed/malformed payloads drop
+    * (quarantine sink in production). Same posture as the stats
+    * family: narrow, payloads never shuffled, one handle per batch,
+    * compact typed rows out — the raster never leaves the worker.
+    */
+  def decodeDHash(media: DataFrame, batchSize: Int = DefaultBatch)
+      : Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { b =>
+        val jpeg = new Jpeg.Handle
+        try b.iterator.flatMap { case (id, p) =>
+          val limbs =
+            if (Jpeg.sniff(p)) Jpeg.dhashWith(jpeg, p)
+            else if (p.length >= 2 && p(0) == 'P' && p(1) == '5')
+              Phash.dhashPgm(p)
+            else None
+          limbs.map(l => DHashRow(id, l(0), l(1), l(2), l(3))).iterator
+        }.toVector
         finally jpeg.close()
       })
   }

@@ -57,7 +57,12 @@ object Codecs {
   /** Parse a binary PGM payload; None on any malformation (bad magic,
     * truncated raster, maxval > 255 — 16-bit PGM is out of scope).
     */
-  def decodePgm(b: Array[Byte]): Option[ImageStats] = {
+  /** Parse the PGM header: (width, height, raster byte offset), or
+    * None on malformation. Shared by the stats decode and the dHash
+    * path so the header grammar (comments, CRLF separator resolution,
+    * maxval bound) lives in exactly one place.
+    */
+  private[multimodal] def pgmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
     var pos = 2
     def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
@@ -100,7 +105,11 @@ object Codecs {
       raster = if (b(pos) == '\r' && pos + 1 < b.length &&
         b(pos + 1) == '\n') pos + 2 else pos + 1
       if b.length - raster >= w.toLong * h
-    } yield {
+    } yield (w, h, raster)
+  }
+
+  def decodePgm(b: Array[Byte]): Option[ImageStats] =
+    pgmHeader(b).map { case (w, h, raster) =>
       var sum = 0L
       var wsum = 0L
       var min = 255
@@ -117,7 +126,6 @@ object Codecs {
       }
       ImageStats(w, h, sum, min, max, wsum)
     }
-  }
 
   /** Write a canonical binary PGM (maxval 255); `pixel(i)` supplies
     * the raster in row-major order, masked to a byte.

@@ -254,6 +254,59 @@ object MultimodalOps {
       .toDF("media_id", "payload")
   }
 
+  /** Media table of REAL PGM payloads planted for the PERCEPTUAL
+    * near-dup family (q140/q141): every doc becomes a 36x16 gray
+    * raster that is CONSTANT on each 4x2 pixel box — i.e. constant at
+    * dHash-grid granularity (9x8 boxes of 8 equal pixels each), the
+    * [[Jpeg.encodeBlockGray]] treatment applied to the dHash grid —
+    * so the box averages ARE the planted cell values and a DuckDB
+    * oracle replays the 64-bit hash exactly.
+    *
+    * Docs group into SCENES of 4 (scene = id/4); variant = id%4:
+    *   - v0: the base raster, cell c = (v² % 1000003) % 190 with
+    *         v = (scene·2654435761 + c·40503) % 1000003. The SQUARE
+    *         mix matters: the affine v alone steps ~+33 (mod 190) per
+    *         cell, so gradient bits reduced to the mod-190 wrap phase
+    *         — only ~190 distinct hash patterns corpus-wide, a 13%
+    *         pair rate. Squaring scatters adjacent cells, so
+    *         unrelated rasters land ~32 bits apart, scene patterns
+    *         stay distinct for a million scenes, and pair volume is
+    *         LINEAR in corpus size (3 within-scene pairs per scene);
+    *   - v1: v0 + 40 everywhere — a uniform BRIGHTNESS shift, the
+    *         perturbation dHash is invariant to (hamming 0 vs v0);
+    *   - v2: v0 with cells 0/24/48 bumped +60 — a small LOCAL edit
+    *         flipping at most 5 gradient bits (hamming <= 5 vs v0),
+    *         the near-miss a perceptual hash must still pair;
+    *   - v3: an unrelated raster (different multiplier family) —
+    *         the non-duplicate that must NOT pair.
+    * All values stay <= 250, so no bump ever clamps. Narrow, same
+    * posture as [[codecMediaFromDocuments]].
+    */
+  def dhashMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val scene = id / 4
+        val variant = id % 4
+        def mix(v: Long): Int = ((v * v % 1000003L) % 190L).toInt
+        def cell(c: Int): Int = {
+          val base =
+            mix((scene * 2654435761L + c * 40503L) % 1000003L)
+          variant match {
+            case 0 => base
+            case 1 => base + 40
+            case 2 => base + (if (c % 24 == 0) 60 else 0)
+            case _ =>
+              mix((scene * 1579032867L + c * 97003L + 7L) % 1000003L)
+          }
+        }
+        (id, Codecs.encodePgm(36, 16,
+          i => cell((i / 36 / 2) * 9 + (i % 36) / 4)))
+      }
+      .toDF("media_id", "payload")
+  }
+
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

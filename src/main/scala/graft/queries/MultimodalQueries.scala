@@ -431,6 +431,196 @@ object MultimodalQueries {
       |    AS BIGINT) AS n_in_sample
       |FROM m ORDER BY media_id, entry""".stripMargin
 
+  // ---- q140: perceptual image near-dup (dHash + banded Hamming) ----
+  // The LAION-style image dedup step, closing text/image asymmetry
+  // (text had six dedup modalities, images zero): REAL planted PGM
+  // rasters (dhashMediaFromDocuments — scenes of brightness-shifted /
+  // locally-edited / unrelated variants) decode through the
+  // one-handle-per-batch seam straight to Phash's 64-bit dHash as
+  // four 16-bit limbs, then a banded Hamming self-join: candidates
+  // share at least one limb exactly (the q49 SimHash limb layout,
+  // paired by Buckets.cappedSelfJoinPairs with the hot-bucket cap —
+  // default never binds on gate data, so the capless oracle matches
+  // bit-for-bit), confirmed at hamming <= MaxHam. By pigeonhole the
+  // band is EXHAUSTIVE for hamming <= 3 (4 limbs, 3 flipped bits
+  // leave one limb untouched); above that recall is what q141
+  // measures. Uniform brightness pairs land at hamming 0, the local
+  // edits at <= 5 — both inside the threshold; unrelated rasters sit
+  // near 32 and never pass.
+  //
+  // 100 TB posture: map-only decode+hash (payloads never shuffled),
+  // then the banded self-join moves only (id, 4 limbs, bucket) rows —
+  // never rasters; candidate volume is bounded by the bucket cap, and
+  // the planted scene mix keeps true-pair volume LINEAR in corpus
+  // size (the big-modulus scene mix — see dhashMediaFromDocuments —
+  // so replica gates measure the production law, not a fixture
+  // artifact).
+  private val MaxHam = 8
+
+  /** dHash limb bucket keys: limb index tagged into the value so the
+    * four band tables share one join column.
+    */
+  private def limbKeys = array((0 until 4).map(l =>
+    lit(l) * 65536 + col(s"l$l")): _*)
+
+  private def hamming(a: String, b: String) =
+    (0 until 4).map(l =>
+      bit_count(col(s"$a.l$l").bitwiseXOR(col(s"$b.l$l")))).reduce(_ + _)
+
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.BatchedDecode
+      .decodeDHash(dhashMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      // shuffle barrier: the self-join's sides are sibling stages of
+      // one job and would race to re-run the decode+hash pass (the
+      // q31 treatment)
+      .repartition(col("media_id"))
+    val banded = hashes.select(col("media_id"),
+      col("l0"), col("l1"), col("l2"), col("l3"),
+      explode(limbKeys).as("bk"))
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(banded, "media_id", "bk", 100000L)
+      .select(
+        col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        hamming("a", "b").cast("long").as("hamming"))
+      .filter(col("hamming") <= MaxHam)
+      .distinct() // one row per pair, however many limbs collided
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared oracle CTE chain for the dHash pipeline: planted cell
+    * values (`cells`, 72 per doc — the raster's box averages by
+    * construction) and the four 16-bit limbs (`h`). One definition
+    * for q140 and the q141 audit, the minhashSigCte pattern.
+    */
+  private val dhashCte: String = {
+    // dHash bit b (= l*16 + j for limb l) compares grid cell
+    // (cy = b/8, cx = b%8) against its right neighbor; with
+    // b = 16l + j that is cell ((j/8 + 2l)*9 + j%8), 1-indexed +1.
+    def limb(l: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN cv[(j // 8 + ${2 * l}) * 9 + (j % 8) + 1] >
+         |                cv[(j // 8 + ${2 * l}) * 9 + (j % 8) + 2]
+         |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS l$l""".stripMargin
+    // the square mix (v -> v^2 % 1000003 % 190) mirrored from
+    // dhashMediaFromDocuments — scatter, see its scaladoc
+    val v0 = "((doc_id // 4 * 2654435761 + c * 40503) % 1000003)"
+    val v3 = "((doc_id // 4 * 1579032867 + c * 97003 + 7) % 1000003)"
+    s"""cells AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(range(0, 72), c ->
+       |      CASE doc_id % 4
+       |        WHEN 3 THEN ($v3 * $v3 % 1000003) % 190
+       |        ELSE ($v0 * $v0 % 1000003) % 190
+       |          + CASE WHEN doc_id % 4 = 1 THEN 40
+       |                 WHEN doc_id % 4 = 2 AND c % 24 = 0 THEN 60
+       |                 ELSE 0 END
+       |      END) AS cv
+       |  FROM documents
+       |), h AS (
+       |  SELECT media_id,
+       |    ${(0 until 4).map(limb).mkString(",\n    ")}
+       |  FROM cells
+       |)""".stripMargin
+  }
+
+  val q140Sql: String = {
+    val ham = (0 until 4)
+      .map(l => s"bit_count(xor(a.l$l, b.l$l))").mkString(" + ")
+    // four limb-equality equi joins UNIONed (set semantics dedup)
+    // rather than one OR-join: each branch hash-joins, so the oracle
+    // stays tractable at replica scale
+    val branch = (l: Int) =>
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST($ham AS BIGINT) AS hamming
+         |  FROM h a JOIN h b
+         |    ON a.l$l = b.l$l AND a.media_id < b.media_id""".stripMargin
+    s"""WITH $dhashCte, cand AS (
+       |  ${(0 until 4).map(branch).mkString("\n  UNION\n  ")}
+       |)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $MaxHam
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- q141: perceptual near-dup recall audit (anchored) ----
+  // The q105 posture for the image family: BEFORE trusting q140's
+  // banded candidate generation, measure — per anchor — what fraction
+  // of the EXACT hamming<=MaxHam neighbor set the limb-collision band
+  // surfaces. Banding is provably exhaustive at hamming <= 3
+  // (pigeonhole over 4 limbs); 4..8 is the regime this audit prices.
+  //
+  // The anchor panel is FIXED-SIZE (media_id % 25 = 0 AND media_id <
+  // 25000, i.e. at most 1000 probes regardless of corpus size) — a
+  // production audit samples a constant probe panel, so the exact
+  // side costs |panel| x n, LINEAR in the corpus, and the replica
+  // oracle gate can run this audit at every factor (the r13 verdict's
+  // item 7 posture, designed in rather than retrofitted).
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = graft.multimodal.BatchedDecode
+      .decodeDHash(dhashMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .persist() // anchors + exact + banded sides are sibling readers
+    hashes.count()
+    val anchors = hashes
+      .filter(col("media_id") % 25 === 0 && col("media_id") < 25000)
+      .select(col("media_id").as("aid"), col("l0").as("al0"),
+        col("l1").as("al1"), col("l2").as("al2"), col("l3").as("al3"))
+    val hamA = (0 until 4).map(l =>
+      bit_count(col(s"al$l").bitwiseXOR(col(s"l$l")))).reduce(_ + _)
+    // exact side: broadcast the bounded panel against the full table —
+    // map-only per-row hamming, no shuffle of the big side
+    val ex = hashes.join(broadcast(anchors),
+        col("aid") =!= col("media_id"))
+      .filter(hamA <= MaxHam)
+      .groupBy(col("aid").as("anchor_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    // banded side: the q140 candidate rule restricted to the panel —
+    // anchor limb keys broadcast-joined to the full table's keys
+    val aKeys = anchors.select(col("aid"), col("al0"), col("al1"),
+      col("al2"), col("al3"),
+      explode(array((0 until 4).map(l =>
+        lit(l) * 65536 + col(s"al$l")): _*)).as("bk"))
+    val dKeys = hashes.select(col("media_id"),
+      col("l0"), col("l1"), col("l2"), col("l3"),
+      explode(limbKeys).as("bk"))
+    val hits = dKeys.join(broadcast(aKeys), Seq("bk"))
+      .filter(col("aid") =!= col("media_id"))
+      .filter(hamA <= MaxHam)
+      .select(col("aid"), col("media_id")).distinct()
+      .groupBy(col("aid")).agg(count(lit(1)).as("n_hit"))
+    ex.join(hits, col("anchor_id") === col("aid"), "left")
+      .select(col("anchor_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_e6", expr("n_hit * 1000000 div n_exact"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val q141Sql: String = {
+    val hamAd = (0 until 4)
+      .map(l => s"bit_count(xor(a.l$l, d.l$l))").mkString(" + ")
+    s"""WITH $dhashCte, anch AS (
+       |  SELECT * FROM h WHERE media_id % 25 = 0 AND media_id < 25000
+       |), ex AS (
+       |  SELECT a.media_id AS anchor_id, count(*) AS n_exact
+       |  FROM anch a JOIN h d ON d.media_id != a.media_id
+       |  WHERE $hamAd <= $MaxHam
+       |  GROUP BY 1
+       |), hit AS (
+       |  SELECT DISTINCT a.media_id AS anchor_id, d.media_id AS did
+       |  FROM anch a JOIN h d ON d.media_id != a.media_id
+       |   AND (a.l0 = d.l0 OR a.l1 = d.l1 OR a.l2 = d.l2 OR a.l3 = d.l3)
+       |  WHERE $hamAd <= $MaxHam
+       |), hc AS (
+       |  SELECT anchor_id, count(*) AS n_hit FROM hit GROUP BY 1
+       |)
+       |SELECT e.anchor_id, e.n_exact,
+       |  coalesce(hc.n_hit, 0) AS n_hit,
+       |  coalesce(hc.n_hit, 0) * 1000000 // e.n_exact AS recall_e6
+       |FROM ex e LEFT JOIN hc ON hc.anchor_id = e.anchor_id
+       |ORDER BY e.anchor_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_tar_samples" -> (q137 _),
     "q136_archive_explode" -> (q136 _),
@@ -440,7 +630,9 @@ object MultimodalQueries {
     "q129_codec_decode" -> (q129 _),
     "q130_png_decode" -> (q130 _),
     "q133_bmp_decode" -> (q133 _),
-    "q138_jpeg_decode" -> (q138 _)
+    "q138_jpeg_decode" -> (q138 _),
+    "q140_image_neardup" -> (q140 _),
+    "q141_image_neardup_audit" -> (q141 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,6 +644,8 @@ object MultimodalQueries {
     "q129_codec_decode" -> q129Sql,
     "q130_png_decode" -> q130Sql,
     "q133_bmp_decode" -> q133Sql,
-    "q138_jpeg_decode" -> q138Sql
+    "q138_jpeg_decode" -> q138Sql,
+    "q140_image_neardup" -> q140Sql,
+    "q141_image_neardup_audit" -> q141Sql
   )
 }

@@ -162,7 +162,10 @@ object DumpPlans {
       "q87_asof_forward" -> "forward as-of join (q53's tag-union window with the direction flipped)",
       "q88_domain_stats" -> "URL/domain extraction + per-domain stats (one domain-key agg)",
       "q138_jpeg_decode" -> "real JPEG decode via the JDK ImageIO reader (narrow batches, one reader handle per batch, output-only sort)",
-      "q139_measured_salt_join" -> "measured salting: skew scout derives fan-out + hot set; hot-key-only salted join (decision rows oracle-checked)")
+      "q139_measured_salt_join" -> "measured salting: skew scout derives fan-out + hot set; hot-key-only salted join (decision rows oracle-checked)",
+      // ---- r14 ----
+      "q140_image_neardup" -> "perceptual image near-dup (real decode -> dHash limbs, banded Hamming bucket join, never all-pairs)",
+      "q141_image_neardup_audit" -> "image near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

@@ -34,6 +34,22 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(TextQueries.q33(spark, dir), "q33")
   }
 
+  test("q140 image near-dup pair generation is a bucketed equi join") {
+    assertNoAllPairs(MultimodalQueries.q140(spark, dir), "q140")
+  }
+
+  test("q141 image audit: broadcast panel probe, never a cartesian") {
+    val p = plan(MultimodalQueries.q141(spark, dir))
+    // the exact side is the audit's priced cost: a FIXED-SIZE anchor
+    // panel broadcast against the full table (linear in the corpus) —
+    // a broadcast nested loop is the intended plan; a cartesian would
+    // mean the panel stopped broadcasting
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q141's panel probe must broadcast the anchor panel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q141 materializes a cartesian product:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
