@@ -132,7 +132,10 @@ object ScaleBench {
     // and the banded pair join must stay linear (the planted scene
     // mix guarantees 3 true pairs per scene; a superlinear decade
     // here means the banding degenerated)
-    "q140_image_neardup")
+    "q140_image_neardup",
+    // q142: HTML extraction — pure regex scan; its decade pins the
+    // per-document regex cost constant
+    "q142_html_extract")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -3176,7 +3176,113 @@ object TextQueries {
       |    AS is_repetitive
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q142: HTML/boilerplate main-content extraction ----
+  // The CCNet/RefinedWeb front door (r13 verdict gap #2): every text
+  // operator above starts from clean `text`, but real crawl curation
+  // starts from HTML. Planted closed-form pages wrap each doc's
+  // (ASCII-sanitized) text in the full boilerplate zoo — title,
+  // style, script, a link-dense nav, a short menu div, an always-long
+  // second content block, a link-bearing footer — and Html.extractMain
+  // (jusText-shaped block scoring: script/style dropped wholesale,
+  // block-tag segmentation, visible-length + link-density gate) must
+  // recover exactly the content blocks. The DuckDB oracle replays the
+  // SAME pipeline over the SAME planted page (both engines' regexes
+  // stay inside the java.util.regex / RE2 intersection — see Html's
+  // scaladoc), so a boundary slip in any stage hash-fails.
+  //
+  // Composition: Html.extractMain is the optional front stage of
+  // q61's curation — HtmlSpec proves curate(extracted html docs)
+  // equals curate(clean docs) row-for-row on wrapped corpora.
+  //
+  // 100 TB posture: map-only (a few regex passes per document, the
+  // q34/q35 cost class); zero shuffle beyond the oracle orderBy.
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Html
+    val id = col("doc_id")
+    // sanitize organic text to ASCII-printable minus <>& so the
+    // planted page's tag structure is exactly the tags we planted
+    // (and space stays the only whitespace — regex-parity guard)
+    val t = regexp_replace(
+      regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", " "),
+      "[<>&]", " ")
+    val s = (c: Column) => c.cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), s(id),
+      lit("</title><style>body{c:#"), s(id % 10), lit("}</style>"),
+      lit("<script>var x="), s(id), lit(";</script></head><body>"),
+      lit("<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>"),
+      lit("<div>menu "), s(id % 7), lit("</div>"),
+      lit("<p>"), t, lit("</p>"),
+      lit("<p>Body section "), s(id), lit(" "),
+      expr("repeat('content words matter here ', CAST(3 + doc_id % 4 AS INT))"),
+      lit("</p>"),
+      lit("<footer><a href=\"/c\">Contact</a> (c) "), s(id % 100),
+      lit("</footer></body></html>"))
+    tbl(spark, dir, "documents")
+      .select(id, Html.extractMain(html).as("m"))
+      .select(id,
+        md5(col("m.content")).as("content_md5"),
+        length(col("m.content")).cast("long").as("content_len"),
+        col("m.n_blocks"), col("m.n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String = {
+    val vis = (b: String) =>
+      s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(coalesce(text, ''),
+       |      '[^ -~]', ' ', 'g'), '[<>&]', ' ', 'g') AS t
+       |  FROM documents
+       |), page AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>body{c:#' || CAST(doc_id % 10 AS VARCHAR) ||
+       |    '}</style>' ||
+       |    '<script>var x=' || CAST(doc_id AS VARCHAR) ||
+       |    ';</script></head><body>' ||
+       |    '<nav><a href="/h">Home</a> <a href="/a">About</a></nav>' ||
+       |    '<div>menu ' || CAST(doc_id % 7 AS VARCHAR) || '</div>' ||
+       |    '<p>' || t || '</p>' ||
+       |    '<p>Body section ' || CAST(doc_id AS VARCHAR) || ' ' ||
+       |    repeat('content words matter here ',
+       |      CAST(3 + doc_id % 4 AS BIGINT)) || '</p>' ||
+       |    '<footer><a href="/c">Contact</a> (c) ' ||
+       |    CAST(doc_id % 100 AS VARCHAR) ||
+       |    '</footer></body></html>' AS html
+       |  FROM src
+       |), nos AS (
+       |  SELECT doc_id, regexp_replace(html,
+       |    '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+       |    ' ', 'g') AS h
+       |  FROM page
+       |), blocks AS (
+       |  SELECT doc_id, string_split_regex(h,
+       |    '${graft.text.Html.BlockTagPattern}') AS bs
+       |  FROM nos
+       |), scored AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(bs, b ->
+       |      CASE WHEN length(${vis("b")}) >= ${graft.text.Html.MinBlockChars}
+       |            AND length(${vis("b")}) >=
+       |                (len(string_split(b, '<a ')) - 1) *
+       |                ${graft.text.Html.CharsPerLink}
+       |           THEN ${vis("b")} END), v -> v IS NOT NULL) AS kept,
+       |    len(list_filter(list_transform(bs, b -> ${vis("b")}),
+       |      v -> length(v) > 0)) AS n_blocks
+       |  FROM blocks
+       |)
+       |SELECT doc_id,
+       |  md5(array_to_string(kept, ' ')) AS content_md5,
+       |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS content_len,
+       |  CAST(n_blocks AS BIGINT) AS n_blocks,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_html_extract" -> (q142 _),
     "q132_compression_signal" -> (q132 _),
     "q38_tfidf" -> (q38 _),
     "q46_split" -> (q46 _),
@@ -3232,6 +3338,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_html_extract" -> q142Sql,
     "q132_compression_signal" -> q132Sql,
     "q38_tfidf" -> q38Sql,
     "q46_split" -> q46Sql,
