@@ -3281,7 +3281,125 @@ object TextQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q143: URL canonicalization + blocklist filter ----
+  // The step between the crawl and q61's curation (r13 verdict gap
+  // #5): raw crawl URLs arrive in every casing/port/fragment/query
+  // variant, and dedup-by-URL or blocklist filtering is meaningless
+  // until they canonicalize. Rules (the standard WHATWG-ish subset,
+  // all expressible as Column regex combinators in the RE2∩Java
+  // dialect): scheme + host lowercased, DEFAULT port stripped (:80
+  // http, :443 https; others kept), fragment dropped, query params
+  // sorted bytewise with utm_* tracking params removed, path kept
+  // verbatim (paths are case-sensitive). The blocklist is a broadcast
+  // dim keyed on the registrable domain — the q77 prejoin shape.
+  //
+  // Planted messy URLs from doc_id cycle through every rule: mixed
+  // case scheme/host, default AND non-default ports, unsorted +
+  // tracking-polluted queries, fragments. Both engines build and
+  // canonicalize the same strings, so a slipped rule hash-fails.
+  //
+  // 100 TB posture: map-only canonicalization + one broadcast hash
+  // join against the (tiny) blocklist dim; zero data shuffle beyond
+  // the oracle orderBy.
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val s = (c: Column) => c.cast("string")
+    // messy planted URL: HTTPS/Http x case-mixed host x default/
+    // non-default/absent port x 4 query shapes x fragment every 5th
+    val url = concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("Http")),
+      lit("://WwW.sItE"), s(id % 7), lit(".ExAmPle"),
+      when(id % 3 === 0,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/P/"), s(id),
+      when(id % 4 === 0, lit("?b=2&a=1&utm_source=x"))
+        .when(id % 4 === 1, lit("?z=9"))
+        .when(id % 4 === 2, lit("?utm_medium=m")).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("#Frag"), s(id))).otherwise(lit("")))
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^utm_")))
+    val canon = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    val domain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+    val blocklist = Seq("site0.example", "site3.example")
+      .toDF("blocked_domain")
+    tbl(spark, dir, "documents")
+      .select(id, canon.as("canon_url"), domain.as("domain"))
+      .join(broadcast(blocklist),
+        col("domain") === col("blocked_domain"), "left")
+      .select(id, col("canon_url"), col("domain"),
+        col("blocked_domain").isNotNull.as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q143Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) ||
+      |    '://WwW.sItE' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmPle' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN
+      |            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+      |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/P/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=x'
+      |          WHEN doc_id % 4 = 1 THEN '?z=9'
+      |          WHEN doc_id % 4 = 2 THEN '?utm_medium=m' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(
+      |      regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      '^([^:]+)', 1)) AS host,
+      |    regexp_extract(
+      |      regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(
+      |      regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+      |      '^([^?]*)', 1) AS path,
+      |    regexp_extract(
+      |      regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+      |      '\?(.*)$', 1) AS query
+      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u)
+      |), canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+      |               AND NOT (scheme = 'https' AND port = '443')
+      |          THEN ':' || port ELSE '' END) ||
+      |    path ||
+      |    (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+      |          ELSE '' END) AS canon_url,
+      |    regexp_extract(host, '([a-z0-9-]+\.[a-z]+)$', 1) AS domain
+      |  FROM (SELECT *,
+      |          list_sort(list_filter(string_split(query, '&'),
+      |            p -> p != '' AND NOT regexp_matches(p, '^utm_'))) AS ps
+      |        FROM parts)
+      |)
+      |SELECT doc_id, canon_url, domain,
+      |  domain IN ('site0.example', 'site3.example') AS blocked
+      |FROM canon ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_url_canonicalize" -> (q143 _),
     "q142_html_extract" -> (q142 _),
     "q132_compression_signal" -> (q132 _),
     "q38_tfidf" -> (q38 _),
@@ -3338,6 +3456,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_url_canonicalize" -> q143Sql,
     "q142_html_extract" -> q142Sql,
     "q132_compression_signal" -> q132Sql,
     "q38_tfidf" -> q38Sql,

@@ -38,6 +38,20 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(MultimodalQueries.q140(spark, dir), "q140")
   }
 
+  test("q143 URL canonicalization: broadcast blocklist, no data shuffle") {
+    val p = plan(TextQueries.q143(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the blocklist dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q143 shuffles/materializes for a tiny dim:\n$p")
+    // the ONLY exchange is the final oracle orderBy (range partition);
+    // canonicalization itself is map-only
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges == range + 1, // +1: the broadcast exchange
+      s"q143 grew a data shuffle beyond the output sort:\n$p")
+  }
+
   test("q141 image audit: broadcast panel probe, never a cartesian") {
     val p = plan(MultimodalQueries.q141(spark, dir))
     // the exact side is the audit's priced cost: a FIXED-SIZE anchor
