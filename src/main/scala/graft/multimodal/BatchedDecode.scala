@@ -148,10 +148,17 @@ object BatchedDecode {
     * the spec counts.
     */
   private def decodeStatsBatch(fallback: java.security.MessageDigest,
-      jpeg: Jpeg.Handle,
+      jpeg: Jpeg.Handle, audio: Audio.Handle,
       batch: Seq[(Long, Array[Byte])]): Iterator[DecodedStats] = {
     batch.iterator.flatMap { case (id, p) =>
-      if (Jpeg.sniff(p))
+      if (Audio.sniffAiff(p) || Audio.sniffAu(p))
+        // AIFF / AU via the JDK's bundled javax.sound readers (one
+        // provider-registry scan per batch through the handle)
+        Audio.decodeWith(audio, p).map(s => DecodedStats(id,
+          if (Audio.sniffAiff(p)) "aif" else "au",
+          s.sampleRate.toLong, 1L, s.nSamples.toLong,
+          s.sumAbs, s.min.toLong, s.max.toLong, s.wsum)).iterator
+      else if (Jpeg.sniff(p))
         Jpeg.decodeWith(jpeg, p).map(s => DecodedStats(id, "jpg",
           s.width.toLong, s.height.toLong, s.width.toLong * s.height,
           s.sum, s.min.toLong, s.max.toLong, s.wsum)).iterator
@@ -199,8 +206,9 @@ object BatchedDecode {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap { b =>
         val jpeg = new Jpeg.Handle
-        try decodeStatsBatch(newCodec(), jpeg, b).toVector
-        finally jpeg.close()
+        val audio = new Audio.Handle
+        try decodeStatsBatch(newCodec(), jpeg, audio, b).toVector
+        finally { jpeg.close(); audio.close() }
       })
   }
 

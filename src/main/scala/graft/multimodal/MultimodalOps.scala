@@ -323,4 +323,29 @@ object MultimodalOps {
       }
       .toDF("media_id", "payload")
   }
+
+  /** Media table of REAL AIFF (even ids) and AU (odd ids) payloads,
+    * closed-form in doc_id: PCM16 mono big-endian, sample i =
+    * ((id·173 + i·19) % 4097) − 2048 over 64 + id%128 samples at rate
+    * 8000 + (id%8)·1000 — the q129 WAV treatment applied to the two
+    * OTHER formats `javax.sound.sampled` ships readers for. The
+    * encoders are hand-written byte layout ([[Audio.encodeAiff]] with
+    * the 80-bit extended rate, [[Audio.encodeAu]]); decode is the
+    * JDK's codec — independent ends, so neither can mask the other.
+    * Narrow, same posture as [[codecMediaFromDocuments]].
+    */
+  def audioMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (64 + id % 128).toInt
+        val rate = (8000 + (id % 8) * 1000).toInt
+        val sample = (i: Int) => (((id * 173 + i * 19) % 4097) - 2048).toInt
+        (id,
+          if (id % 2 == 0) Audio.encodeAiff(rate, n, sample)
+          else Audio.encodeAu(rate, n, sample))
+      }
+      .toDF("media_id", "payload")
+  }
 }

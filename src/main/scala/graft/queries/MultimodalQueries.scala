@@ -431,6 +431,46 @@ object MultimodalQueries {
       |    AS BIGINT) AS n_in_sample
       |FROM m ORDER BY media_id, entry""".stripMargin
 
+  // ---- q144: REAL AIFF/AU audio decode (JDK javax.sound readers) ----
+  // Audio's q138 move: the JDK also ships AIFF and AU file readers
+  // (java.desktop's javax.sound.sampled), so both formats decode for
+  // real — ServiceLoader provider scan amortized to one per batch via
+  // Audio.Handle — shrinking the labeled fmt='gm' fallback to formats
+  // with NO in-JDK codec at all (MP3, video). Encode and decode are
+  // INDEPENDENT implementations: hand-written byte layout (including
+  // AIFF's 80-bit extended sample rate) in, the JDK's codec out, and
+  // the DuckDB oracle recomputes every statistic (abs-sum, raw
+  // min/max, order-sensitive wsum) from doc_id alone — so a bug at
+  // either end, or in the 80-bit rate encode, hash-fails the gate.
+  //
+  // 100 TB posture: identical to q129/q138 — narrow decode through
+  // the one-handle-per-batch seam, payloads never shuffled, compact
+  // typed rows out; only the final oracle orderBy exchanges.
+  def q144(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.BatchedDecode
+      .decodeStats(audioMediaFromDocuments(tbl(spark, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q144Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'aif' ELSE 'au' END AS fmt,
+      |    8000 + (doc_id % 8) * 1000 AS w,
+      |    64 + doc_id % 128 AS n_units,
+      |    list_transform(range(0, CAST(64 + doc_id % 128 AS BIGINT)),
+      |      i -> ((doc_id * 173 + i * 19) % 4097) - 2048) AS smp
+      |  FROM documents
+      |)
+      |SELECT media_id, fmt, CAST(w AS BIGINT) AS w, CAST(1 AS BIGINT) AS h,
+      |  CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(list_sum(list_transform(smp, s -> abs(s))) AS BIGINT) AS sum_val,
+      |  CAST(list_min(smp) AS BIGINT) AS min_val,
+      |  CAST(list_max(smp) AS BIGINT) AS max_val,
+      |  CAST(list_sum(list_transform(range(0, CAST(n_units AS BIGINT)),
+      |    i -> i * abs(smp[i + 1]))) AS BIGINT) AS wsum_val
+      |FROM g ORDER BY media_id""".stripMargin
+
   // ---- q140: perceptual image near-dup (dHash + banded Hamming) ----
   // The LAION-style image dedup step, closing text/image asymmetry
   // (text had six dedup modalities, images zero): REAL planted PGM
@@ -632,7 +672,8 @@ object MultimodalQueries {
     "q133_bmp_decode" -> (q133 _),
     "q138_jpeg_decode" -> (q138 _),
     "q140_image_neardup" -> (q140 _),
-    "q141_image_neardup_audit" -> (q141 _)
+    "q141_image_neardup_audit" -> (q141 _),
+    "q144_audio_decode" -> (q144 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -646,6 +687,7 @@ object MultimodalQueries {
     "q133_bmp_decode" -> q133Sql,
     "q138_jpeg_decode" -> q138Sql,
     "q140_image_neardup" -> q140Sql,
-    "q141_image_neardup_audit" -> q141Sql
+    "q141_image_neardup_audit" -> q141Sql,
+    "q144_audio_decode" -> q144Sql
   )
 }

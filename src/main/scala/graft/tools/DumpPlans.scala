@@ -167,7 +167,8 @@ object DumpPlans {
       "q140_image_neardup" -> "perceptual image near-dup (real decode -> dHash limbs, banded Hamming bucket join, never all-pairs)",
       "q141_image_neardup_audit" -> "image near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)",
       "q142_html_extract" -> "HTML boilerplate extraction (jusText-shaped block gate as pure Column regex combinators, map-only)",
-      "q143_url_canonicalize" -> "URL canonicalization + blocklist (map-only regex rules, broadcast blocklist dim, zero data shuffle)")
+      "q143_url_canonicalize" -> "URL canonicalization + blocklist (map-only regex rules, broadcast blocklist dim, zero data shuffle)",
+      "q144_audio_decode" -> "real AIFF/AU decode via the JDK javax.sound readers (narrow batches, one provider scan per batch, output-only sort)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
