@@ -150,6 +150,70 @@ object AsOfJoin {
       .drop("__side", "__salt")
   }
 
+  /** Profile-driven [[asofJoinSalted]] — q139's measure-then-salt
+    * posture applied to the as-of family, with the fan-out AND the
+    * hot set coming from a [[Skew.SkewProfile]] instead of a
+    * caller-chosen constant. Only measured-HOT keys fan out: cold
+    * keys keep one sub-group, so the right side's replication applies
+    * to the hot keys' history only (|hotRight|·salts extra exchange
+    * rows, not |right|·salts — the [[Skew.saltedJoinFor]] bound, here
+    * without any join at all). An empty hot set or salts == 1 returns
+    * the PLAIN [[asofJoin]]: measurement said salting buys nothing,
+    * so the plan shouldn't pay the salt column either. Results are
+    * identical to the plain form in every case (AsOfJoinSpec proves
+    * it on the 90%-hot-key distribution).
+    *
+    * Single-column key, castable to long (the profile's hot-key
+    * `isin` literal — [[Skew.saltedJoinFor]]'s requirement).
+    */
+  def asofJoinSaltedFor(profile: Skew.SkewProfile, left: DataFrame,
+      right: DataFrame, key: String, time: String, payload: Seq[String],
+      out: String = "asof"): DataFrame = {
+    if (profile.hotKeys.isEmpty || profile.salts <= 1)
+      return asofJoin(left, right, Seq(key), time, payload, out)
+    require(!left.columns.contains(out) && !left.columns.contains("__side") &&
+      !left.columns.contains("__salt"),
+      s"left input must not already contain a '$out', '__side' or '__salt' column")
+    val salts = profile.salts
+    val isHot = col(key).isin(profile.hotKeys: _*)
+    val rightU = right
+      .filter(col(time).isNotNull)
+      .select(col(key), col(time), struct(payload.map(col): _*).as(out))
+      .withColumn("__side", lit(0))
+      // hot keys: full right history into every sub-group; cold keys:
+      // the single sub-group 0
+      .withColumn("__salt",
+        explode(when(isHot, sequence(lit(0), lit(salts - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+    val leftU = left.withColumn("__side", lit(1))
+      .withColumn("__salt",
+        when(isHot,
+          pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong))
+            .cast("int"))
+          .otherwise(lit(0)))
+      .unionByName(rightU, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__salt"))
+      .orderBy(col(time).asc, col("__side").asc, col(out).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftU.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__salt")
+  }
+
+  /** The composed measure-then-salt as-of: scout the LEFT side's key
+    * distribution ([[Skew.measureSkew]] — one map-side-combined
+    * aggregate), then run the as-of with exactly the fan-out the
+    * measurement derived. The r13 verdict's last manual salt count,
+    * retired.
+    */
+  def asofJoinMeasured(left: DataFrame, right: DataFrame, key: String,
+      time: String, payload: Seq[String], out: String = "asof",
+      hotRatioX1000: Long = 5000, maxSalts: Int = 64): DataFrame = {
+    val profile = Skew.measureSkew(left, key, hotRatioX1000,
+      maxSalts = maxSalts)
+    asofJoinSaltedFor(profile, left, right, key, time, payload, out)
+  }
+
   /** [[asofJoin]] with a maximum lookback: a right row older than
     * `left.time - tolerance` does NOT match (the standard bounded
     * as-of — a quote from last week shouldn't enrich today's trade).

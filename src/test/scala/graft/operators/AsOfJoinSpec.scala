@@ -301,6 +301,60 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(m8 * 2 <= m1, s"salts=8 max task rows $m8 vs salts=1 $m1")
   }
 
+  test("measured as-of matches plain and manual-salted forms on the hot distribution") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // 90% of left rows on key 0, the rest over 30 cold keys — wide
+    // enough that the hot key clears measureSkew's 5x-mean gate
+    // (with only a handful of keys a 90% key is merely ~4x the mean
+    // and the measurement CORRECTLY declines)
+    val events = (0 until 600).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 0L else 1 + rnd.nextLong(30)
+      (i.toLong, u, rnd.nextLong(50))
+    }
+    val marks = Seq.fill(25)(
+      (100L + rnd.nextLong(100), rnd.nextLong(31), rnd.nextLong(50)))
+    val l = events.toDF("event_id", "user_id", "ts")
+    val r = marks.toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    def toMapOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("asof.mark_id")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    val plain = run(events, marks)
+    // the measurement must actually decide to salt here…
+    val profile = Skew.measureSkew(l, "user_id")
+    assert(profile.hotKeys.contains(0L) && profile.salts > 1,
+      s"90%-hot distribution must measure as salt-worthy: $profile")
+    // …and the measured form must equal the plain form exactly
+    assert(toMapOf(AsOfJoin.asofJoinMeasured(
+      l, r, "user_id", "ts", Seq("mark_id"))) == plain)
+    // the profile-driven overload equals the manual form too
+    assert(toMapOf(AsOfJoin.asofJoinSaltedFor(
+      profile, l, r, "user_id", "ts", Seq("mark_id"))) == plain)
+    assert(runSalted(events, marks, profile.salts) == plain)
+  }
+
+  test("measured as-of on uniform keys declines to salt (plain plan)") {
+    import spark.implicits._
+    val l = (1 to 400).map(i => (i.toLong, i.toLong % 20, i.toLong))
+      .toDF("event_id", "user_id", "ts")
+    val r = (1 to 20).map(i => (i.toLong, i.toLong % 20, i.toLong * 3))
+      .toDF("mark_id", "user_id", "ts")
+      .select(col("user_id"), col("ts"), col("mark_id"))
+    val profile = Skew.measureSkew(l, "user_id")
+    assert(profile.hotKeys.isEmpty || profile.salts <= 1,
+      s"uniform keys must not measure as salt-worthy: $profile")
+    val plan = AsOfJoin.asofJoinSaltedFor(
+      profile, l, r, "user_id", "ts", Seq("mark_id"))
+      .queryExecution.executedPlan.toString
+    // declined salting = the PLAIN single-shuffle window plan, with
+    // no salt column anywhere in it
+    assert(!plan.contains("__salt"), s"uniform keys still paid a salt:\n$plan")
+    assert(!plan.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+  }
+
   test("salted variant keeps the no-join single-data-shuffle plan") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, i.toLong % 7, i.toLong))
