@@ -62,16 +62,17 @@ object Verify {
     // replica dirs past the 2048/side boundary, where the static
     // 8-plane SQL would be wrong) — the self-describing-boundary
     // treatment that lets the replica gate cover the ANN family
-    // Overlay only when q122 is actually in this dump's scope, and
-    // never let an overlay failure (missing/corrupt embeddings on a
-    // partial replica dir) zero the whole gate — the static q122Sql
+    // Overlay only when q122/q123 is actually in this dump's scope,
+    // and never let an overlay failure (missing/corrupt embeddings on
+    // a partial replica dir) zero the whole gate — the static SQL
     // stays in place as the fallback, correct at every driver SF.
     val overlay: Map[String, String] =
-      if (!only.forall(_("q122_banded_align"))) Map.empty
+      if (!only.forall(f =>
+          f("q122_banded_align") || f("q123_align_recall"))) Map.empty
       else try graft.queries.VectorQueries.alignOracleOverlay(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(
-          s"[verify] q122 oracle overlay failed, keeping static SQL: " +
+          s"[verify] align oracle overlay failed, keeping static SQL: " +
             e.getMessage)
         Map.empty
       }

@@ -60,11 +60,38 @@ object VectorQueries {
   private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nv", sqrt(dot(col("v"), col("v"))))
 
-  /** The baseline/audit query sample: every 100th vector, renamed for
-    * the broadcast side of the scoring cross join.
+  /** FIXED-SIZE anchor panels for the exact audit baselines (r14,
+    * the q141 posture applied to the vector family): the 8 queries
+    * that embed an all-pairs/exact scorer as ground truth (q40, q70,
+    * q105, q118, q123, q126, q128, q135) used samples that GROW with
+    * the corpus (every 100th/50th vector), so their DuckDB oracles
+    * were O(n²/k)-priced and sat out every replica gate. Bounding the
+    * sample id-space caps each panel at a constant size past the
+    * bound — a production audit samples a constant probe panel — so
+    * the exact side (and its oracle replay) is LINEAR in the corpus
+    * and the replica gates can run the audits. At every driver gate
+    * SF the organic id space sits far below the bounds (sf0.1 tops
+    * out at vec_id 1999), so gate outputs are bit-identical to the
+    * unbounded form; only replica dirs (ids striding upward per
+    * ScaleBench replica) see the cap.
+    */
+  private[graft] val QueryPanelBound = 25000L
+
+  /** q118/q123's x-domain: the whole first id block plus every 25th
+    * source vector above it (which keeps every planted twin source —
+    * they stride 50). The block bound is lower than
+    * [[QueryPanelBound]] because this panel multiplies the FULL
+    * target side with no modulus thinning.
+    */
+  private[graft] val AlignAnchorBound = 2500L
+
+  /** The baseline/audit query sample: every 100th vector under the
+    * panel bound, renamed for the broadcast side of the scoring
+    * cross join.
     */
   private def querySample(all: DataFrame): DataFrame =
-    all.filter(col("vec_id") % 100 === 0)
+    all.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < QueryPanelBound)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nv").as("nq"))
 
@@ -104,7 +131,8 @@ object VectorQueries {
     s"""e AS (
        |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
        |), q AS (
-       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id % 100 = 0 AND vec_id < $QueryPanelBound
        |), scored AS (
        |  SELECT q.query_id, e.vec_id AS neighbor_id,
        |    CAST(round(1000000.0 * ($d / (sqrt($nq) * sqrt($ne))), 0) AS BIGINT) AS cos_e6
@@ -572,7 +600,8 @@ object VectorQueries {
     registerPq(spark, pqCodebookBc(all))
     val codes = all.select(col("vec_id"),
       call_function("pq_encode", col("v")).as("codes"))
-    val queries = all.filter(col("vec_id") % 100 === 0)
+    val queries = all.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < QueryPanelBound)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
@@ -607,7 +636,8 @@ object VectorQueries {
        |      AS BIGINT) AS dist_e6
        |  FROM assign a
        |  JOIN cents c ON a.k = c.k
-       |  JOIN e q ON q.vec_id % 100 = 0 AND a.vec_id <> q.vec_id
+       |  JOIN e q ON q.vec_id % 100 = 0 AND q.vec_id < $QueryPanelBound
+       |    AND a.vec_id <> q.vec_id
        |  GROUP BY 1, 2
        |)""".stripMargin
   }
@@ -991,7 +1021,8 @@ object VectorQueries {
       .withColumn("vv", dot(col("v"), col("v"))).persist()
     all.count()
     registerPq(spark, pqCodebookBc(all))
-    val queries = all.filter(col("vec_id") % 100 === 0)
+    val queries = all.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < QueryPanelBound)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("vv").as("qq"))
     // exact squared L2 via the dot identity |n|^2 + |q|^2 - 2 n.q —
@@ -1044,7 +1075,8 @@ object VectorQueries {
        |    CAST(round(1000000.0 * ((n.vv + q.vv)
        |      - 2 * ${dotSql("n.v", "q.v")}), 0) AS BIGINT)
        |      AS dist_e6
-       |  FROM e2 n, e2 q WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
+       |  FROM e2 n, e2 q WHERE q.vec_id % 100 = 0
+       |    AND q.vec_id < $QueryPanelBound AND n.vec_id <> q.vec_id
        |), exact_top AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
@@ -1397,8 +1429,22 @@ object VectorQueries {
     (a, b)
   }
 
+  /** q118/q123's anchored source domain — see [[AlignAnchorBound]]:
+    * the exact baseline mines alignments for this x panel only, so
+    * its all-pairs scorer (and the oracle's replay) is |panel| x |b|,
+    * linear in the corpus. Gate-invariant: every driver-SF xid sits
+    * under the block bound, and the panel keeps every planted twin
+    * source (stride 50 ⊂ stride 25) at any scale.
+    */
+  private def alignAnchored(c: Column): Column =
+    c < AlignAnchorBound || c % 25 === 0
+
+  private val alignAnchoredSql: String =
+    s"(xid < $AlignAnchorBound OR xid % 25 = 0)"
+
   def q118(spark: SparkSession, dir: String): DataFrame = {
-    val (a, b) = alignSides(spark, dir)
+    val (a0, b) = alignSides(spark, dir)
+    val a = a0.filter(alignAnchored(col("xid")))
     val scored = a.crossJoin(broadcast(b))
       .select(col("xid"), col("yid"),
         round(dot(col("xv"), col("yv")) / (col("nx") * col("ny")) * 1e6)
@@ -1455,6 +1501,7 @@ object VectorQueries {
        |  SELECT xid, yid,
        |    CAST(round(1000000.0 * ($d / (sqrt($nx) * sqrt($ny))), 0) AS BIGINT) AS cos_e6
        |  FROM a, bb
+       |  WHERE $alignAnchoredSql
        |), rx AS (
        |  SELECT xid, yid, cos_e6,
        |    row_number() OVER (PARTITION BY xid
@@ -1870,14 +1917,20 @@ object VectorQueries {
     * instead of excluding it at the 2048/side boundary. At every
     * driver gate SF the derived count IS the 8-plane default, so the
     * overlay is the identity there (OracleOverlaySpec pins this).
-    * q123 stays excluded above the boundary by DESIGN: it embeds the
-    * exact all-pairs baseline as its ground truth, which is
-    * O(n^2)-priced in the oracle engine regardless of plane count.
+    * r14 adds q123: its exclusion had TWO legs — the plane boundary
+    * (its banded configs replay the 8-plane CTEs) and the
+    * O(n^2)-priced exact ground truth — and both are closed: the
+    * overlay regenerates its banded CTEs at the derived plane count,
+    * and the exact baseline now mines the FIXED anchored x panel
+    * ([[AlignAnchorBound]]), making the oracle replay linear in the
+    * corpus.
     */
   def alignOracleOverlay(spark: SparkSession,
-      dir: String): Map[String, String] =
-    Map("q122_banded_align" ->
-      q122SqlFor(alignPlaneCountRaw(spark, dir)))
+      dir: String): Map[String, String] = {
+    val planes = alignPlaneCountRaw(spark, dir)
+    Map("q122_banded_align" -> q122SqlFor(planes),
+      "q123_align_recall" -> q123SqlFor(planes))
+  }
 
   // ---- q123: alignment recall audit (banded vs exact margins) ----
   // The q105 posture applied to margin mining: BEFORE trusting q122's
@@ -1896,7 +1949,10 @@ object VectorQueries {
       .persist()
     exact.count() // eager: each config's counts + hit join re-read it
     def audit(cfg: String, banded: DataFrame): DataFrame = {
-      val pairs = banded
+      // both sides of the audit live on the SAME anchored x panel the
+      // exact baseline (q118) mines — an unrestricted banded side
+      // would count non-panel pairs as junk and deflate precision
+      val pairs = banded.filter(alignAnchored(col("xid")))
         .select(col("xid").as("bxid"), col("yid").as("byid"))
       val hit = exact.join(pairs,
         col("xid") === col("bxid") && col("yid") === col("byid"))
@@ -1929,11 +1985,19 @@ object VectorQueries {
       .orderBy(col("cfg"))
   }
 
-  val q123Sql: String = {
+  /** q123's oracle at an explicit SRP plane count (the q122SqlFor
+    * treatment): the gate default is 8 planes; replica sweeps
+    * regenerate the three banded CTEs at the derived count via
+    * [[alignOracleOverlay]].
+    */
+  def q123SqlFor(planes: Int): String = {
+    // banded counts restricted to the anchored x panel, mirroring the
+    // Spark audit (the exact side is panel-restricted by exactAlignCte;
+    // the hit join inherits the restriction through xid equality)
     def summary(cfg: String, p: String): String =
       s"""SELECT '$cfg' AS cfg,
          |  (SELECT count(*) FROM exact_res) AS n_exact,
-         |  (SELECT count(*) FROM ${p}banded_res) AS n_banded,
+         |  (SELECT count(*) FROM ${p}banded_res WHERE $alignAnchoredSql) AS n_banded,
          |  (SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
          |     ON b.xid = x.xid AND b.yid = x.yid) AS n_hit,
          |  CAST((SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
@@ -1941,11 +2005,12 @@ object VectorQueries {
          |    // nullif((SELECT count(*) FROM exact_res), 0) AS BIGINT) AS recall_e6,
          |  CAST((SELECT count(*) FROM exact_res x JOIN ${p}banded_res b
          |     ON b.xid = x.xid AND b.yid = x.yid) * 1000000
-         |    // nullif((SELECT count(*) FROM ${p}banded_res), 0) AS BIGINT) AS precision_e6""".stripMargin
+         |    // nullif((SELECT count(*) FROM ${p}banded_res
+         |              WHERE $alignAnchoredSql), 0) AS BIGINT) AS precision_e6""".stripMargin
     s"""WITH $alignSidesCte, $exactAlignCte,
-       |${bandedAlignCteFor(BandSalts, "")},
-       |${bandedAlignCteFor(BandSalts6, "b6_")},
-       |${bandedAlignCteFor(BandSalts, "c_", Some(ConfirmFloorE6))}
+       |${bandedAlignCteFor(BandSalts, "", planes = planes)},
+       |${bandedAlignCteFor(BandSalts6, "b6_", planes = planes)},
+       |${bandedAlignCteFor(BandSalts, "c_", Some(ConfirmFloorE6), planes)}
        |${summary("band3x8", "")}
        |UNION ALL
        |${summary("band6x8", "b6_")}
@@ -1953,6 +2018,8 @@ object VectorQueries {
        |${summary("band3x8c", "c_")}
        |ORDER BY cfg""".stripMargin
   }
+
+  val q123Sql: String = q123SqlFor(Planes)
 
   // ---- q134: hard-negative mining (contrastive training data) ----
   // The embedding-training sibling of near-dup mining: for each
@@ -2088,7 +2155,12 @@ object VectorQueries {
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    val anchors = all.filter(col("vec_id") % 50 === 0)
+    // the audited anchors are the BOUNDED panel (every 50th under
+    // QueryPanelBound — a subset of q134's mined anchors, which stay
+    // unbounded: the production miner is banded and replica-cheap,
+    // only the exact ground truth needs the fixed-size panel)
+    val anchors = all.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < QueryPanelBound)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("v").as("qv"), col("nv").as("nq"))
     val exact = all.crossJoin(broadcast(anchors))
@@ -2127,7 +2199,8 @@ object VectorQueries {
        |    CAST(round(1000000.0 * ($d / (sqrt($na) * sqrt($nb))), 0) AS BIGINT)
        |      AS cos_e6
        |  FROM e a JOIN e b
-       |    ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id
+       |    ON a.vec_id % 50 = 0 AND a.vec_id < $QueryPanelBound
+       |      AND b.vec_id <> a.vec_id
        |      AND b.label <> a.label
        |), exr AS (
        |  SELECT query_id, neighbor_id,

@@ -19,9 +19,11 @@ class OracleOverlaySpec extends AnyFunSuite {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1").foreach { dir =>
       val o = VectorQueries.alignOracleOverlay(spark, dir)
-      assert(o.keySet == Set("q122_banded_align"))
+      assert(o.keySet == Set("q122_banded_align", "q123_align_recall"))
       assert(o("q122_banded_align") == VectorQueries.q122Sql,
-        s"$dir: overlay diverged from the static 8-plane oracle")
+        s"$dir: q122 overlay diverged from the static 8-plane oracle")
+      assert(o("q123_align_recall") == VectorQueries.q123Sql,
+        s"$dir: q123 overlay diverged from the static 8-plane oracle")
     }
   }
 
