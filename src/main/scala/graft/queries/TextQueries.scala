@@ -3398,7 +3398,79 @@ object TextQueries {
       |  domain IN ('site0.example', 'site3.example') AS blocked
       |FROM canon ORDER BY doc_id""".stripMargin
 
+  // ---- q145: EXACT all-pairs Jaccard via prefix filtering ----
+  // The lossless alternative to probabilistic LSH (q31) and to q33's
+  // full inverted index (which pairs docs sharing ANY shingle —
+  // near-quadratic on an overlapping corpus). Each doc indexes only
+  // its n − ⌈τn⌉ + 1 globally-RAREST shingles (df asc, hash asc);
+  // the prefix-filtering lemma (Bayardo WWW'07 / Xiao ICDE'08 —
+  // overlap ≥ α forces the (n−α+1)-prefixes to intersect, applied
+  // with α = ⌈τ·max(na,nb)⌉ ≤ each per-doc ⌈τn⌉) guarantees every
+  // qualifying pair survives, so the DuckDB oracle is the BRUTE-FORCE
+  // index at the same τ: hash-equality proves the filter lossless,
+  // not just plausible. Every gate is integer arithmetic (τ = 7/10 as
+  // a rational; exact integer ceil) — no FP in any pruning decision.
+  //
+  // Plants its own positives: every 5th doc with > 6 tokens gets a
+  // copy (doc_id + 1,000,000) with the FIRST 2 tokens dropped —
+  // distinct from q33's last-3-dropped fixture — built identically in
+  // both engines. Word 3-gram shingles (vs q33's 5) keep the two
+  // inventories non-overlapping end to end.
+  //
+  // 100 TB posture: digest pass + df aggregate + prefix-only index
+  // self-join (candidates collapse toward the true pair count because
+  // prefixes hold the rarest shingles) + two doc_id-keyed verify
+  // joins on compact hashed-set rows. PrefixJoinSpec measures the
+  // candidate reduction vs the full index and pins equality with
+  // brute force in-engine.
+  def q145(spark: SparkSession, dir: String): DataFrame =
+    TextOps.prefixJaccardPairs(
+      withFirstCutCopies(tbl(spark, dir, "documents")), 7, 10, 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** documents ∪ planted near-copies (FIRST 2 tokens dropped) of
+    * every 5th doc with > 6 tokens — q145's fixture.
+    */
+  private[queries] def withFirstCutCopies(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    d.union(d
+      .filter(col("doc_id") % 5 === 0 && size(toks) > 6)
+      .select(Fixtures.plantedId(col("doc_id"), 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(3), size(toks) - 2)).as("text")))
+  }
+
+  val q145Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, array_to_string(toks[3:len(toks)], ' ')
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 5 = 0 AND len(toks) > 6
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+2], ' ')")} % $MinHashP))
+       |         END AS sh
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM docs)
+       |), inv AS (
+       |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, common,
+       |  CAST(round(10000.0 * common / (na + nb - common), 0) AS BIGINT) AS jaccard_e4
+       |FROM pairs
+       |WHERE common * 10 >= (na + nb - common) * 7
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_prefix_join" -> (q145 _),
     "q143_url_canonicalize" -> (q143 _),
     "q142_html_extract" -> (q142 _),
     "q132_compression_signal" -> (q132 _),
@@ -3456,6 +3528,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_prefix_join" -> q145Sql,
     "q143_url_canonicalize" -> q143Sql,
     "q142_html_extract" -> q142Sql,
     "q132_compression_signal" -> q132Sql,

@@ -338,6 +338,126 @@ object TextOps {
     pairs
   }
 
+  /** EXACT set-similarity self-join with PREFIX FILTERING — the
+    * lossless scale path for all-pairs Jaccard (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    * PPJoin, ICDE'08). [[shinglePairCounts]]'s inverted index pairs
+    * every two docs sharing ANY shingle — near-quadratic on an
+    * overlapping corpus. Here each doc indexes only its PREFIX: with
+    * shingles globally ordered rarest-first (df asc, hash asc), a doc
+    * of n shingles indexes its first `n - ⌈τ·n⌉ + 1`. Any pair with
+    * Jaccard ≥ τ shares ≥ ⌈τ·max(na,nb)⌉ shingles, so skipping either
+    * doc's prefix leaves at most ⌈τ·n⌉ − 1 shared — the candidate set
+    * provably contains every qualifying pair, and because prefixes
+    * hold the RAREST shingles, candidate volume collapses toward the
+    * true pair count instead of the co-occurrence count.
+    *
+    * τ is the rational `tauNum/tauDen`, and every gate is INTEGER
+    * arithmetic: prefix length `n − ⌈τn⌉ + 1` via the exact integer
+    * ceil `(tauNum·n + tauDen − 1) div tauDen` (no FP, so never lossy
+    * to rounding), length filter `tauDen·min ≥ tauNum·max`, confirm
+    * `tauDen·common ≥ tauNum·(na+nb−common)`. The only FP step is the
+    * reported `jaccard_e4` (multiply-before-divide, the oracle's
+    * exact fold). Output equals brute force at the same τ — the
+    * DuckDB oracle IS brute force, so the gate proves losslessness.
+    *
+    * 100 TB posture: one digest pass (shuffle-barriered like
+    * [[shinglePairCounts]]), one df aggregate, prefix-only index
+    * self-join, then verification joins keyed on doc_id against the
+    * compact hashed-set table — no all-pairs stage anywhere, and the
+    * candidate join carries 8-byte keys, never text.
+    */
+  def prefixJaccardPairs(docs: DataFrame, tauNum: Int, tauDen: Int,
+      shingleN: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col("doc_id"),
+        hashedShingles(tokens(col("text")), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") >= 1)
+      .repartition(col("doc_id"))
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first global order; the sorted hash array doubles as the
+    // verification set (array_intersect input), so one groupBy builds
+    // both the prefix source and the confirm side
+    val ordered = inv.join(dfTbl, "s")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("doc_id"), col("n_sh"),
+        transform(col("os"), e => e("s")).as("toks"))
+    // p = n − ⌈τn⌉ + 1, with exact integer ceil ⌈a/b⌉ = (a+b−1) div b
+    // (floor of the double ratio is exact here: operands ≪ 2^53 and a
+    // non-integral k/tauDen sits ≥ 1/tauDen from any integer)
+    val prefixLen =
+      (col("n_sh") - floor((col("n_sh") * tauNum + tauDen - 1)
+        .cast("double") / tauDen).cast("long") + 1).cast("int")
+    val prefixes = ordered
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
+          col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = ordered.select(col("doc_id"), col("n_sh"), col("toks"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.toks"), col("sb.toks")))
+          .cast("long").as("common"),
+        col("sa.n_sh").cast("long").as("na"),
+        col("sb.n_sh").cast("long").as("nb"))
+      .filter(col("common") * tauDen >=
+        (col("na") + col("nb") - col("common")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common").cast("double") * 10000 /
+          (col("na") + col("nb") - col("common")))
+          .cast("long").as("jaccard_e4"))
+  }
+
+  /** Candidate pairs of [[prefixJaccardPairs]] BEFORE verification —
+    * dev/spec window for measuring the prefix filter's candidate
+    * reduction against the full inverted index.
+    */
+  def prefixCandidateCount(docs: DataFrame, tauNum: Int, tauDen: Int,
+      shingleN: Int = 3): Long = {
+    // distinct (a,b) generated by the prefix index, mirroring the
+    // candidate stage above
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col("doc_id"),
+        hashedShingles(tokens(col("text")), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") >= 1)
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = inv.join(dfTbl, "s")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("doc_id"), col("n_sh"),
+        transform(col("os"), e => e("s")).as("toks"))
+    // p = n − ⌈τn⌉ + 1, with exact integer ceil ⌈a/b⌉ = (a+b−1) div b
+    // (floor of the double ratio is exact here: operands ≪ 2^53 and a
+    // non-integral k/tauDen sits ≥ 1/tauDen from any integer)
+    val prefixLen =
+      (col("n_sh") - floor((col("n_sh") * tauNum + tauDen - 1)
+        .cast("double") / tauDen).cast("long") + 1).cast("int")
+    val prefixes = ordered
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
+          col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().count()
+  }
+
   /** Benchmark-contamination probe — the decontamination step of a
     * training-data pipeline: flag every training document sharing at
     * least `minOverlap` distinct word n-gram shingles with any
