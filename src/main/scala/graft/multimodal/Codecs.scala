@@ -158,7 +158,12 @@ object Codecs {
     * tag 1), mono, 16-bit — and carries a data chunk. Chunks other
     * than fmt/data are skipped with RIFF word alignment.
     */
-  def decodeWav(b: Array[Byte]): Option[AudioStats] = {
+  /** RIFF chunk walk shared by [[decodeWav]] (fused stats) and
+    * [[decodeWavSamples]] (raw samples for DSP consumers): returns
+    * (sampleRate, dataOff, nSamples) for a PCM16LE mono WAVE, None on
+    * any malformation or past the [[MaxStatSamples]] bound.
+    */
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int)] = {
     def tag(off: Int, s: String): Boolean =
       off + 4 <= b.length &&
         (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
@@ -187,6 +192,25 @@ object Codecs {
     if (!ok || rate <= 0 || dataOff < 0 || dataLen % 2 != 0) return None
     val n = dataLen / 2
     if (n > MaxStatSamples) return None // PCM16 wsum overflow bound
+    Some((rate, dataOff, n))
+  }
+
+  /** Raw PCM16 samples of a mono WAV — the input seam for DSP
+    * operators ([[Acf]] autocorrelation pitch, q146) that need the
+    * waveform, not just [[AudioStats]].
+    */
+  def decodeWavSamples(b: Array[Byte]): Option[(Int, Array[Int])] =
+    wavLayout(b).map { case (rate, dataOff, n) =>
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = s16le(b, dataOff + i * 2); i += 1 }
+      (rate, out)
+    }
+
+  def decodeWav(b: Array[Byte]): Option[AudioStats] = {
+    val layout = wavLayout(b)
+    if (layout.isEmpty) return None
+    val (rate, dataOff, n) = layout.get
     var sumAbs = 0L
     var wsum = 0L
     var min = Int.MaxValue

@@ -661,7 +661,76 @@ object MultimodalQueries {
        |ORDER BY e.anchor_id""".stripMargin
   }
 
+  // ---- q146: autocorrelation pitch detection over decoded PCM ----
+  // The first DSP feature past raw decode statistics: each doc plants
+  // a REAL PCM16 mono WAV whose waveform is periodic with period
+  // P = 12 + id % 40 (integer LCG samples over one period, tiled),
+  // the engine decodes the BYTES back (Codecs.decodeWavSamples — the
+  // same RIFF walk as q129's stats path) and runs time-domain
+  // autocorrelation R(L) = Σ s(i)·s(i+L) over lags 2..64. Everything
+  // is integer arithmetic over int16 samples, so the DuckDB oracle
+  // recomputes the ENTIRE feature — every lag's correlation, the
+  // argmax with its smallest-lag tie rule, and the normalized peak —
+  // from doc_id alone with zero FP divergence. A bug anywhere in the
+  // encoder, the RIFF walk, the sample reconstruction, or the ACF
+  // loop hash-fails the gate.
+  //
+  // 100 TB posture: identical to q129/q144 — map-side decode+DSP
+  // (O(n·maxLag) per payload), payloads never shuffled, 6 compact
+  // columns out; only the final oracle orderBy exchanges.
+  def q146(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{Acf, Codecs}
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val p = (12 + id % 40).toInt
+        val n = (200 + id % 100).toInt
+        val wav = Codecs.encodeWav(8000, n,
+          i => (((id * 37 + (i % p) * 101) % 4001) - 2000).toInt)
+        // a decode failure DROPS the row -> row-count mismatch reds
+        // the gate loudly instead of fabricating stats
+        Codecs.decodeWavSamples(wav).map { case (_, smp) =>
+          val (energy, lag, r) = Acf.pitch(smp, 2, 64)
+          Acf.PitchRow(id, smp.length.toLong, energy, lag, r)
+        }
+      }
+      .toDF()
+      .withColumn("nacf_e4",
+        round(lit(10000.0) * col("r_best") / col("energy")).cast("long"))
+      .orderBy(col("media_id"))
+  }
+
+  val q146Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id, 12 + doc_id % 40 AS p,
+      |    200 + doc_id % 100 AS n
+      |  FROM documents
+      |), s AS (
+      |  SELECT media_id, n, list_transform(range(0, CAST(n AS BIGINT)),
+      |    j -> ((media_id * 37 + (j % p) * 101) % 4001) - 2000) AS smp
+      |  FROM g
+      |), acf AS (
+      |  SELECT media_id, n, CAST(u.l AS BIGINT) AS l,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      range(0, CAST(n - u.l AS BIGINT)),
+      |      i -> smp[i + 1] * smp[i + u.l + 1])), 0) AS BIGINT) AS r
+      |  FROM s, unnest(range(0, 65)) AS u(l)
+      |), e AS (
+      |  SELECT media_id, r AS energy FROM acf WHERE l = 0
+      |), best AS (
+      |  SELECT media_id, n, l AS best_lag, r AS r_best,
+      |    row_number() OVER (PARTITION BY media_id
+      |                       ORDER BY r DESC, l) AS rk
+      |  FROM acf WHERE l >= 2
+      |)
+      |SELECT b.media_id, CAST(b.n AS BIGINT) AS n_samples, e.energy,
+      |  b.best_lag, b.r_best,
+      |  CAST(round(10000.0 * b.r_best / e.energy, 0) AS BIGINT) AS nacf_e4
+      |FROM best b JOIN e USING (media_id)
+      |WHERE b.rk = 1 ORDER BY b.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_audio_pitch" -> (q146 _),
     "q137_tar_samples" -> (q137 _),
     "q136_archive_explode" -> (q136 _),
     "q50_media_roundtrip" -> (q50 _),
@@ -677,6 +746,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_audio_pitch" -> q146Sql,
     "q137_tar_samples" -> q137Sql,
     "q136_archive_explode" -> q136Sql,
     "q50_media_roundtrip" -> q50Sql,
