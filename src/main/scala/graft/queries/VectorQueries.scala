@@ -2222,7 +2222,123 @@ object VectorQueries {
        |ORDER BY n.query_id""".stripMargin
   }
 
+  // ---- q147: retrieval-quality eval (recall/MRR/NDCG@10 by label) ----
+  // The evaluation harness every retrieval pipeline needs beside its
+  // index audits (q105/q126/q128 measure index-vs-exact agreement;
+  // this measures exact-retrieval-vs-GROUND-TRUTH quality): ground
+  // truth is the `label` column — a neighbor is relevant iff it
+  // shares the query's class — and the metrics are the standard IR
+  // triple at k=10. To keep the gate FP-proof, the DCG weight table
+  // round(1e6/log2(r+1)) is pinned once as INTEGER constants shared
+  // verbatim by both engines ([[DcgWeightsE6]]); DCG/IDCG are then
+  // exact integer sums (no FP summation-order hazard) and each metric
+  // performs exactly one division, folded identically on both sides.
+  //
+  // 100 TB posture: the anchor panel is bounded (QueryPanelBound), so
+  // the exact scorer is linear in the corpus; labels join broadcast;
+  // the per-query aggregate exchanges ≤ k compact rows per anchor.
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val all = withNorm(vecs(spark, dir))
+    val labels = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qLab = labels.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    val nLab = labels.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val labCnt = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_label_total"))
+    val wArr = array(DcgWeightsE6.map(lit(_)): _*)
+    val psArr = array(DcgPrefixE6.map(lit(_)): _*)
+    val per = exactTopK(all, querySample(all), K)
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+      .join(broadcast(qLab), "query_id")
+      .join(broadcast(nLab), "neighbor_id")
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("int"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(col("rel")).cast("long").as("hits"),
+        sum(when(col("rel") === 1, element_at(wArr, col("rank")))
+          .otherwise(0L)).cast("long").as("dcg_e6"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+    per.join(broadcast(labCnt), per("q_label") === labCnt("label"))
+      .withColumn("n_rel", (col("n_label_total") - 1).cast("long"))
+      .withColumn("idcg_e6",
+        element_at(psArr, least(lit(K.toLong), col("n_rel")).cast("int") + 1))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        when(col("n_rel") === 0, 0L)
+          .otherwise(round(lit(1000000.0) * col("hits") / col("n_rel")))
+          .cast("long").as("recall_e6"),
+        when(col("first_rel").isNull, 0L)
+          .otherwise(round(lit(1000000.0) / col("first_rel")))
+          .cast("long").as("mrr_e6"),
+        when(col("idcg_e6") === 0, 0L)
+          .otherwise(round(lit(10000.0) * col("dcg_e6") / col("idcg_e6")))
+          .cast("long").as("ndcg_e4"))
+      .orderBy(col("query_id"))
+  }
+
+  /** round(1e6 / log2(r+1)) for r = 1..10 — THE DCG weight table,
+    * computed once here and interpolated verbatim into the oracle so
+    * both engines share identical integers (the metric definition
+    * carries the log, not the runtime).
+    */
+  private[graft] val DcgWeightsE6: Seq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Prefix sums of [[DcgWeightsE6]] (index m = ideal DCG of m
+    * relevant items), ps(0) = 0.
+    */
+  private[graft] val DcgPrefixE6: Seq[Long] =
+    DcgWeightsE6.scanLeft(0L)(_ + _)
+
+  val q147Sql: String = {
+    val wRows = DcgWeightsE6.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val psRows = DcgPrefixE6.zipWithIndex
+      .map { case (ps, m) => s"($m, $ps)" }.mkString(", ")
+    s"""WITH $exactRankedCte, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), cnt AS (
+       |  SELECT label, count(*) AS n_label_total FROM lab GROUP BY 1
+       |), w(rank, w_e6) AS (VALUES $wRows
+       |), ps(m, ps_e6) AS (VALUES $psRows
+       |), top AS (
+       |  SELECT r.query_id, r.rank, ql.label AS q_label,
+       |    CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+       |  FROM ranked r
+       |  JOIN lab ql ON ql.vec_id = r.query_id
+       |  JOIN lab nl ON nl.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 10
+       |), per AS (
+       |  SELECT query_id, q_label,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    CAST(sum(CASE WHEN rel = 1 THEN w.w_e6 ELSE 0 END) AS BIGINT) AS dcg_e6,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+       |  FROM top JOIN w USING (rank)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.query_id,
+       |  CAST(c.n_label_total - 1 AS BIGINT) AS n_rel,
+       |  p.hits,
+       |  CASE WHEN c.n_label_total - 1 = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(round(1000000.0 * p.hits / (c.n_label_total - 1), 0) AS BIGINT)
+       |       END AS recall_e6,
+       |  CASE WHEN p.first_rel IS NULL THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(round(1000000.0 / p.first_rel, 0) AS BIGINT)
+       |       END AS mrr_e6,
+       |  CASE WHEN ps.ps_e6 = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(round(10000.0 * p.dcg_e6 / ps.ps_e6, 0) AS BIGINT)
+       |       END AS ndcg_e4
+       |FROM per p
+       |JOIN cnt c ON c.label = p.q_label
+       |JOIN ps ON ps.m = least(10, c.n_label_total - 1)
+       |ORDER BY p.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_ranking_eval" -> (q147 _),
     "q134_hard_negatives" -> (q134 _),
     "q135_negatives_recall" -> (q135 _),
     "q40_cosine_topk" -> (q40 _),
@@ -2247,6 +2363,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_ranking_eval" -> q147Sql,
     "q134_hard_negatives" -> q134Sql,
     "q135_negatives_recall" -> q135Sql,
     "q40_cosine_topk" -> q40Sql,
