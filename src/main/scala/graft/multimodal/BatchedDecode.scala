@@ -148,10 +148,16 @@ object BatchedDecode {
     * the spec counts.
     */
   private def decodeStatsBatch(fallback: java.security.MessageDigest,
-      jpeg: Jpeg.Handle, audio: Audio.Handle,
+      jpeg: Jpeg.Handle, audio: Audio.Handle, gif: Gif.Handle,
       batch: Seq[(Long, Array[Byte])]): Iterator[DecodedStats] = {
     batch.iterator.flatMap { case (id, p) =>
-      if (Audio.sniffAiff(p) || Audio.sniffAu(p))
+      if (Gif.sniff(p))
+        // GIF via the JDK's bundled ImageIO reader (real LZW +
+        // palette mapping, one reader handle per batch)
+        Gif.decodeWith(gif, p).map(s => DecodedStats(id, "gif",
+          s.width.toLong, s.height.toLong, s.width.toLong * s.height,
+          s.sum, s.min.toLong, s.max.toLong, s.wsum)).iterator
+      else if (Audio.sniffAiff(p) || Audio.sniffAu(p))
         // AIFF / AU via the JDK's bundled javax.sound readers (one
         // provider-registry scan per batch through the handle)
         Audio.decodeWith(audio, p).map(s => DecodedStats(id,
@@ -207,8 +213,9 @@ object BatchedDecode {
       .mapPartitions(_.grouped(batchSize).flatMap { b =>
         val jpeg = new Jpeg.Handle
         val audio = new Audio.Handle
-        try decodeStatsBatch(newCodec(), jpeg, audio, b).toVector
-        finally { jpeg.close(); audio.close() }
+        val gif = new Gif.Handle
+        try decodeStatsBatch(newCodec(), jpeg, audio, gif, b).toVector
+        finally { jpeg.close(); audio.close(); gif.close() }
       })
   }
 

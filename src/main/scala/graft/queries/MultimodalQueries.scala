@@ -729,7 +729,60 @@ object MultimodalQueries {
       |FROM best b JOIN e USING (media_id)
       |WHERE b.rk = 1 ORDER BY b.media_id""".stripMargin
 
+  // ---- q148: REAL GIF decode (hand-written LZW encode, JDK decode) ----
+  // The palette/LZW member of the real-decoder family, closing the
+  // indexed-color gap beside PNG (zlib), BMP (raw), JPEG (DCT):
+  // payloads are built by Gif.encodeGray — a hand-written GIF89a
+  // layout with its own uncompressed-LZW bitstream — and decoded by
+  // the JDK's REAL ImageIO LZW codec through the one-handle-per-batch
+  // seam, with palette-aware luma reduction. GIF is lossless, so the
+  // DuckDB oracle recomputes every statistic (including the order-
+  // sensitive wsum, which catches sub-block or bit-packing bugs that
+  // recover the right multiset in the wrong order) closed-form from
+  // doc_id alone; the two LZW implementations must agree byte-for-bit
+  // for the gate to pass.
+  //
+  // 100 TB posture: identical to q129/q138/q144 — narrow decode,
+  // payloads never shuffled, compact typed rows out; only the final
+  // oracle orderBy exchanges.
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (10 + id % 20).toInt
+        val h = (6 + id % 10).toInt
+        (id, graft.multimodal.Gif.encodeGray(w, h,
+          i => ((id * 53 + i * 11) % 256).toInt))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.BatchedDecode.decodeStats(media)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q148Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id, 10 + doc_id % 20 AS w,
+      |    6 + doc_id % 10 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, CAST(w * h AS BIGINT)),
+      |      i -> (media_id * 53 + i * 11) % 256) AS px
+      |  FROM g
+      |)
+      |SELECT media_id, 'gif' AS fmt, CAST(w AS BIGINT) AS w,
+      |  CAST(h AS BIGINT) AS h, CAST(w * h AS BIGINT) AS n_units,
+      |  CAST(list_sum(px) AS BIGINT) AS sum_val,
+      |  CAST(list_min(px) AS BIGINT) AS min_val,
+      |  CAST(list_max(px) AS BIGINT) AS max_val,
+      |  CAST(list_sum(list_transform(range(0, CAST(w * h AS BIGINT)),
+      |    i -> i * px[i + 1])) AS BIGINT) AS wsum_val
+      |FROM px ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_gif_decode" -> (q148 _),
     "q146_audio_pitch" -> (q146 _),
     "q137_tar_samples" -> (q137 _),
     "q136_archive_explode" -> (q136 _),
@@ -746,6 +799,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_gif_decode" -> q148Sql,
     "q146_audio_pitch" -> q146Sql,
     "q137_tar_samples" -> q137Sql,
     "q136_archive_explode" -> q136Sql,
