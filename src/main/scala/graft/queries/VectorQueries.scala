@@ -2337,7 +2337,126 @@ object VectorQueries {
        |ORDER BY p.query_id""".stripMargin
   }
 
+  // ---- q149: int8 scalar-quantization recall audit (SQ vs exact) ----
+  // The remaining compression point on the memory/recall curve: PQ
+  // (q69/q70, audited by q128) is 8 bytes/vector, int8 SQ is the
+  // 64-byte middle ground every serving stack ships first (one code
+  // per DIMENSION — symmetric absmax per-dim quantization, the
+  // faiss ScalarQuantizer/QT_8bit shape). Codes are
+  // round(127·x/scale_d) with scale_d = max|x_d| over the corpus —
+  // per-dim max is an EXACT aggregate (no FP summation), so both
+  // engines derive identical scales, identical codes, and identical
+  // dequantized values; distances then ride the same three-fold L2
+  // identity as q128 (self-dots staged once, dot_f64's sequential
+  // fold mirrored by the oracle), so FP parity holds by construction
+  // end to end. Output: exact-L2 top-3 vs SQ top-3 overlap per panel
+  // query — the number that gates trusting the 4x compression.
+  //
+  // Scale posture: the scale vector is a 64-value broadcast (per-dim
+  // max = one tiny map-side-combined aggregate); both rankings run
+  // on the bounded query panel with topk_by_score partials; the
+  // overlap join carries 3 ids per query.
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+      .withColumn("vv", dot(col("v"), col("v"))).persist()
+    all.count() // barrier: exact + SQ branches share one scan
+    val scales: Array[Double] = all
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x"))).as("mx"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    val scArr = array(scales.map(lit(_)): _*)
+    val queries = all.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < QueryPanelBound)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vv").as("qq"))
+    val l2e6 = round(((col("vv") + col("qq"))
+      - lit(2d) * dot(col("v"), col("qv"))) * 1e6).cast("long")
+    val exact = all.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nid"), l2e6.as("d"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        -col("d"), col("nid"), lit(3)).as("t"))
+      .select(col("query_id"), expr("transform(t, x -> x.id)").as("exact_ids"))
+    // encode -> decode: the stored form is the int8 code; search
+    // dequantizes (code·scale/127) and reuses the L2 identity
+    val sq = all
+      .select(col("vec_id"),
+        graft.vector.VectorOps.sqEncode(col("v"), scArr).as("c"))
+      .select(col("vec_id"),
+        graft.vector.VectorOps.sqDecode(col("c"), scArr).as("dv"))
+      .withColumn("dvv", dot(col("dv"), col("dv")))
+      .crossJoin(broadcast(queries.select(col("query_id").as("qid"),
+        col("qv"), col("qq").as("q2"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(((col("dvv") + col("q2"))
+          - lit(2d) * dot(col("dv"), col("qv"))) * 1e6)
+          .cast("long").as("d"))
+      .groupBy(col("qid"))
+      .agg(call_function("topk_by_score",
+        -col("d"), col("nid"), lit(3)).as("t"))
+      .select(col("qid"), expr("transform(t, x -> x.id)").as("sq_ids"))
+    exact.join(sq, col("query_id") === col("qid"))
+      .select(col("query_id"),
+        size(col("exact_ids")).cast("long").as("n_exact"),
+        size(array_intersect(col("exact_ids"), col("sq_ids")))
+          .cast("long").as("n_hit"))
+      .withColumn("recall_e6", expr("n_hit * 1000000 DIV n_exact"))
+      .orderBy(col("query_id"))
+  }
+
+  val q149Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, ${vSql("embedding")} AS v FROM embeddings
+       |), dims AS (
+       |  SELECT CAST(u.d AS INT) AS d
+       |  FROM (SELECT unnest(range(1, $Dim + 1)) AS d) u
+       |), sc AS (
+       |  SELECT list(mx ORDER BY d) AS sc FROM (
+       |    SELECT d, max(abs(v[d])) AS mx FROM e, dims GROUP BY d)
+       |), dq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, $Dim + 1), d ->
+       |      CAST(round(127.0 * v[d] / greatest(sc[d], 1e-30), 0) AS INT)
+       |        * sc[d] / 127.0) AS dv
+       |  FROM e, sc
+       |), e2 AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS vv FROM e
+       |), d2 AS (
+       |  SELECT vec_id, dv, ${dotSql("dv", "dv")} AS dvv FROM dq
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, vv AS qq FROM e2
+       |  WHERE vec_id % 100 = 0 AND vec_id < $QueryPanelBound
+       |), exact_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY CAST(round(1000000.0 * ((n.vv + q.qq)
+       |          - 2 * ${dotSql("n.v", "q.qv")}), 0) AS BIGINT) ASC,
+       |          n.vec_id) AS rn
+       |    FROM e2 n, q WHERE n.vec_id <> q.query_id)
+       |  WHERE rn <= 3
+       |), sq_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY CAST(round(1000000.0 * ((n.dvv + q.qq)
+       |          - 2 * ${dotSql("n.dv", "q.qv")}), 0) AS BIGINT) ASC,
+       |          n.vec_id) AS rn
+       |    FROM d2 n, q WHERE n.vec_id <> q.query_id)
+       |  WHERE rn <= 3
+       |)
+       |SELECT x.query_id, count(*) AS n_exact,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT)
+       |    AS recall_e6
+       |FROM exact_top x LEFT JOIN sq_top a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_sq8_recall" -> (q149 _),
     "q147_ranking_eval" -> (q147 _),
     "q134_hard_negatives" -> (q134 _),
     "q135_negatives_recall" -> (q135 _),
@@ -2363,6 +2482,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_sq8_recall" -> q149Sql,
     "q147_ranking_eval" -> q147Sql,
     "q134_hard_negatives" -> q134Sql,
     "q135_negatives_recall" -> q135Sql,

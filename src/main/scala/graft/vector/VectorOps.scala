@@ -40,6 +40,28 @@ object VectorOps {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Int8 scalar quantization, encode side (q149; the faiss
+    * QT_8bit/absmax shape): code_d = round(127·x_d / scale_d), one
+    * int8-range code per DIMENSION. `scales` is the per-dim absmax
+    * array (an exact aggregate — max involves no FP summation, so
+    * any engine derives identical scales from identical data); the
+    * 1e-30 floor makes an all-zero dimension quantize to code 0
+    * branch-free instead of NaN.
+    */
+  def sqEncode(v: Column, scales: Column): Column =
+    transform(v, (x, i) =>
+      round(lit(127.0) * x / greatest(element_at(scales, i + 1), lit(1e-30)))
+        .cast("int"))
+
+  /** Int8 scalar quantization, decode side: dv_d = code_d·scale_d/127
+    * — the dequantized double vector search runs distances over.
+    * Encode→decode per-dim error is bounded by scale_d/254 (half a
+    * quantization step).
+    */
+  def sqDecode(codes: Column, scales: Column): Column =
+    transform(codes, (c, i) =>
+      c.cast("double") * element_at(scales, i + 1) / lit(127.0))
+
   /** Driver-side twin of [[dot]]: the identical FP op sequence
     * (multiply, then left-fold add from 0.0), so norms precomputed on
     * the driver — e.g. an IVF codebook's — are bit-equal to the
