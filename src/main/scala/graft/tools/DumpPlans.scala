@@ -168,7 +168,12 @@ object DumpPlans {
       "q141_image_neardup_audit" -> "image near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)",
       "q142_html_extract" -> "HTML boilerplate extraction (jusText-shaped block gate as pure Column regex combinators, map-only)",
       "q143_url_canonicalize" -> "URL canonicalization + blocklist (map-only regex rules, broadcast blocklist dim, zero data shuffle)",
-      "q144_audio_decode" -> "real AIFF/AU decode via the JDK javax.sound readers (narrow batches, one provider scan per batch, output-only sort)")
+      "q144_audio_decode" -> "real AIFF/AU decode via the JDK javax.sound readers (narrow batches, one provider scan per batch, output-only sort)",
+      "q145_prefix_join" -> "exact all-pairs Jaccard via prefix filtering (rarest-first prefixes index, lossless candidates, doc_id-keyed verify joins)",
+      "q146_audio_pitch" -> "autocorrelation pitch over decoded PCM (map-side decode + O(n*maxLag) integer DSP, output-only sort)",
+      "q147_ranking_eval" -> "retrieval eval recall/MRR/NDCG@10 (bounded panel exact top-k, broadcast label dims, integer DCG weights)",
+      "q148_gif_decode" -> "real GIF decode via the JDK ImageIO LZW reader (hand-written encoder, narrow batches, palette-aware luma, output-only sort)",
+      "q149_sq8_recall" -> "int8 scalar-quantization recall audit (64-value broadcast scale vector, dequantized L2 vs exact L2 on the bounded panel)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

@@ -64,6 +64,57 @@ class PlanSpec extends AnyFunSuite {
       s"q141 materializes a cartesian product:\n$p")
   }
 
+  test("q145 prefix-filtered Jaccard: bucketed candidates, no window") {
+    val df = TextQueries.q145(spark, dir)
+    val p = plan(df)
+    // candidate generation must be an equi join on the prefix token,
+    // verification an equi join on doc_id — never all-pairs anywhere
+    assertNoAllPairs(df, "q145")
+    assert(!p.contains("Window"),
+      s"q145 must not rank through a window:\n$p")
+  }
+
+  test("q146 audio pitch is narrow: decode+DSP map-side, output-only sort") {
+    val p = plan(MultimodalQueries.q146(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"q146 grew a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges == range,
+      s"q146 grew a data shuffle beyond the output sort:\n$p")
+  }
+
+  test("q148 GIF decode is narrow: payloads never shuffle") {
+    val p = plan(MultimodalQueries.q148(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"q148 grew a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges == range,
+      s"q148 grew a data shuffle beyond the output sort:\n$p")
+  }
+
+  test("q147 ranking eval: broadcast label dims, bounded top-k, no window") {
+    val p = plan(VectorQueries.q147(spark, dir))
+    // q40-posture exact scoring: panel broadcast (nested loop is the
+    // intended exact-baseline shape), labels broadcast, ranking via
+    // bounded topk partials — never a window over the scored rows
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(!p.contains("Window"), s"q147 ranks through a window:\n$p")
+    assert(p.contains("partial_topk_by_score"),
+      s"top-k lost its map-side partial phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label dims must broadcast:\n$p")
+  }
+
+  test("q149 SQ8 audit: broadcast panel, bounded top-k, no window") {
+    val p = plan(VectorQueries.q149(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(!p.contains("Window"), s"q149 ranks through a window:\n$p")
+    assert("partial_topk_by_score".r.findAllIn(p).size >= 2,
+      s"both rankings must keep their partial top-k phase:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
