@@ -3414,8 +3414,12 @@ object TextQueries {
   // Plants its own positives: every 5th doc with > 6 tokens gets a
   // copy (doc_id + 1,000,000) with the FIRST 2 tokens dropped —
   // distinct from q33's last-3-dropped fixture — built identically in
-  // both engines. Word 3-gram shingles (vs q33's 5) keep the two
-  // inventories non-overlapping end to end.
+  // both engines. Word 4-gram shingles (vs q33's 5) keep the two
+  // inventories non-overlapping end to end — and matter for speed on
+  // the synthetic small-vocab corpus: 3-grams over a ~40-word
+  // vocabulary collide heavily (fat prefix buckets, 3.4x q33's
+  // floor), 4-grams are discriminative enough that candidate volume
+  // collapses to near the true pair count.
   //
   // 100 TB posture: digest pass + df aggregate + prefix-only index
   // self-join (candidates collapse toward the true pair count because
@@ -3425,7 +3429,7 @@ object TextQueries {
   // brute force in-engine.
   def q145(spark: SparkSession, dir: String): DataFrame =
     TextOps.prefixJaccardPairs(
-      withFirstCutCopies(tbl(spark, dir, "documents")), 7, 10, 3)
+      withFirstCutCopies(tbl(spark, dir, "documents")), 7, 10, 4)
       .orderBy(col("id_a"), col("id_b"))
 
   /** documents ∪ planted near-copies (FIRST 2 tokens dropped) of
@@ -3449,9 +3453,9 @@ object TextQueries {
        |  WHERE doc_id % 5 = 0 AND len(toks) > 6
        |), sh AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(toks) < 3 THEN []::BIGINT[]
-       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-       |                i -> ${md5IntSql("array_to_string(toks[i:i+2], ' ')")} % $MinHashP))
+       |    CASE WHEN len(toks) < 4 THEN []::BIGINT[]
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+       |                i -> ${md5IntSql("array_to_string(toks[i:i+3], ' ')")} % $MinHashP))
        |         END AS sh
        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
        |        FROM docs)
