@@ -3473,7 +3473,80 @@ object TextQueries {
        |WHERE common * 10 >= (na + nb - common) * 7
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q150: C4-style corpus-wide line dedup ----
+  // The line-granularity complement of document near-dup (q31/q33/
+  // q145): boilerplate lines repeat across pages and survive doc-
+  // level dedup, so C4's rule keeps each distinct LINE's first
+  // occurrence only (smallest (doc_id, pos), within-doc repeats
+  // included). The fixture plants exactly that shape: every doc is
+  // re-lined (7-token body chunks) and wrapped in two corpus-wide
+  // boilerplate lines — built identically in both engines — so the
+  // keep-first path provably fires on every doc but the winners.
+  //
+  // 100 TB posture: line text is digested IN the scan and never
+  // shuffles — keeper aggregate, survival join, and per-doc signature
+  // all move 32-byte digests + integer keys only; keeper =
+  // map-side-combined min aggregate + equi join (no window over the
+  // corpus line table); PlanSpec pins it.
+  def q150(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lineDedup(withBoilerLines(tbl(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** documents re-lined for q150: a fixed boilerplate header line,
+    * the body re-chunked 7 tokens per line, a fixed footer line.
+    */
+  private[queries] def withBoilerLines(docs: DataFrame): DataFrame = {
+    val body = transform(
+      sequence(lit(0), floor((size(toks) - 1) / lit(7.0)).cast("int")),
+      k => concat_ws(" ", slice(toks, k * 7 + 1, lit(7))))
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        lit("all rights reserved contact us today"),
+        array_join(body, "\n"),
+        lit("subscribe to the newsletter now")).as("text"))
+  }
+
+  val q150Sql: String =
+    """WITH relined AS (
+      |  SELECT doc_id,
+      |    'all rights reserved contact us today' || chr(10) ||
+      |    array_to_string(list_transform(
+      |      range(0, (len(toks) - 1) // 7 + 1),
+      |      k -> array_to_string(toks[k * 7 + 1 : k * 7 + 7], ' ')),
+      |      chr(10)) ||
+      |    chr(10) || 'subscribe to the newsletter now' AS text
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)
+      |), l AS (
+      |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line, len(ls) AS n_lines
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM relined),
+      |    unnest(range(1, len(ls) + 1)) AS u(i)
+      |), h AS (
+      |  SELECT doc_id, pos, md5(line) AS lh,
+      |    doc_id * 1000000 + pos AS rank_key
+      |  FROM l
+      |), k AS (
+      |  SELECT lh, min(rank_key) AS keep_key FROM h GROUP BY lh
+      |), kept AS (
+      |  SELECT a.doc_id, a.pos, a.lh FROM h a JOIN k ON a.lh = k.lh
+      |  WHERE a.rank_key = k.keep_key
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    md5(string_agg(lh, chr(10) ORDER BY pos)) AS kept_sig
+      |  FROM kept GROUP BY doc_id
+      |), nl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT)
+      |    AS n_lines
+      |  FROM relined
+      |)
+      |SELECT nl.doc_id, nl.n_lines,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  coalesce(a.kept_sig, md5('')) AS kept_sig
+      |FROM nl LEFT JOIN agg a ON a.doc_id = nl.doc_id
+      |ORDER BY nl.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_line_dedup" -> (q150 _),
     "q145_prefix_join" -> (q145 _),
     "q143_url_canonicalize" -> (q143 _),
     "q142_html_extract" -> (q142 _),
@@ -3532,6 +3605,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_line_dedup" -> q150Sql,
     "q145_prefix_join" -> q145Sql,
     "q143_url_canonicalize" -> q143Sql,
     "q142_html_extract" -> q142Sql,

@@ -367,41 +367,72 @@ object TextOps {
     * compact hashed-set table — no all-pairs stage anywhere, and the
     * candidate join carries 8-byte keys, never text.
     */
-  def prefixJaccardPairs(docs: DataFrame, tauNum: Int, tauDen: Int,
-      shingleN: Int = 3): DataFrame = {
+  /** (doc_id, n_sh, s) inverted rows of each doc's distinct hashed
+    * shingle set — the shared first stage of the prefix-join family.
+    */
+  private def shingleInv(docs: DataFrame, shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    docs
       .select(col("doc_id"),
         hashedShingles(tokens(col("text")), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") >= 1)
-      .repartition(col("doc_id"))
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    // rarest-first global order; the sorted hash array doubles as the
-    // verification set (array_intersect input), so one groupBy builds
-    // both the prefix source and the confirm side
-    val ordered = inv.join(dfTbl, "s")
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+  }
+
+  /** Each doc's shingle set as ONE array sorted by the global
+    * (df asc, hash asc) order `dfTbl` defines — the prefix source AND
+    * the verification set (`array_intersect` input), built by a
+    * single groupBy. Shingles absent from `dfTbl` order as df 0
+    * (rarest): the batch-vs-base admission case, where the order is
+    * a release-time artifact and new shingles are genuinely rare.
+    */
+  private[text] def orderedSets(inv: DataFrame, dfTbl: DataFrame)
+      : DataFrame =
+    inv.join(dfTbl, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
       .select(col("doc_id"), col("n_sh"),
         transform(col("os"), e => e("s")).as("toks"))
-    // p = n − ⌈τn⌉ + 1, with exact integer ceil ⌈a/b⌉ = (a+b−1) div b
-    // (floor of the double ratio is exact here: operands ≪ 2^53 and a
-    // non-integral k/tauDen sits ≥ 1/tauDen from any integer)
+
+  /** (doc_id, n_sh, s) prefix rows: the first n − ⌈τn⌉ + 1 (rarest)
+    * shingles of each ordered set — exact integer ceil
+    * ⌈a/b⌉ = (a+b−1) div b (floor of the double ratio is exact here:
+    * operands ≪ 2^53 and a non-integral k/tauDen sits ≥ 1/tauDen
+    * from any integer).
+    */
+  private[text] def prefixRows(ordered: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame = {
     val prefixLen =
       (col("n_sh") - floor((col("n_sh") * tauNum + tauDen - 1)
         .cast("double") / tauDen).cast("long") + 1).cast("int")
-    val prefixes = ordered
-      .select(col("doc_id"), col("n_sh"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
-          col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
+    ordered.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
+  }
+
+  /** Distinct candidate pairs from two prefix-row tables under the
+    * τ-length filter (`tauDen·min ≥ tauNum·max`); `strictLess` makes
+    * it a self-join (id_a < id_b) instead of a bipartite probe.
+    */
+  private def prefixCands(a: DataFrame, b: DataFrame, tauNum: Int,
+      tauDen: Int, strictLess: Boolean): DataFrame =
+    a.as("a").join(b.as("b"),
+      col("a.s") === col("b.s") &&
+        (if (strictLess) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
+        col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
+        col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+
+  def prefixJaccardPairs(docs: DataFrame, tauNum: Int, tauDen: Int,
+      shingleN: Int = 3): DataFrame = {
+    val inv = shingleInv(docs, shingleN)
+    val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = orderedSets(inv, dfTbl)
+    val prefixes = prefixRows(ordered, tauNum, tauDen)
+    val cand = prefixCands(prefixes, prefixes, tauNum, tauDen,
+      strictLess = true)
     val sets = ordered.select(col("doc_id"), col("n_sh"), col("toks"))
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -425,37 +456,128 @@ object TextOps {
     */
   def prefixCandidateCount(docs: DataFrame, tauNum: Int, tauDen: Int,
       shingleN: Int = 3): Long = {
-    // distinct (a,b) generated by the prefix index, mirroring the
-    // candidate stage above
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
-      .select(col("doc_id"),
-        hashedShingles(tokens(col("text")), shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .filter(col("n_sh") >= 1)
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val inv = shingleInv(docs, shingleN)
     val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val ordered = inv.join(dfTbl, "s")
-      .groupBy(col("doc_id"), col("n_sh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"))
-      .select(col("doc_id"), col("n_sh"),
-        transform(col("os"), e => e("s")).as("toks"))
-    // p = n − ⌈τn⌉ + 1, with exact integer ceil ⌈a/b⌉ = (a+b−1) div b
-    // (floor of the double ratio is exact here: operands ≪ 2^53 and a
-    // non-integral k/tauDen sits ≥ 1/tauDen from any integer)
-    val prefixLen =
-      (col("n_sh") - floor((col("n_sh") * tauNum + tauDen - 1)
-        .cast("double") / tauDen).cast("long") + 1).cast("int")
-    val prefixes = ordered
-      .select(col("doc_id"), col("n_sh"),
-        explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
-    prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
-          col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct().count()
+    val prefixes = prefixRows(orderedSets(inv, dfTbl), tauNum, tauDen)
+    prefixCands(prefixes, prefixes, tauNum, tauDen, strictLess = true)
+      .count()
+  }
+
+  /** The release-time prefix-dedup index of a base corpus: the
+    * ordered-sets table (persist as parquet) and the shingle-order
+    * relation (s, df) batches order THEIR shingles by. Both are what
+    * [[prefixAdmitVerdicts]] consumes — the EXACT-admission twin of
+    * the MinHash signature index.
+    */
+  def buildPrefixIndex(docs: DataFrame, shingleN: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val inv = shingleInv(docs, shingleN)
+    val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    (orderedSets(inv, dfTbl), dfTbl)
+  }
+
+  /** EXACT near-dup admission of a (small) batch against a base
+    * corpus's prefix index — the lossless twin of the MinHash-LSH
+    * admission (q107 / NearDupStream): a batch doc is REJECTED iff
+    * some base doc's Jaccard ≥ τ, with no probabilistic recall
+    * caveat, because the prefix lemma guarantees every qualifying
+    * (batch, base) pair shares a prefix shingle under the base's
+    * release-time (df asc, hash asc) order (any fixed total order is
+    * lossless; base-df order is the pruning heuristic, and batch
+    * shingles unknown to the base order as df 0 — genuinely rare).
+    * Output mirrors q107's verdicts: (doc_id, best_base, jaccard_e4,
+    * admit), best = max Jaccard, ties to the lowest base id.
+    *
+    * 100 TB posture: the index is touched by two passes per batch —
+    * the prefix probe (base prefix rows ⋈ BROADCAST batch prefixes)
+    * and the verification fetch (base sets ⋈ broadcast candidates) —
+    * and never enters an exchange; all shuffles are batch-sized.
+    */
+  def prefixAdmitVerdicts(batch: DataFrame, baseOrdered: DataFrame,
+      baseDf: DataFrame, tauNum: Int, tauDen: Int,
+      shingleN: Int = 3): DataFrame = {
+    val batchOrdered =
+      orderedSets(shingleInv(batch, shingleN), baseDf)
+    val basePrefix = prefixRows(baseOrdered, tauNum, tauDen)
+    val batchPrefix = prefixRows(batchOrdered, tauNum, tauDen)
+    val cands = prefixCands(basePrefix, broadcast(batchPrefix), tauNum,
+      tauDen, strictLess = false)
+      .select(col("id_a").as("id_b_base"), col("id_b").as("id_d"))
+    val scored = baseOrdered
+      .select(col("doc_id").as("id_b_base"),
+        col("n_sh").cast("long").as("nb"), col("toks").as("tb"))
+      .join(broadcast(cands), Seq("id_b_base"))
+      .join(broadcast(batchOrdered.select(col("doc_id").as("id_d"),
+        col("n_sh").cast("long").as("nd"), col("toks").as("td"))),
+        Seq("id_d"))
+      .withColumn("common",
+        size(array_intersect(col("tb"), col("td"))).cast("long"))
+      .filter(col("common") * tauDen >=
+        (col("nb") + col("nd") - col("common")) * tauNum)
+      .withColumn("jaccard_e4",
+        round(col("common").cast("double") * 10000 /
+          (col("nb") + col("nd") - col("common"))).cast("long"))
+    // best base match per batch doc: max e4 score, ties to the lowest
+    // base id (negated inside the struct-max) — q107's rule
+    val best = scored.groupBy(col("id_d"))
+      .agg(max(struct(col("jaccard_e4").as("j"),
+        (-col("id_b_base")).as("nid"))).as("m"))
+      .select(col("id_d"), (-col("m.nid")).as("best_base"),
+        col("m.j").as("jaccard_e4"))
+    batch.select(col("doc_id"))
+      .join(broadcast(best), col("doc_id") === col("id_d"), "left")
+      .select(col("doc_id"), col("best_base"), col("jaccard_e4"),
+        col("best_base").isNull.as("admit"))
+  }
+
+  /** Corpus-wide LINE-level deduplication — the C4 preprocessing rule
+    * (Raffel et al., "Exploring the Limits of Transfer Learning",
+    * §2.2: any line occurring more than once in the corpus is kept
+    * only once): boilerplate lines (cookie banners, nav, footers)
+    * repeat across millions of pages and survive document-level
+    * near-dup, so training pipelines dedup at line granularity too.
+    * Keep-FIRST semantics: the occurrence with the smallest
+    * (doc_id, position) — encoded as the single integer key
+    * `doc_id·1e6 + pos`, exact in both engines — survives; every
+    * other occurrence (cross-doc AND within-doc repeats) is dropped.
+    * Returns one row per input doc: line count, kept count, and
+    * `kept_sig` = md5 over the kept lines' DIGESTS joined in position
+    * order (docs whose every line was seen earlier keep md5('')).
+    *
+    * 100 TB posture: the line TEXT never leaves its scan — it is
+    * digested in place and every downstream stage (keeper aggregate,
+    * survival join, per-doc signature) moves 32-byte digests and
+    * integer keys only (the q30 rule, held through the WHOLE plan:
+    * an earlier draft reconstructed kept text and shuffled document
+    * bytes twice for it; the signature carries the same
+    * content+order evidence for free). The keeper is a map-side-
+    * combined min aggregate + equi join — never a window over the
+    * corpus's line table. A caller needing the deduped text back
+    * joins the (doc_id, pos) survivors against its own line relation
+    * co-partitioned by doc_id.
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+        .as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(col("line")).as("lh"))
+      .withColumn("rank_key", col("doc_id") * 1000000L + col("pos"))
+    val keeper = lines.groupBy(col("lh"))
+      .agg(min(col("rank_key")).as("keep_key"))
+    val kept = lines.join(keeper, "lh")
+      .filter(col("rank_key") === col("keep_key"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        md5(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("pos"), col("lh")))),
+            e => e("lh")))).as("kept_sig"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_sig"), md5(lit(""))).as("kept_sig"))
   }
 
   /** Benchmark-contamination probe — the decontamination step of a

@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite {
       s"both rankings must keep their partial top-k phase:\n$p")
   }
 
+  test("q150 line dedup: min-keeper aggregate + equi join, no window") {
+    val p = plan(TextQueries.q150(spark, dir))
+    assert(!p.contains("Window"),
+      s"q150 picks keepers through a window over the line table:\n$p")
+    assert(p.contains("partial_min"),
+      s"the keeper min lost its map-side partial phase:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
