@@ -781,7 +781,74 @@ object MultimodalQueries {
       |    i -> i * px[i + 1])) AS BIGINT) AS wsum_val
       |FROM px ORDER BY media_id""".stripMargin
 
+  // ---- q151: MP4/ISO-BMFF container probe (video metadata, real) ----
+  // The video half of multimodal curation that runs WITHOUT a codec:
+  // duration/timescale/track-count/resolution come from a real
+  // pre-order box walk over hand-written BMFF payloads (ftyp + moov
+  // (mvhd + n trak(tkhd)) + mdat), so length/resolution filters and
+  // sampling plans are metadata passes — pixel decode stays the
+  // labeled fmt='gm' fallback, now shrunk to exactly that. The
+  // order-sensitive wsum over walk-order box sizes catches a
+  // traversal that visits the right boxes in the wrong order or
+  // mis-sizes one; the DuckDB oracle recomputes every field AND the
+  // full size list closed-form from doc_id (all integer arithmetic,
+  // duration_ms = dur·1000 div timescale).
+  //
+  // 100 TB posture: map-only probe, payloads never shuffled, 10
+  // compact columns out; only the final oracle orderBy exchanges.
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Mp4
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val n = (1 + id % 3).toInt
+        val dims = (0 until n).map(k =>
+          ((320 + 16 * k + (id % 8) * 4).toInt,
+            (240 + 8 * k + (id % 6) * 4).toInt))
+        val payload = Mp4.encode(
+          if (id % 2 == 0) "isom" else "mp42",
+          1000 + (id % 10) * 100, 3000 + id % 50000, dims,
+          (100 + id % 900).toInt)
+        // a probe failure DROPS the row -> row-count mismatch reds
+        // the gate loudly instead of fabricating metadata
+        Mp4.probe(id, payload)
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q151Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |    1000 + (doc_id % 10) * 100 AS ts,
+      |    3000 + doc_id % 50000 AS dur,
+      |    1 + doc_id % 3 AS n,
+      |    100 + doc_id % 900 AS mlen
+      |  FROM documents
+      |), s AS (
+      |  SELECT *, list_concat(list_concat(
+      |    [CAST(24 AS BIGINT), CAST(116 + 100 * n AS BIGINT),
+      |     CAST(108 AS BIGINT)],
+      |    flatten(list_transform(range(0, CAST(n AS BIGINT)),
+      |      k -> [CAST(100 AS BIGINT), CAST(92 AS BIGINT)]))),
+      |    [CAST(8 + mlen AS BIGINT)]) AS sizes
+      |  FROM g
+      |)
+      |SELECT media_id, brand, CAST(ts AS BIGINT) AS timescale,
+      |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+      |  CAST(n AS BIGINT) AS n_tracks,
+      |  CAST(320 + (media_id % 8) * 4 AS BIGINT) AS w0,
+      |  CAST(240 + (media_id % 6) * 4 AS BIGINT) AS h0,
+      |  CAST(mlen AS BIGINT) AS mdat_bytes,
+      |  CAST(len(sizes) AS BIGINT) AS n_boxes,
+      |  CAST(list_sum(list_transform(
+      |    range(0, CAST(len(sizes) AS BIGINT)),
+      |    i -> i * sizes[i + 1])) AS BIGINT) AS wsum_boxes
+      |FROM s ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_mp4_probe" -> (q151 _),
     "q148_gif_decode" -> (q148 _),
     "q146_audio_pitch" -> (q146 _),
     "q137_tar_samples" -> (q137 _),
@@ -799,6 +866,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_mp4_probe" -> q151Sql,
     "q148_gif_decode" -> q148Sql,
     "q146_audio_pitch" -> q146Sql,
     "q137_tar_samples" -> q137Sql,

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Mp4]] (q151) — BMFF box walk: field extraction, pre-order
+  * walk-order statistics, unknown-box skipping, and malformation
+  * rejection.
+  */
+class Mp4Spec extends AnyFunSuite {
+
+  private def enc(nTracks: Int = 2, mdat: Int = 50) =
+    Mp4.encode("isom", 600L, 1800L,
+      (0 until nTracks).map(k => (640 + k, 360 + k)), mdat)
+
+  test("probe extracts every planted field") {
+    val m = Mp4.probe(7L, enc()).get
+    assert(m.media_id === 7L)
+    assert(m.brand === "isom")
+    assert(m.timescale === 600L)
+    assert(m.duration_ms === 1800L * 1000 / 600) // exactly 3000
+    assert(m.n_tracks === 2L)
+    assert(m.w0 === 640L && m.h0 === 360L, "first track's 16.16 dims")
+    assert(m.mdat_bytes === 50L)
+  }
+
+  test("walk-order statistics: pre-order sizes, 0-based index") {
+    val m = Mp4.probe(0L, enc(nTracks = 1, mdat = 10)).get
+    // walk order: ftyp(24), moov(216), mvhd(108), trak(100),
+    // tkhd(92), mdat(18)
+    val sizes = Seq(24L, 216L, 108L, 100L, 92L, 18L)
+    assert(m.n_boxes === sizes.length.toLong)
+    assert(m.wsum_boxes ===
+      sizes.zipWithIndex.map { case (s, i) => i.toLong * s }.sum)
+  }
+
+  test("unknown top-level boxes are skipped by size but counted") {
+    val base = enc(nTracks = 1, mdat = 10)
+    // splice a 16-byte 'free' box between ftyp (24 bytes) and moov
+    val free = Array[Byte](0, 0, 0, 16, 'f', 'r', 'e', 'e',
+      1, 2, 3, 4, 5, 6, 7, 8)
+    val spliced = base.take(24) ++ free ++ base.drop(24)
+    val m = Mp4.probe(1L, spliced).get
+    assert(m.n_boxes === 7L, "the free box joins the walk")
+    assert(m.brand === "isom" && m.n_tracks === 1L,
+      "fields unaffected by the splice")
+  }
+
+  test("malformed payloads are rejected, not thrown") {
+    assert(Mp4.probe(0L, Array.empty[Byte]).isEmpty)
+    assert(Mp4.probe(0L, "notanmp4".getBytes).isEmpty)
+    val good = enc()
+    assert(Mp4.probe(0L, good.take(40)).isEmpty, "truncated moov")
+    // a box whose size overruns the buffer must reject
+    val bad = good.clone()
+    bad(0) = 0x7f.toByte // ftyp size becomes enormous
+    assert(Mp4.probe(0L, bad).isEmpty)
+    // mvhd version 1 (64-bit times) is out of this probe's scope
+    val v1 = good.clone()
+    v1(24 + 8 + 8) = 1 // version byte of mvhd (ftyp 24 + moov hdr 8 + mvhd hdr 8)
+    assert(Mp4.probe(0L, v1).isEmpty)
+  }
+}

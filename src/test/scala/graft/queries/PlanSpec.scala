@@ -125,6 +125,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
   }
 
+  test("q151 MP4 probe is narrow: payloads never shuffle") {
+    val p = plan(MultimodalQueries.q151(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"q151 grew a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges == range,
+      s"q151 grew a data shuffle beyond the output sort:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
