@@ -847,7 +847,105 @@ object MultimodalQueries {
       |    i -> i * sizes[i + 1])) AS BIGINT) AS wsum_boxes
       |FROM s ORDER BY media_id""".stripMargin
 
+  // ---- q152: TIFF/EXIF IFD metadata probe (both byte orders) ----
+  // The image twin of q151's container walk: width/height/
+  // orientation/make out of the IFD without decoding pixels. The
+  // planted corpus ALTERNATES "II" and "MM" byte orders, so an
+  // engine that hard-codes one endianness hash-fails half the gate;
+  // ASCII tags dereference their value offset like real writers
+  // emit them, and the probe enforces the spec's ascending-tag-order
+  // rule. Every field plus the order-sensitive tag wsum is
+  // recomputed closed-form by the DuckDB oracle.
+  //
+  // 100 TB posture: map-only probe, payloads never shuffled, compact
+  // typed rows out; only the final oracle orderBy exchanges.
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Tiff
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val payload = Tiff.encode(
+          littleEndian = id % 2 == 0,
+          width = (100 + id % 500).toInt,
+          height = (80 + id % 400).toInt,
+          bps = (8 + (id % 2) * 8).toInt,
+          orientation = (1 + id % 8).toInt,
+          make = s"CAM${id % 10}")
+        Tiff.probe(id, payload) // a failure drops the row -> red gate
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q152Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+      |  CAST(100 + doc_id % 500 AS BIGINT) AS width,
+      |  CAST(80 + doc_id % 400 AS BIGINT) AS height,
+      |  CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS bps,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  'CAM' || CAST(doc_id % 10 AS VARCHAR) AS make,
+      |  CAST(5 AS BIGINT) AS n_entries,
+      |  CAST(0 * 256 + 1 * 257 + 2 * 258 + 3 * 271 + 4 * 274 AS BIGINT)
+      |    AS wsum_tags
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q153: WARC-style multi-member gzip explode ----
+  // The Common-Crawl ingest boundary: crawl archives are CONCATENATED
+  // gzip members (one record per member, seekable by design), and
+  // GZIPInputStream hides the boundaries — so the walk is manual:
+  // per-member header parse (FNAME handled; FEXTRA/FCOMMENT/FHCRC
+  // skipped by spec), raw Inflater per member, CRC32 + ISIZE trailer
+  // verification, exact compressed-length advance. Encoder writes
+  // headers by hand; bodies are lossless through gzip, so the DuckDB
+  // oracle recomputes every member's name/size/md5 closed-form from
+  // doc_id — boundary drift, trailer bugs, or a swallowed member
+  // hash-fail. A shard failing any checksum quarantines WHOLE.
+  //
+  // 100 TB posture: identical to q136/q137 — narrow member walk,
+  // payloads never shuffled, compact typed rows out; only the final
+  // oracle orderBy exchanges.
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.GzipMembers
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val members = (0 until (1 + id % 4).toInt).map { j =>
+          val name = if (j % 2 == 0) s"rec$j.warc" else null
+          val body = ("doc " + id + " record " + j + " ") *
+            (1 + (id + j) % 6).toInt
+          (name, body.getBytes("UTF-8"))
+        }
+        GzipMembers.walk(id, GzipMembers.encodeMembers(members))
+          .getOrElse(Vector.empty) // drop-on-failure -> red gate
+      }
+      .toDF()
+      .orderBy(col("media_id"), col("member"))
+  }
+
+  val q153Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id AS media_id, u.j
+      |  FROM documents,
+      |    unnest(range(0, CAST(1 + doc_id % 4 AS BIGINT))) AS u(j)
+      |), m AS (
+      |  SELECT media_id, j,
+      |    CASE WHEN j % 2 = 0 THEN 'rec' || CAST(j AS VARCHAR) || '.warc'
+      |         ELSE '' END AS name,
+      |    repeat('doc ' || CAST(media_id AS VARCHAR) || ' record ' ||
+      |      CAST(j AS VARCHAR) || ' ',
+      |      CAST(1 + (media_id + j) % 6 AS BIGINT)) AS body
+      |  FROM g
+      |)
+      |SELECT media_id, CAST(j AS BIGINT) AS member, name,
+      |  CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+      |  md5(body) AS body_md5,
+      |  CAST(1 + media_id % 4 AS BIGINT) AS n_members
+      |FROM m ORDER BY media_id, member""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_warc_members" -> (q153 _),
+    "q152_tiff_probe" -> (q152 _),
     "q151_mp4_probe" -> (q151 _),
     "q148_gif_decode" -> (q148 _),
     "q146_audio_pitch" -> (q146 _),
@@ -866,6 +964,8 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_warc_members" -> q153Sql,
+    "q152_tiff_probe" -> q152Sql,
     "q151_mp4_probe" -> q151Sql,
     "q148_gif_decode" -> q148Sql,
     "q146_audio_pitch" -> q146Sql,

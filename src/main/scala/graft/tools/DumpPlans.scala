@@ -175,7 +175,9 @@ object DumpPlans {
       "q148_gif_decode" -> "real GIF decode via the JDK ImageIO LZW reader (hand-written encoder, narrow batches, palette-aware luma, output-only sort)",
       "q149_sq8_recall" -> "int8 scalar-quantization recall audit (64-value broadcast scale vector, dequantized L2 vs exact L2 on the bounded panel)",
       "q150_line_dedup" -> "C4-style corpus-wide line dedup (digest-keyed shuffles, map-side-combined min keeper + equi join, no window)",
-      "q151_mp4_probe" -> "MP4/BMFF container probe (map-only pre-order box walk, payloads never shuffled, output-only sort)")
+      "q151_mp4_probe" -> "MP4/BMFF container probe (map-only pre-order box walk, payloads never shuffled, output-only sort)",
+      "q152_tiff_probe" -> "TIFF/EXIF IFD probe, both byte orders (map-only walk, ASCII offsets dereferenced, output-only sort)",
+      "q153_warc_members" -> "WARC-style multi-member gzip explode (per-member raw inflate + trailer verify, narrow walk, output-only sort)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

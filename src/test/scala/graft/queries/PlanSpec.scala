@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite {
       s"q151 grew a data shuffle beyond the output sort:\n$p")
   }
 
+  test("q152/q153 container walks are narrow: payloads never shuffle") {
+    for ((name, df) <- Seq(
+        "q152" -> MultimodalQueries.q152(spark, dir),
+        "q153" -> MultimodalQueries.q153(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"), s"$name grew a join:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      val range = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+      assert(exchanges == range,
+        s"$name grew a data shuffle beyond the output sort:\n$p")
+    }
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
