@@ -943,7 +943,72 @@ object MultimodalQueries {
       |  CAST(1 + media_id % 4 AS BIGINT) AS n_members
       |FROM m ORDER BY media_id, member""".stripMargin
 
+  // ---- q154: TFRecord framing + protobuf wire-format walk ----
+  // The TensorFlow data boundary: training shards are TFRecord files
+  // (u64le length + masked-CRC32C of the length + payload +
+  // masked-CRC32C of the payload; mask = rot15 + 0xa282ead8, CRC32C
+  // from the JDK) whose payloads are protobuf messages. Both layers
+  // walk for real: framing verifies BOTH checksums per record and
+  // quarantines the shard whole on any failure (the q153 rule);
+  // the payload walk is a generic protobuf field scan (varint
+  // decode, unknown fields skipped by wire type) extracting field 1
+  // (varint) and field 2 (length-delimited -> md5). The DuckDB
+  // oracle recomputes field values, payload lengths INCLUDING the
+  // varint-width arithmetic, and digests closed-form from doc_id —
+  // so a varint encoder/decoder disagreement surfaces as a length
+  // mismatch, not silence.
+  //
+  // 100 TB posture: identical to q136/q137/q153 — narrow record
+  // walk, payloads never shuffled, compact typed rows out; only the
+  // final oracle orderBy exchanges.
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Tfrecord
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val payloads = (0 until (1 + id % 5).toInt).map { j =>
+          val body = ("doc " + id + " example " + j + " ") *
+            (1 + (id + j) % 6).toInt
+          Tfrecord.encodeExample(id * 3 + j, body.getBytes("UTF-8"))
+        }
+        Tfrecord.walk(id, Tfrecord.encodeShard(payloads))
+          .getOrElse(Vector.empty) // drop-on-failure -> red gate
+      }
+      .toDF()
+      .orderBy(col("media_id"), col("rec"))
+  }
+
+  val q154Sql: String = {
+    val vlen = (e: String) =>
+      s"""(CASE WHEN $e < 128 THEN 1 WHEN $e < 16384 THEN 2
+         |      WHEN $e < 2097152 THEN 3 WHEN $e < 268435456 THEN 4
+         |      ELSE 5 END)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id AS media_id, u.j
+       |  FROM documents,
+       |    unnest(range(0, CAST(1 + doc_id % 5 AS BIGINT))) AS u(j)
+       |), m AS (
+       |  SELECT media_id, j, media_id * 3 + j AS f1,
+       |    repeat('doc ' || CAST(media_id AS VARCHAR) || ' example ' ||
+       |      CAST(j AS VARCHAR) || ' ',
+       |      CAST(1 + (media_id + j) % 6 AS BIGINT)) AS body
+       |  FROM g
+       |), s AS (
+       |  SELECT media_id, j, f1,
+       |    CAST(octet_length(encode(body)) AS BIGINT) AS blen,
+       |    md5(body) AS f2_md5
+       |  FROM m
+       |)
+       |SELECT media_id, CAST(j AS BIGINT) AS rec,
+       |  CAST(2 + ${vlen("f1")} + ${vlen("blen")} + blen AS BIGINT)
+       |    AS n_bytes,
+       |  CAST(f1 AS BIGINT) AS f1, f2_md5,
+       |  CAST(1 + media_id % 5 AS BIGINT) AS n_records
+       |FROM s ORDER BY media_id, rec""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_tfrecord" -> (q154 _),
     "q153_warc_members" -> (q153 _),
     "q152_tiff_probe" -> (q152 _),
     "q151_mp4_probe" -> (q151 _),
@@ -964,6 +1029,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_tfrecord" -> q154Sql,
     "q153_warc_members" -> q153Sql,
     "q152_tiff_probe" -> q152Sql,
     "q151_mp4_probe" -> q151Sql,

@@ -177,7 +177,8 @@ object DumpPlans {
       "q150_line_dedup" -> "C4-style corpus-wide line dedup (digest-keyed shuffles, map-side-combined min keeper + equi join, no window)",
       "q151_mp4_probe" -> "MP4/BMFF container probe (map-only pre-order box walk, payloads never shuffled, output-only sort)",
       "q152_tiff_probe" -> "TIFF/EXIF IFD probe, both byte orders (map-only walk, ASCII offsets dereferenced, output-only sort)",
-      "q153_warc_members" -> "WARC-style multi-member gzip explode (per-member raw inflate + trailer verify, narrow walk, output-only sort)")
+      "q153_warc_members" -> "WARC-style multi-member gzip explode (per-member raw inflate + trailer verify, narrow walk, output-only sort)",
+      "q154_tfrecord" -> "TFRecord framing + protobuf wire walk (masked CRC32C per record, varint field scan, narrow, output-only sort)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

@@ -138,7 +138,8 @@ class PlanSpec extends AnyFunSuite {
   test("q152/q153 container walks are narrow: payloads never shuffle") {
     for ((name, df) <- Seq(
         "q152" -> MultimodalQueries.q152(spark, dir),
-        "q153" -> MultimodalQueries.q153(spark, dir))) {
+        "q153" -> MultimodalQueries.q153(spark, dir),
+        "q154" -> MultimodalQueries.q154(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("SortMergeJoin"), s"$name grew a join:\n$p")
