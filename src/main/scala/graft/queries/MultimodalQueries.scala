@@ -1007,7 +1007,111 @@ object MultimodalQueries {
        |FROM s ORDER BY media_id, rec""".stripMargin
   }
 
+  // ---- q155: perceptual AUDIO near-dup (energy-delta hash) ----
+  // Completes the near-dup triad across modalities (text q31/q49,
+  // image q140, audio THIS): planted WAVs decode for REAL
+  // (Codecs.decodeWavSamples — the q146 seam) to AudioHash's 64-bit
+  // sign-of-energy-delta fingerprint as four 16-bit limbs, then the
+  // SAME banded Hamming machinery as q140 (limb keys,
+  // cappedSelfJoinPairs, pigeonhole-exhaustive at hamming <= 3).
+  // Scene mix mirrors q140's: families of 4 (doc_id // 4) plant a
+  // base signal, a gain-doubled copy (hamming 0 — energy scaling
+  // preserves every comparison INCLUDING ties, the brightness-
+  // invariance analogue), a 2-frame splice (<= 3 bits), and an
+  // unrelated signal (~32 bits, never passes). All integer
+  // arithmetic, so the DuckDB oracle recomputes energies -> bits ->
+  // limbs -> banded pairs bit-exactly from doc_id.
+  //
+  // 100 TB posture: map-only decode+hash (payloads never shuffled);
+  // the banded self-join moves (id, 4 limbs, bucket) rows only;
+  // family mix keeps true-pair volume LINEAR in corpus size.
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.{AudioHash, Codecs}
+    val hashes = tbl(spark, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val f = id / 4
+        val m = id % 4
+        // square mix (v -> v^2 % 1000003 % 4001) — the q140 scatter:
+        // a raw LCG leaves families phase-correlated (measured 2,468
+        // pairs at sf0.01 vs ~375 planted; cross-family fingerprints
+        // collide through the shared arithmetic-progression shape),
+        // squaring decorrelates frames and families
+        val sample: Int => Int = { i =>
+          val v =
+            if (m == 3) (f * 1579032867L + i * 97003L + 7) % 1000003L
+            else if (m == 2 && i >= 480 && i < 512)
+              (f * 2654435761L + i * 40503L + 911) % 1000003L
+            else (f * 2654435761L + i * 40503L) % 1000003L
+          val base = (v * v % 1000003L % 4001L - 2000L).toInt
+          if (m == 1) 2 * base else base
+        }
+        val wav = Codecs.encodeWav(8000, AudioHash.MinSamples, sample)
+        for {
+          (_, smp) <- Codecs.decodeWavSamples(wav)
+          l <- AudioHash.limbs(smp)
+        } yield (id, l(0), l(1), l(2), l(3))
+      }
+      .toDF("media_id", "l0", "l1", "l2", "l3")
+      .repartition(col("media_id")) // barrier: self-join sides share it
+    val banded = hashes.select(col("media_id"),
+      col("l0"), col("l1"), col("l2"), col("l3"),
+      explode(limbKeys).as("bk"))
+    graft.operators.Buckets
+      .cappedSelfJoinPairs(banded, "media_id", "bk", 100000L)
+      .select(
+        col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        hamming("a", "b").cast("long").as("hamming"))
+      .filter(col("hamming") <= MaxHam)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q155Sql: String = {
+    // planted sample value at index i (scale applied), abs folded in
+    // the energy sum; ev = 65 frame energies; bit b = ev[b+2]>ev[b+1]
+    val v =
+      """(CASE WHEN media_id % 4 = 3
+        |     THEN ((media_id // 4) * 1579032867 + i * 97003 + 7) % 1000003
+        |     WHEN media_id % 4 = 2 AND i >= 480 AND i < 512
+        |     THEN ((media_id // 4) * 2654435761 + i * 40503 + 911) % 1000003
+        |     ELSE ((media_id // 4) * 2654435761 + i * 40503) % 1000003
+        |   END)""".stripMargin
+    val sampleAbs =
+      s"""abs((CASE WHEN media_id % 4 = 1 THEN 2 ELSE 1 END) *
+         |  ($v * $v % 1000003 % 4001 - 2000))""".stripMargin
+    def limb(l: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN ev[${16 * l} + j + 2] > ev[${16 * l} + j + 1]
+         |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS l$l""".stripMargin
+    val ham = (0 until 4)
+      .map(l => s"bit_count(xor(a.l$l, b.l$l))").mkString(" + ")
+    val branch = (l: Int) =>
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST($ham AS BIGINT) AS hamming
+         |  FROM h a JOIN h b
+         |    ON a.l$l = b.l$l AND a.media_id < b.media_id""".stripMargin
+    s"""WITH ecte AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(range(0, 65), k ->
+       |      CAST(list_sum(list_transform(range(k * 16, k * 16 + 16),
+       |        i -> $sampleAbs)) AS BIGINT)) AS ev
+       |  FROM documents
+       |), h AS (
+       |  SELECT media_id,
+       |    ${(0 until 4).map(limb).mkString(",\n    ")}
+       |  FROM ecte
+       |), cand AS (
+       |  ${(0 until 4).map(branch).mkString("\n  UNION\n  ")}
+       |)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $MaxHam
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_audio_neardup" -> (q155 _),
     "q154_tfrecord" -> (q154 _),
     "q153_warc_members" -> (q153 _),
     "q152_tiff_probe" -> (q152 _),
@@ -1029,6 +1133,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_audio_neardup" -> q155Sql,
     "q154_tfrecord" -> q154Sql,
     "q153_warc_members" -> q153Sql,
     "q152_tiff_probe" -> q152Sql,

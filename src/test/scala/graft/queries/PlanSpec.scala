@@ -150,6 +150,10 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 audio near-dup pair generation is a bucketed equi join") {
+    assertNoAllPairs(MultimodalQueries.q155(spark, dir), "q155")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
