@@ -1025,10 +1025,14 @@ object MultimodalQueries {
   // 100 TB posture: map-only decode+hash (payloads never shuffled);
   // the banded self-join moves (id, 4 limbs, bucket) rows only;
   // family mix keeps true-pair volume LINEAR in corpus size.
-  def q155(spark: SparkSession, dir: String): DataFrame = {
+  /** The audio fingerprint table (media_id, l0-l3): planted scene
+    * WAVs decoded for REAL and hashed — shared by q155 (pairs) and
+    * q156 (audit), the dhashMediaFromDocuments pattern.
+    */
+  private def audioHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{AudioHash, Codecs}
-    val hashes = tbl(spark, dir, "documents")
+    tbl(spark, dir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val f = id / 4
@@ -1054,6 +1058,10 @@ object MultimodalQueries {
         } yield (id, l(0), l(1), l(2), l(3))
       }
       .toDF("media_id", "l0", "l1", "l2", "l3")
+  }
+
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = audioHashes(spark, dir)
       .repartition(col("media_id")) // barrier: self-join sides share it
     val banded = hashes.select(col("media_id"),
       col("l0"), col("l1"), col("l2"), col("l3"),
@@ -1068,7 +1076,11 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val q155Sql: String = {
+  /** Shared oracle CTE chain for the audio fingerprint (planted
+    * sample abs -> 65 frame energies -> limbs), the dhashCte pattern:
+    * one definition for q155 and the q156 audit.
+    */
+  private val audioHashCte: String = {
     // planted sample value at index i (scale applied), abs folded in
     // the energy sum; ev = 65 frame energies; bit b = ev[b+2]>ev[b+1]
     val v =
@@ -1085,14 +1097,7 @@ object MultimodalQueries {
       s"""CAST(list_sum(list_transform(range(0, 16), j ->
          |      CASE WHEN ev[${16 * l} + j + 2] > ev[${16 * l} + j + 1]
          |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS l$l""".stripMargin
-    val ham = (0 until 4)
-      .map(l => s"bit_count(xor(a.l$l, b.l$l))").mkString(" + ")
-    val branch = (l: Int) =>
-      s"""SELECT a.media_id AS id_a, b.media_id AS id_b,
-         |    CAST($ham AS BIGINT) AS hamming
-         |  FROM h a JOIN h b
-         |    ON a.l$l = b.l$l AND a.media_id < b.media_id""".stripMargin
-    s"""WITH ecte AS (
+    s"""ecte AS (
        |  SELECT doc_id AS media_id,
        |    list_transform(range(0, 65), k ->
        |      CAST(list_sum(list_transform(range(k * 16, k * 16 + 16),
@@ -1102,7 +1107,18 @@ object MultimodalQueries {
        |  SELECT media_id,
        |    ${(0 until 4).map(limb).mkString(",\n    ")}
        |  FROM ecte
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  val q155Sql: String = {
+    val ham = (0 until 4)
+      .map(l => s"bit_count(xor(a.l$l, b.l$l))").mkString(" + ")
+    val branch = (l: Int) =>
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST($ham AS BIGINT) AS hamming
+         |  FROM h a JOIN h b
+         |    ON a.l$l = b.l$l AND a.media_id < b.media_id""".stripMargin
+    s"""WITH $audioHashCte, cand AS (
        |  ${(0 until 4).map(branch).mkString("\n  UNION\n  ")}
        |)
        |SELECT id_a, id_b, hamming FROM cand
@@ -1110,7 +1126,76 @@ object MultimodalQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q156: audio near-dup recall audit (anchored) ----
+  // The q141 posture for the audio family: BEFORE trusting q155's
+  // limb-collision band above its pigeonhole-exhaustive range
+  // (hamming <= 3), measure — per fixed-size anchor — what fraction
+  // of the EXACT hamming<=MaxHam neighbor set the band surfaces.
+  // Every approximate path in this engine ships its own measurement
+  // (q105/q123/q126/q127/q128/q135/q141, and now this); the anchor
+  // panel is bounded (media_id % 25 = 0 AND < 25000), so the exact
+  // side is LINEAR in the corpus and replica-gateable.
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = audioHashes(spark, dir)
+      .persist() // anchors + exact + banded sides are sibling readers
+    hashes.count()
+    val anchors = hashes
+      .filter(col("media_id") % 25 === 0 && col("media_id") < 25000)
+      .select(col("media_id").as("aid"), col("l0").as("al0"),
+        col("l1").as("al1"), col("l2").as("al2"), col("l3").as("al3"))
+    val hamA = (0 until 4).map(l =>
+      bit_count(col(s"al$l").bitwiseXOR(col(s"l$l")))).reduce(_ + _)
+    val ex = hashes.join(broadcast(anchors),
+        col("aid") =!= col("media_id"))
+      .filter(hamA <= MaxHam)
+      .groupBy(col("aid").as("anchor_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val aKeys = anchors.select(col("aid"), col("al0"), col("al1"),
+      col("al2"), col("al3"),
+      explode(array((0 until 4).map(l =>
+        lit(l) * 65536 + col(s"al$l")): _*)).as("bk"))
+    val dKeys = hashes.select(col("media_id"),
+      col("l0"), col("l1"), col("l2"), col("l3"),
+      explode(limbKeys).as("bk"))
+    val hits = dKeys.join(broadcast(aKeys), Seq("bk"))
+      .filter(col("aid") =!= col("media_id"))
+      .filter(hamA <= MaxHam)
+      .select(col("aid"), col("media_id")).distinct()
+      .groupBy(col("aid")).agg(count(lit(1)).as("n_hit"))
+    ex.join(hits, col("anchor_id") === col("aid"), "left")
+      .select(col("anchor_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_e6", expr("n_hit * 1000000 div n_exact"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val q156Sql: String = {
+    val hamAd = (0 until 4)
+      .map(l => s"bit_count(xor(a.l$l, d.l$l))").mkString(" + ")
+    s"""WITH $audioHashCte, anch AS (
+       |  SELECT * FROM h WHERE media_id % 25 = 0 AND media_id < 25000
+       |), ex AS (
+       |  SELECT a.media_id AS anchor_id, count(*) AS n_exact
+       |  FROM anch a JOIN h d ON d.media_id != a.media_id
+       |  WHERE $hamAd <= $MaxHam
+       |  GROUP BY 1
+       |), hit AS (
+       |  SELECT DISTINCT a.media_id AS anchor_id, d.media_id AS did
+       |  FROM anch a JOIN h d ON d.media_id != a.media_id
+       |   AND (a.l0 = d.l0 OR a.l1 = d.l1 OR a.l2 = d.l2 OR a.l3 = d.l3)
+       |  WHERE $hamAd <= $MaxHam
+       |), hc AS (
+       |  SELECT anchor_id, count(*) AS n_hit FROM hit GROUP BY 1
+       |)
+       |SELECT e.anchor_id, e.n_exact,
+       |  coalesce(hc.n_hit, 0) AS n_hit,
+       |  coalesce(hc.n_hit, 0) * 1000000 // e.n_exact AS recall_e6
+       |FROM ex e LEFT JOIN hc ON hc.anchor_id = e.anchor_id
+       |ORDER BY e.anchor_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_audio_neardup_audit" -> (q156 _),
     "q155_audio_neardup" -> (q155 _),
     "q154_tfrecord" -> (q154 _),
     "q153_warc_members" -> (q153 _),
@@ -1133,6 +1218,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_audio_neardup_audit" -> q156Sql,
     "q155_audio_neardup" -> q155Sql,
     "q154_tfrecord" -> q154Sql,
     "q153_warc_members" -> q153Sql,

@@ -154,6 +154,14 @@ class PlanSpec extends AnyFunSuite {
     assertNoAllPairs(MultimodalQueries.q155(spark, dir), "q155")
   }
 
+  test("q156 audio audit: broadcast panel probe, never a cartesian") {
+    val p = plan(MultimodalQueries.q156(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q156's panel probe must broadcast the anchor panel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q156 materializes a cartesian product:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
