@@ -3545,7 +3545,172 @@ object TextQueries {
       |FROM nl LEFT JOIN agg a ON a.doc_id = nl.doc_id
       |ORDER BY nl.doc_id""".stripMargin
 
+  // ---- q157: curation pipeline v2 (URL gate -> line dedup -> rules) ----
+  // The r14 stages composed into ONE query the way a production
+  // curation job runs them (q61 composed the r6-era stages; this
+  // extends the chain with the crawl-side front): per doc, the
+  // planted messy URL (q143's fixture) canonicalizes to a registrable
+  // domain and gates on the broadcast blocklist; survivors re-line
+  // (q150's fixture) and run corpus-wide keep-first line dedup —
+  // blocked docs are REMOVED FIRST so their lines never claim keeper
+  // slots; the surviving text then takes q61's language/quality rules
+  // and the salted split. One verdict row per doc, first failing rule
+  // as the reason (blocked > linedup > lang > quality); 'linedup' is
+  // the integer rule n_kept·2 < n_lines — a doc that lost half its
+  // lines to earlier docs is mostly boilerplate.
+  //
+  // 100 TB posture: the composition adds nothing beyond its most
+  // expensive member (q61's principle) — URL gate and signals are
+  // scan projections + one broadcast, the only wide work is q150's
+  // digest-keyed line machinery, and the final assembly joins on
+  // doc_id.
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    val s = (c: Column) => c.cast("string")
+    // q143's planted messy URL, reduced to the domain derivation the
+    // blocklist needs (host stops at ':' so ports never interfere)
+    val url = concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("Http")),
+      lit("://WwW.sItE"), s(id % 7), lit(".ExAmPle"),
+      when(id % 3 === 0,
+        when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/P/"), s(id),
+      when(id % 4 === 0, lit("?b=2&a=1&utm_source=x"))
+        .when(id % 4 === 1, lit("?z=9"))
+        .when(id % 4 === 2, lit("?utm_medium=m")).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("#Frag"), s(id))).otherwise(lit("")))
+    val host = lower(regexp_extract(regexp_replace(url, "#.*$", ""),
+      "^[A-Za-z]+://([^/:?#]+)", 1))
+    val domain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+    val blocklist = Seq("site0.example", "site3.example")
+      .toDF("blocked_domain")
+    val gated = docs.select(id, col("text"), domain.as("domain"))
+      .join(broadcast(blocklist),
+        col("domain") === col("blocked_domain"), "left")
+      .withColumn("blocked", col("blocked_domain").isNotNull)
+      .drop("blocked_domain")
+    val lineStats = TextOps.lineDedup(
+      withBoilerLines(gated.filter(!col("blocked"))
+        .select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"))
+    val signals = TextOps.withLanguageId(
+      gated.select(col("doc_id"), col("text")), col("text"), "lang_pred")
+      .withColumn("quality_e4", qualityE4Col)
+      .select(col("doc_id"), col("lang_pred"), col("quality_e4"))
+    gated
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(signals, Seq("doc_id"))
+      .withColumn("split", splitLabel(spark))
+      .withColumn("reason",
+        when(col("blocked"), "blocked")
+          .when(col("n_kept") * 2 < col("n_lines"), "linedup")
+          .when(col("lang_pred") === "und", "lang")
+          .when(col("quality_e4") < 5000, "quality"))
+      .select(col("doc_id"), col("domain"), col("blocked"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("lang_pred"), col("quality_e4"), col("split"),
+        col("reason"), col("reason").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q157Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) ||
+       |    '://WwW.sItE' || CAST(doc_id % 7 AS VARCHAR) || '.ExAmPle' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN
+       |            CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+       |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/P/' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1&utm_source=x'
+       |          WHEN doc_id % 4 = 1 THEN '?z=9'
+       |          WHEN doc_id % 4 = 2 THEN '?utm_medium=m' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '#Frag' || CAST(doc_id AS VARCHAR)
+       |          ELSE '' END) AS url
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, text, domain,
+       |    domain IN ('site0.example', 'site3.example') AS blocked
+       |  FROM (SELECT doc_id, text,
+       |          regexp_extract(
+       |            lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+       |              '^[A-Za-z]+://([^/:?#]+)', 1)),
+       |            '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain
+       |        FROM u)
+       |), relined AS (
+       |  SELECT doc_id,
+       |    'all rights reserved contact us today' || chr(10) ||
+       |    array_to_string(list_transform(
+       |      range(0, (len(toks) - 1) // 7 + 1),
+       |      k -> array_to_string(toks[k * 7 + 1 : k * 7 + 7], ' ')),
+       |      chr(10)) ||
+       |    chr(10) || 'subscribe to the newsletter now' AS text
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM b WHERE NOT blocked)
+       |), l AS (
+       |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line, len(ls) AS n_lines
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM relined),
+       |    unnest(range(1, len(ls) + 1)) AS u(i)
+       |), hh AS (
+       |  SELECT doc_id, pos, md5(line) AS lh,
+       |    doc_id * 1000000 + pos AS rank_key
+       |  FROM l
+       |), kk AS (
+       |  SELECT lh, min(rank_key) AS keep_key FROM hh GROUP BY lh
+       |), kept AS (
+       |  SELECT a.doc_id FROM hh a JOIN kk ON a.lh = kk.lh
+       |  WHERE a.rank_key = kk.keep_key
+       |), st AS (
+       |  SELECT nl.doc_id,
+       |    CAST(nl.n_lines AS BIGINT) AS n_lines,
+       |    CAST(coalesce(ag.n_kept, 0) AS BIGINT) AS n_kept
+       |  FROM (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+       |        FROM relined) nl
+       |  LEFT JOIN (SELECT doc_id, count(*) AS n_kept FROM kept
+       |             GROUP BY doc_id) ag ON ag.doc_id = nl.doc_id
+       |), t AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, lang_pred, quality_e4 FROM (
+       |    SELECT doc_id,
+       |      $langPredCaseSql AS lang_pred,
+       |      $qualityE4Sql AS quality_e4
+       |    FROM (SELECT doc_id,
+       |            $langHitsSql,
+       |            CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+       |              AS sum_len,
+       |            len(toks) AS n_tokens,
+       |            len(list_filter(toks,
+       |              t -> t IN ('the','a','of','and','is','to','in')))
+       |              AS stop_hits
+       |          FROM t))
+       |), j AS (
+       |  SELECT doc_id, b.domain, b.blocked,
+       |    st.n_lines, st.n_kept, p.lang_pred, p.quality_e4,
+       |    $splitCaseSql AS split,
+       |    CASE WHEN b.blocked THEN 'blocked'
+       |         WHEN st.n_kept * 2 < st.n_lines THEN 'linedup'
+       |         WHEN p.lang_pred = 'und' THEN 'lang'
+       |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason
+       |  FROM b
+       |  LEFT JOIN st USING (doc_id)
+       |  JOIN p USING (doc_id)
+       |)
+       |SELECT doc_id, domain, blocked,
+       |  coalesce(n_lines, 0) AS n_lines,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  lang_pred, quality_e4, split, reason,
+       |  reason IS NULL AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_curation_v2" -> (q157 _),
     "q150_line_dedup" -> (q150 _),
     "q145_prefix_join" -> (q145 _),
     "q143_url_canonicalize" -> (q143 _),
@@ -3605,6 +3770,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_curation_v2" -> q157Sql,
     "q150_line_dedup" -> q150Sql,
     "q145_prefix_join" -> q145Sql,
     "q143_url_canonicalize" -> q143Sql,

@@ -180,7 +180,8 @@ object DumpPlans {
       "q153_warc_members" -> "WARC-style multi-member gzip explode (per-member raw inflate + trailer verify, narrow walk, output-only sort)",
       "q154_tfrecord" -> "TFRecord framing + protobuf wire walk (masked CRC32C per record, varint field scan, narrow, output-only sort)",
       "q155_audio_neardup" -> "perceptual audio near-dup (real decode -> energy-delta limbs, banded Hamming bucket join, never all-pairs)",
-      "q156_audio_neardup_audit" -> "audio near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)")
+      "q156_audio_neardup_audit" -> "audio near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)",
+      "q157_curation_v2" -> "composed curation v2 (broadcast URL blocklist -> q150 digest-keyed line dedup -> map-only signals; wide work = the line machinery only)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

@@ -162,6 +162,16 @@ class PlanSpec extends AnyFunSuite {
       s"q156 materializes a cartesian product:\n$p")
   }
 
+  test("q157 curation v2: broadcast blocklist, no window, no cartesian") {
+    val p = plan(TextQueries.q157(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the blocklist dim must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"q157 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }
