@@ -172,7 +172,19 @@ object Bench {
     // count()-based totals are NOT comparable 1:1 (SCALE.md bridge:
     // 38.0 s count-semantics vs 69.5 s as-declared pre-optimization
     // on one tree; 57.2 s after the r8 native scalars)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"over_expect":$ratioJson,"over_expect_median":${f"$ratioMedian%.2f"},"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work"}""")
+    // key order matters for the ARCHIVED artifact: the driver captures
+    // only the tail of stdout (r14's crop lost everything before the
+    // over_expect map, including the headline total), so the two big
+    // per-query maps lead and every headline scalar (total, failed,
+    // contended) trails — a tail crop of any length keeps the
+    // headline. The full line is ALSO written to BENCH_full.json
+    // beside the build so nothing depends on the crop at all.
+    val line = s"""{"queries":$qs,"over_expect":$ratioJson,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"over_expect_median":${f"$ratioMedian%.2f"},"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work","metric":"total","unit":"sec","value":$total}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout stays the contract
+    println(line)
     spark.stop()
   }
 }

@@ -73,7 +73,18 @@ object GzipMembers {
         if (p >= b.length) return None
         p += 1
       }
-      if ((flg & FHCRC) != 0) p += 2
+      if ((flg & FHCRC) != 0) {
+        // RFC 1952 §2.3.1: CRC16 = low 16 bits of the CRC-32 over all
+        // header bytes up to (not including) the CRC16 itself. The
+        // verify-everything posture means a corrupted header fails
+        // loud like a corrupted body, not "skipped unverified".
+        if (p + 2 > b.length) return None
+        val hc = new CRC32()
+        hc.update(b, off, p - off)
+        val stored = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        if ((hc.getValue & 0xffffL) != stored) return None
+        p += 2
+      }
       if (p > b.length) return None
       val inf = new Inflater(true)
       try {

@@ -65,31 +65,45 @@ object Mp4 {
       var off = start
       while (off < end) {
         if (off + 8 > end) return false
-        val size = u32(b, off)
-        if (size < 8 || off + size > end) return false
+        val size32 = u32(b, off)
         val typ = fourcc(b, off + 4)
+        // ISO-BMFF special sizes (14496-12 §4.2): size==1 means a
+        // 64-bit largesize follows the type (large mdat); size==0
+        // means the box extends to the end of the enclosing scope
+        // (legal only for the LAST box — enforced by the off==end
+        // loop exit after it). Real-world large-mdat files carry
+        // both; rejecting them contradicted the probe's framing.
+        var hdr = 8L
+        val size: Long =
+          if (size32 == 1L) {
+            if (off + 16 > end) return false
+            hdr = 16L
+            ((u32(b, off + 8) << 32) | u32(b, off + 12))
+          } else if (size32 == 0L) (end - off).toLong
+          else size32
+        if (size < hdr || off + size > end) return false
         wsum += nBoxes * size
         nBoxes += 1
-        val body = off + 8
+        val body = (off + hdr).toInt
         typ match {
           case "ftyp" =>
-            if (size < 12) return false
+            if (size < hdr + 4) return false
             brand = fourcc(b, body)
           case "moov" | "trak" =>
             if (typ == "trak") nTracks += 1
-            if (!walk(body, off + size.toInt)) return false
+            if (!walk(body, (off + size).toInt)) return false
           case "mvhd" =>
             // v0: version+flags 4, ctime 4, mtime 4 -> timescale @12
-            if (size < 8 + 100 || b(body) != 0) return false
+            if (size < hdr + 100 || b(body) != 0) return false
             timescale = u32(b, body + 12)
             duration = u32(b, body + 16)
           case "tkhd" =>
             // v0 body: ... width 16.16 @76, height @80
-            if (size < 8 + 84 || b(body) != 0) return false
+            if (size < hdr + 84 || b(body) != 0) return false
             if (w0 < 0) { w0 = u32(b, body + 76) >> 16
               h0 = u32(b, body + 80) >> 16 }
           case "mdat" =>
-            mdat = size - 8
+            mdat = size - hdr
           case _ => () // skip unknown boxes by size
         }
         off += size.toInt

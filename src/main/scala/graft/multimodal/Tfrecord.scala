@@ -123,6 +123,10 @@ object Tfrecord {
         while (more) {
           if (p >= end || shift > 63) { p = Int.MaxValue; return -1L }
           val x = b(p) & 0xff
+          // at shift 63 only bit 0 still fits in the Long: any higher
+          // value bit (0x7e) or a continuation bit (0x80) makes the
+          // varint overlong/overflowing — malformed, not truncatable
+          if (shift == 63 && (x & 0xfe) != 0) { p = Int.MaxValue; return -1L }
           v |= (x & 0x7fL) << shift
           more = (x & 0x80) != 0
           shift += 7

@@ -498,10 +498,15 @@ object MultimodalQueries {
   private val MaxHam = 8
 
   /** dHash limb bucket keys: limb index tagged into the value so the
-    * four band tables share one join column.
+    * four band tables share one join column. `limbKeysOf` is THE
+    * bucket-key encoding — probe side (`l0..l3`) and anchor side
+    * (`al0..al3`, q141/q156) must share it verbatim or a key-format
+    * drift on one side silently zeroes recall.
     */
-  private def limbKeys = array((0 until 4).map(l =>
-    lit(l) * 65536 + col(s"l$l")): _*)
+  private def limbKeysOf(prefix: String) = array((0 until 4).map(l =>
+    lit(l) * 65536 + col(s"$prefix$l")): _*)
+
+  private def limbKeys = limbKeysOf("l")
 
   private def hamming(a: String, b: String) =
     (0 until 4).map(l =>
@@ -619,8 +624,7 @@ object MultimodalQueries {
     // anchor limb keys broadcast-joined to the full table's keys
     val aKeys = anchors.select(col("aid"), col("al0"), col("al1"),
       col("al2"), col("al3"),
-      explode(array((0 until 4).map(l =>
-        lit(l) * 65536 + col(s"al$l")): _*)).as("bk"))
+      explode(limbKeysOf("al")).as("bk"))
     val dKeys = hashes.select(col("media_id"),
       col("l0"), col("l1"), col("l2"), col("l3"),
       explode(limbKeys).as("bk"))
@@ -1152,8 +1156,7 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_exact"))
     val aKeys = anchors.select(col("aid"), col("al0"), col("al1"),
       col("al2"), col("al3"),
-      explode(array((0 until 4).map(l =>
-        lit(l) * 65536 + col(s"al$l")): _*)).as("bk"))
+      explode(limbKeysOf("al")).as("bk"))
     val dKeys = hashes.select(col("media_id"),
       col("l0"), col("l1"), col("l2"), col("l3"),
       explode(limbKeys).as("bk"))

@@ -56,6 +56,11 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Largest prime below 2^30 — the MinHash permutation modulus. */
+  /** lineDedup packs keep-first order as doc_id·bound + pos; see the
+    * rank_key guard in [[lineDedup]] for why the bound fails loud.
+    */
+  val LineKeyPosBound = 1000000L
+
   val MinHashP = 1073741789L
 
   /** Affine multipliers/offsets of the MinHash permutation family
@@ -561,7 +566,24 @@ object TextOps {
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
         .as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), md5(col("line")).as("lh"))
-      .withColumn("rank_key", col("doc_id") * 1000000L + col("pos"))
+      // rank_key packs (doc_id, pos) into one Long, exact in both
+      // engines — valid ONLY while pos < 1e6 and doc_id stays below
+      // Long.Max/1e6 (~9.2e12). Past either bound the packed keys
+      // would collide/overflow ACROSS documents and silently violate
+      // the smallest-(doc_id, pos) keeper rule with both engines
+      // agreeing (the oracle can't catch it), so the bound fails LOUD
+      // row-side, the Fixtures.plantedId pattern.
+      .withColumn("rank_key",
+        when(assert_true(
+            col("pos") < LineKeyPosBound && col("doc_id") >= 0L &&
+              col("doc_id") < Long.MaxValue / LineKeyPosBound,
+            concat(lit("lineDedup rank_key out of packing range " +
+              s"(pos bound $LineKeyPosBound): doc_id="),
+              col("doc_id").cast("string"), lit(" pos="),
+              col("pos").cast("string"),
+              lit("; widen the key to a (doc_id, pos) struct min"))
+          ).isNull,
+          col("doc_id") * LineKeyPosBound + col("pos")))
     val keeper = lines.groupBy(col("lh"))
       .agg(min(col("rank_key")).as("keep_key"))
     val kept = lines.join(keeper, "lh")

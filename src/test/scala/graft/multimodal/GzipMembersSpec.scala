@@ -51,6 +51,38 @@ class GzipMembersSpec extends AnyFunSuite {
     assert(GzipMembers.walk(0L, Array.empty[Byte]).isEmpty)
   }
 
+  test("FHCRC header CRC16 is verified, not skipped") {
+    // hand-build a member with FLG=FHCRC: 10-byte base header,
+    // CRC16 = low 16 bits of CRC-32 over those header bytes (RFC
+    // 1952 §2.3.1), then raw-deflate body + CRC32 + ISIZE trailer
+    val body = "fhcrc-protected body".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 2,
+      0, 0, 0, 0, 0, 0xff.toByte)
+    out.write(hdr)
+    val hc = new java.util.zip.CRC32(); hc.update(hdr)
+    val c16 = (hc.getValue & 0xffffL).toInt
+    out.write(c16 & 0xff); out.write((c16 >> 8) & 0xff)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    } finally d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    def p32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    p32(crc.getValue); p32(body.length.toLong)
+    val good = out.toByteArray
+    val rows = GzipMembers.walk(2L, good).get
+    assert(rows.map(_.n_bytes) === Vector(body.length.toLong))
+    // a flipped CRC16 quarantines the shard — verified, not skipped
+    val bad = good.clone()
+    bad(10) = (bad(10) ^ 0x01).toByte
+    assert(GzipMembers.walk(2L, bad).isEmpty)
+  }
+
   test("the decompression-bomb bound rejects before inflating it all") {
     val big = GzipMembers.encodeMembers(Seq(
       (null, Array.fill[Byte](1 << 20)(0))))

@@ -45,6 +45,31 @@ class Mp4Spec extends AnyFunSuite {
       "fields unaffected by the splice")
   }
 
+  test("ISO-BMFF special sizes: largesize (1) and to-EOF (0)") {
+    def u32be(v: Long) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val base = enc(nTracks = 1, mdat = 10) // ...ftyp(24)+moov(216)+mdat(18)
+    val head = base.dropRight(18)
+    val body = base.takeRight(10)
+    // size==1: 64-bit largesize follows the type (the large-mdat form
+    // real video shards carry); box = 16-byte header + 10-byte body
+    val large = head ++ u32be(1) ++ "mdat".getBytes("ISO-8859-1") ++
+      u32be(0) ++ u32be(26) ++ body
+    val m1 = Mp4.probe(3L, large).get
+    assert(m1.mdat_bytes === 10L, "largesize minus the 16-byte header")
+    assert(m1.n_boxes === 6L)
+    // size==0: box extends to end of file (legal for the last box)
+    val toEof = head ++ u32be(0) ++ "mdat".getBytes("ISO-8859-1") ++ body
+    val m0 = Mp4.probe(4L, toEof).get
+    assert(m0.mdat_bytes === 10L, "to-EOF minus the 8-byte header")
+    // wsum prices the EFFECTIVE size so walk-order stats stay honest
+    assert(m1.wsum_boxes - m0.wsum_boxes === 5L * (26L - 18L))
+    // truncated largesize header still rejects
+    assert(Mp4.probe(0L, head ++ u32be(1) ++
+      "mdat".getBytes("ISO-8859-1") ++ u32be(0)).isEmpty)
+  }
+
   test("malformed payloads are rejected, not thrown") {
     assert(Mp4.probe(0L, Array.empty[Byte]).isEmpty)
     assert(Mp4.probe(0L, "notanmp4".getBytes).isEmpty)

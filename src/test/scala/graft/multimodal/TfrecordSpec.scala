@@ -67,4 +67,26 @@ class TfrecordSpec extends AnyFunSuite {
     val only3 = Array[Byte](0x18, 5)
     assert(Tfrecord.walk(0L, Tfrecord.encodeShard(Seq(only3))).isEmpty)
   }
+
+  test("overlong/overflowing varints are malformed, never truncated") {
+    val f2 = Array[Byte](0x12, 4) ++ "body".getBytes("UTF-8")
+    def f1Varint(last: Byte) =
+      Array[Byte](0x08) ++ Array.fill[Byte](9)(0x80.toByte) :+ last
+    // 10th byte at shift 63 with a bit above the LSB: the old walk
+    // silently dropped those bits; it must reject as malformed
+    assert(Tfrecord.walk(0L, Tfrecord.encodeShard(
+      Seq(f1Varint(0x02) ++ f2))).isEmpty, "overflow bit truncated")
+    assert(Tfrecord.walk(0L, Tfrecord.encodeShard(
+      Seq(f1Varint(0x7f) ++ f2))).isEmpty, "six overflow bits")
+    // an 11th byte (continuation at shift 63) is likewise malformed
+    assert(Tfrecord.walk(0L, Tfrecord.encodeShard(
+      Seq(Array[Byte](0x08) ++ Array.fill[Byte](10)(0x80.toByte) ++
+        Array[Byte](0x00) ++ f2))).isEmpty)
+    // boundary: a 10-byte varint whose final byte adds NO bits above
+    // bit 63 still parses (overlong-of-zero, tolerated; only bit
+    // LOSS is malformed)
+    val ok = Tfrecord.walk(0L, Tfrecord.encodeShard(
+      Seq(f1Varint(0x00) ++ f2))).get
+    assert(ok.head.f1 === 0L)
+  }
 }

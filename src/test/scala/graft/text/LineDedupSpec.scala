@@ -65,4 +65,30 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(5L) === ((2L, 2L, sig(Seq("y", "x")))))
     assert(got(7L) === ((2L, 0L, emptySig)))
   }
+
+  test("rank-key packing bound fails LOUD, never silently mis-orders") {
+    // pos bound: a doc whose line count reaches LineKeyPosBound would
+    // collide rank keys with the NEXT doc_id — the guard must throw,
+    // not return wrong keepers. Exactly-at-bound (pos == 1e6) trips.
+    val atBound = Seq(0L ->
+      Array.fill((TextOps.LineKeyPosBound + 1).toInt)("u").mkString("\n"))
+    val e1 = intercept[Exception] { run(atBound) }
+    assert(e1.toString.contains("rank_key") ||
+      Option(e1.getCause).exists(_.toString.contains("rank_key")) ||
+      e1.toString.toLowerCase.contains("assert"),
+      s"expected the loud guard, got: $e1")
+    // one line below the bound is fine
+    val under = run(Seq(0L -> Array.fill(3)("v").mkString("\n")))
+    assert(under(0L)._2 === 1L)
+    // doc_id bound: packing overflows Long past Long.Max/bound
+    val bigId = Long.MaxValue / TextOps.LineKeyPosBound
+    val e2 = intercept[Exception] { run(Seq(bigId -> "w")) }
+    assert(e2.toString.toLowerCase.contains("assert") ||
+      e2.toString.contains("rank_key") ||
+      Option(e2.getCause).exists(_.toString.contains("rank_key")),
+      s"expected the loud guard, got: $e2")
+    // negative doc_id would sort BEFORE every valid key — also loud
+    val e3 = intercept[Exception] { run(Seq(-1L -> "q")) }
+    assert(e3 != null)
+  }
 }
