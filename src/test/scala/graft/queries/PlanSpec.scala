@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
   }
 
+  test("q158 curation v3: broadcast blocklist, no window, no all-pairs") {
+    // the composed chain's only wide work is q150's digest machinery
+    // and q47's pair/CC joins — extraction, URL gate, and signals are
+    // scan projections; nothing may rank through a window or fall to
+    // a cartesian/nested-loop, and the blocklist dim must broadcast
+    val p = plan(TextQueries.q158(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the blocklist dim must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"q158 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }

@@ -63,6 +63,57 @@ class HtmlSpec extends AnyFunSuite {
     assert(out == "content long enough to pass the block gate easily")
   }
 
+  private def extract(page: String): String =
+    Seq(Tuple1(page)).toDF("html")
+      .select(Html.extractMain(col("html")).getField("content"))
+      .head().getString(0)
+
+  test("entities decode single-pass, ASCII range, after tag strip") {
+    val out = extract("<html><body><p>A &amp;lt; B &#65;&#x42; " +
+      "&quot;q&quot; &apos; &nbsp; C &#8217; D &bad; " +
+      "plus padding words here</p></body></html>")
+    // single-pass: &amp;lt; becomes the literal text "&lt;", NEVER
+    // "<" (chained replaces would double-decode); numeric dec+hex
+    // decode inside 32..126; &#8217; (out of ASCII) and &bad;
+    // (unknown) pass through untouched; &nbsp; merges into the
+    // whitespace collapse
+    assert(out === "A &lt; B AB \"q\" ' C &#8217; D &bad; " +
+      "plus padding words here")
+  }
+
+  test("comments never leak; CDATA payload is kept as text") {
+    val out = extract("<html><body>" +
+      "<!-- <p>leaked comment content should never appear</p> -->" +
+      "<p>before <![CDATA[inside <b>kept</b> raw]]> after padding " +
+      "padding</p></body></html>")
+    assert(!out.contains("leaked"))
+    assert(out === "before inside kept raw after padding padding")
+  }
+
+  test("quoted attributes containing '>' and uppercase tags") {
+    val out = extract("<HTML><BODY><DIV DATA-X=\"a > b\">menu of " +
+      "links</DIV><P CLASS='y > z'>real paragraph content with " +
+      "enough characters to pass</P></BODY></HTML>")
+    assert(out ===
+      "real paragraph content with enough characters to pass")
+    assert(!out.contains("\">"), "quoted-attr tail leaked as text")
+  }
+
+  test("a stray '<' not opening a tag stays text") {
+    val out = extract("<html><body><p>we know 2<3 and 5<7 in this " +
+      "long enough sentence</p></body></html>")
+    assert(out === "we know 2<3 and 5<7 in this long enough sentence")
+  }
+
+  test("script with '>' in attrs and spaced close still drops whole") {
+    val out = extract("<html><body><SCRIPT type=\"a>b\">var x='y';" +
+      "</script ><p>only the paragraph with plenty of visible " +
+      "characters</p></body></html>")
+    assert(!out.contains("var x"))
+    assert(out ===
+      "only the paragraph with plenty of visible characters")
+  }
+
   test("link-dense long block is dropped by the chars-per-link gate") {
     val linky = (1 to 6).map(i =>
       s"""<a href="/$i">item number $i</a>""").mkString(" ")
