@@ -503,7 +503,7 @@ object MultimodalQueries {
     * (`al0..al3`, q141/q156) must share it verbatim or a key-format
     * drift on one side silently zeroes recall.
     */
-  private def limbKeysOf(prefix: String) = array((0 until 4).map(l =>
+  private[graft] def limbKeysOf(prefix: String) = array((0 until 4).map(l =>
     lit(l) * 65536 + col(s"$prefix$l")): _*)
 
   private def limbKeys = limbKeysOf("l")

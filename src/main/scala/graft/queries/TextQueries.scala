@@ -3484,8 +3484,14 @@ object TextQueries {
   // 100 TB posture: digest pass + df aggregate + prefix-only index
   // self-join (candidates collapse toward the true pair count because
   // prefixes hold the rarest shingles) + two doc_id-keyed verify
-  // joins on compact hashed-set rows. PrefixJoinSpec measures the
-  // candidate reduction vs the full index and pins equality with
+  // joins on compact hashed-set rows. r15 adds PPJoin's POSITION
+  // bound to the candidate join (a shared prefix token at positions
+  // (i,j) witnesses overlap ≤ 1 + min(na−i, nb−j), pruned below the
+  // required α) — adopted after measurement (tools.MeasurePrefix):
+  // no-op at this gate's τ=7/10 where df-ordering is already tight,
+  // 93.7% candidate cut at τ=1/2 on a shared-boilerplate skew
+  // fixture. PrefixJoinSpec measures the candidate reduction vs the
+  // full index, pins the positional law, and pins equality with
   // brute force in-engine.
   def q145(spark: SparkSession, dir: String): DataFrame =
     TextOps.prefixJaccardPairs(

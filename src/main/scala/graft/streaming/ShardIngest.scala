@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType,
+  StructField, StructType, TimestampType}
+
+import graft.sinks.Sinks
+
+/** Streaming WARC/TFRecord drop-folder ingest — `Ingest`'s
+  * exactly-once protocol composed with the q153/q154 container walks
+  * (the r14 verdict's item #3): crawl/training shards land as FILES
+  * in a directory, each micro-batch walks the new shards' bytes on
+  * the executors, and the decoded records upsert into a bucketed
+  * keyed table through the same crash-atomic merge the JSONL ingest
+  * uses. This is the standing-service form of a crawl pipeline's
+  * archive boundary: q153/q154 prove the walks against the DuckDB
+  * oracle in batch; this wires them to arrival.
+  *
+  * Quarantine-WHOLE (the shared q153/q154 rule): a shard failing ANY
+  * checksum — member CRC32/ISIZE, record masked-CRC32C, header CRC16,
+  * malformed framing — contributes ZERO rows and is named in
+  * `quarantineDir/batch=<id>` as `{raw, reason}` JSONL (raw = the
+  * shard file name), overwritten per batch id so a crash-replayed
+  * batch rewrites rather than duplicates its quarantine entries. A
+  * checksum failure anywhere in a shard means the producer or the
+  * transport is broken and every other byte in that shard is suspect.
+  *
+  * Exactly-once table state from at-least-once execution, exactly
+  * `Ingest`'s argument: the binary file source's checkpoint tracks
+  * which shard files each micro-batch read; a crash AFTER the merge
+  * but BEFORE the checkpoint commit replays the batch, whose rows
+  * re-derive the SAME (rec_key, rev) keys — the keyed upsert
+  * converges instead of duplicating (spec-proven with the injected
+  * post-merge crash). `rec_key` is the salted 60-bit digest of
+  * `shard#ordinal`, deterministic across replays and engines;
+  * 60 bits of keyspace make a collision across even a trillion
+  * records a ~1e-7 event, and the merge key carries the (shard,
+  * ordinal) columns beside it so a collision is detectable, not
+  * silent.
+  *
+  * 100 TB posture: the walk is map-only over each shard's bytes (one
+  * executor-side pass, payloads never shuffle — the q136/q153 rule);
+  * the only wide work is the merge's bucket repartition of the
+  * DECODED record rows (narrow: ordinals, digests, lengths). Shards
+  * parallelize across executors via the file source's own listing;
+  * `maxFilesPerTrigger` bounds a backlog burst.
+  */
+object ShardIngest {
+
+  /** The binary file source's fixed schema (streaming reads require
+    * it stated explicitly; inference is refused by the source).
+    */
+  val shardSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Tail a drop folder of binary shards. */
+  def readShardStream(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream.format("binaryFile").schema(shardSchema)
+      .load(dropDir)
+
+  /** One decoded gzip member (shard-relative; the table row). */
+  final case class GzipShardRec(member: Long, name: String,
+      n_bytes: Long, body_md5: String, n_members: Long)
+
+  /** One decoded TFRecord (shard-relative; the table row). */
+  final case class TfShardRec(rec: Long, n_bytes: Long, f1: Long,
+      f2_md5: String, n_records: Long)
+
+  /** WARC-style multi-member gzip ingest (q153's walk). Table rows:
+    * (rec_key, rev, shard, member, name, n_bytes, body_md5,
+    * n_members).
+    */
+  def gzipShardIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null): StreamingQuery = {
+    import spark.implicits._
+    runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
+      postMergeHook, quarantineDir, ordinalCol = "member") { files =>
+      files.select(fileName(col("path")).as("shard"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (shard, bytes) =>
+          val rows = graft.multimodal.GzipMembers.walk(0L, bytes)
+            .map(_.map(m => GzipShardRec(
+              m.member, m.name, m.n_bytes, m.body_md5, m.n_members)))
+          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+        }
+        .toDF("shard", "ok", "rows")
+    }
+  }
+
+  /** TFRecord shard ingest (q154's walk). Table rows: (rec_key, rev,
+    * shard, rec, n_bytes, f1, f2_md5, n_records).
+    */
+  def tfrecordShardIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null): StreamingQuery = {
+    import spark.implicits._
+    runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
+      postMergeHook, quarantineDir, ordinalCol = "rec") { files =>
+      files.select(fileName(col("path")).as("shard"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (shard, bytes) =>
+          val rows = graft.multimodal.Tfrecord.walk(0L, bytes)
+            .map(_.map(r => TfShardRec(
+              r.rec, r.n_bytes, r.f1, r.f2_md5, r.n_records)))
+          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+        }
+        .toDF("shard", "ok", "rows")
+    }
+  }
+
+  /** The ingested table, caller-keyed. */
+  def readShardTable(spark: SparkSession, tablePath: String): DataFrame =
+    Sinks.readKeyedTable(spark, tablePath, "rec_key", "rev")
+
+  private def fileName(path: org.apache.spark.sql.Column) =
+    element_at(split(path, "/"), -1)
+
+  /** Shared harness: per micro-batch, `decode` turns the batch's
+    * shard files into (shard, ok, rows:array<struct>) — ok=false
+    * means the WHOLE shard quarantines; good rows explode via
+    * `inline` (struct field names become table columns), key on the
+    * salted digest of shard#ordinal, and upsert.
+    */
+  private def runShardIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int,
+      postMergeHook: Long => Unit, quarantineDir: String,
+      ordinalCol: String)(decode: Dataset[Row] => DataFrame)
+      : StreamingQuery =
+    readShardStream(spark, dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (files: Dataset[Row], batchId: Long) =>
+        val quarantine =
+          Option(quarantineDir).getOrElse(Ingest.quarantinePath(tablePath))
+        // persisted: the quarantine probe, the emptiness probe, and
+        // the merge's staged write would each re-run the walk (and
+        // re-read the shard bytes) otherwise
+        val walked = decode(files).persist()
+        try {
+          val bad = walked.filter(!col("ok"))
+            .select(col("shard").as("raw"),
+              lit("checksum_or_framing").as("reason"))
+          if (!bad.isEmpty)
+            bad.write.mode(SaveMode.Overwrite)
+              .json(s"$quarantine/batch=$batchId")
+          // register on the MICRO-BATCH's session: foreachBatch hands
+          // an isolated session CLONE whose function registry was
+          // snapshotted at stream start — registering on the outer
+          // session resolves nothing here (surfaced by the
+          // local-cluster gate, where no earlier code had registered)
+          graft.functions.GraftFunctions.register(walked.sparkSession)
+          val keyed = walked.filter(col("ok"))
+            .select(col("shard"), inline(col("rows")))
+            .withColumn("rec_key", call_function("md5_long60",
+              concat(col("shard"), lit("#"),
+                col(ordinalCol).cast("string"))))
+            .withColumn("rev", lit(0L))
+          Sinks.recoverTable(spark, tablePath)
+          Sinks.mergeKeyedTable(keyed, tablePath, "rec_key", "rev",
+            buckets)
+          postMergeHook(batchId)
+        } finally walked.unpersist()
+      }
+      .start()
+}

@@ -413,22 +413,43 @@ object TextOps {
       (col("n_sh") - floor((col("n_sh") * tauNum + tauDen - 1)
         .cast("double") / tauDen).cast("long") + 1).cast("int")
     ordered.select(col("doc_id"), col("n_sh"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("s"))
+      posexplode(slice(col("toks"), lit(1), prefixLen))
+        .as(Seq("pos0", "s")))
+      .select(col("doc_id"), col("n_sh"),
+        (col("pos0") + 1).cast("int").as("pos"), col("s"))
   }
 
   /** Distinct candidate pairs from two prefix-row tables under the
-    * τ-length filter (`tauDen·min ≥ tauNum·max`); `strictLess` makes
-    * it a self-join (id_a < id_b) instead of a bipartite probe.
+    * τ-length filter (`tauDen·min ≥ tauNum·max`) and — when
+    * `positional` — PPJoin's position bound (Xiao et al. ICDE'08):
+    * a shared prefix token at (1-based) positions (i, j) can witness
+    * an overlap of at most 1 + min(|x|−i, |y|−j), so it only mints a
+    * candidate when that bound reaches the τ-required overlap
+    * α = ⌈τ(|x|+|y|)/(1+τ)⌉. LOSSLESS under the distinct: both sides
+    * sort by ONE total order (df asc, hash asc), so a qualifying
+    * pair's FIRST shared token has every other shared token after it
+    * on both sides and satisfies the bound (the ceil is the
+    * prefixLen double-floor argument: operands ≪ 2^53). `strictLess`
+    * makes it a self-join (id_a < id_b) instead of a bipartite probe.
     */
   private def prefixCands(a: DataFrame, b: DataFrame, tauNum: Int,
-      tauDen: Int, strictLess: Boolean): DataFrame =
+      tauDen: Int, strictLess: Boolean,
+      positional: Boolean = true): DataFrame = {
+    val alpha = floor(((col("a.n_sh") + col("b.n_sh")) * tauNum +
+      tauNum + tauDen - 1).cast("double") / (tauNum + tauDen))
+      .cast("long")
     a.as("a").join(b.as("b"),
       col("a.s") === col("b.s") &&
         (if (strictLess) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
         col("a.n_sh") * tauDen >= col("b.n_sh") * tauNum &&
-        col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum)
+        col("b.n_sh") * tauDen >= col("a.n_sh") * tauNum &&
+        (if (positional)
+          lit(1) + least(col("a.n_sh") - col("a.pos"),
+            col("b.n_sh") - col("b.pos")) >= alpha
+        else lit(true)))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
 
   def prefixJaccardPairs(docs: DataFrame, tauNum: Int, tauDen: Int,
       shingleN: Int = 3): DataFrame = {
@@ -460,12 +481,12 @@ object TextOps {
     * reduction against the full inverted index.
     */
   def prefixCandidateCount(docs: DataFrame, tauNum: Int, tauDen: Int,
-      shingleN: Int = 3): Long = {
+      shingleN: Int = 3, positional: Boolean = true): Long = {
     val inv = shingleInv(docs, shingleN)
     val dfTbl = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val prefixes = prefixRows(orderedSets(inv, dfTbl), tauNum, tauDen)
-    prefixCands(prefixes, prefixes, tauNum, tauDen, strictLess = true)
-      .count()
+    prefixCands(prefixes, prefixes, tauNum, tauDen, strictLess = true,
+      positional = positional).count()
   }
 
   /** The release-time prefix-dedup index of a base corpus: the

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.multimodal.{GzipMembers, Tfrecord}
+
+/** The composed shard ingest (binary drop folder → q153/q154 walk →
+  * keyed merge): batch/stream parity against the walks run directly,
+  * quarantine-WHOLE on a poisoned shard, and exactly-once table state
+  * across a post-merge crash replay (the IngestSpec protocol).
+  */
+class ShardIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def drop(dir: Path, name: String, bytes: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile("shard", ".bin")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  /** q153's member construction for one shard id. */
+  private def gzipShard(id: Long): Array[Byte] =
+    GzipMembers.encodeMembers((0 until (1 + id % 4).toInt).map { j =>
+      val name = if (j % 2 == 0) s"rec$j.warc" else null
+      val body = ("doc " + id + " record " + j + " ") *
+        (1 + (id + j) % 6).toInt
+      (name, body.getBytes("UTF-8"))
+    })
+
+  /** q154's record construction for one shard id. */
+  private def tfShard(id: Long): Array[Byte] =
+    Tfrecord.encodeShard((0 until (1 + id % 5).toInt).map { j =>
+      val body = ("doc " + id + " example " + j + " ") *
+        (1 + (id + j) % 6).toInt
+      Tfrecord.encodeExample(id * 3 + j, body.getBytes("UTF-8"))
+    })
+
+  test("gzip: stream/batch parity, poison quarantines whole, crash replay converges") {
+    val root = Files.createTempDirectory("shardingest")
+    val dropDir = Files.createDirectories(root.resolve("drop"))
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("members").toString
+    val quarantine = root.resolve("quarantine").toString
+
+    // ---- phase 1: two clean shards + one poisoned (ISIZE flipped) ----
+    drop(dropDir, "s0.gz", gzipShard(0))
+    drop(dropDir, "s1.gz", gzipShard(1))
+    val poison = gzipShard(2)
+    poison(poison.length - 2) = (poison(poison.length - 2) ^ 1).toByte
+    drop(dropDir, "s2.gz", poison)
+    val q1 = ShardIngest.gzipShardIngest(spark, dropDir.toString, table,
+      ckpt, quarantineDir = quarantine)
+    try q1.processAllAvailable() finally q1.stop()
+
+    val got = ShardIngest.readShardTable(spark, table)
+      .select("shard", "member", "name", "n_bytes", "body_md5")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSet
+    // batch-mode ground truth: the walks run directly on clean shards
+    val expect = (for {
+      (sh, id) <- Seq(("s0.gz", 0L), ("s1.gz", 1L))
+      m <- GzipMembers.walk(id, gzipShard(id)).get
+    } yield (sh, m.member, m.name, m.n_bytes, m.body_md5)).toSet
+    assert(got == expect, s"stream/batch divergence:\n$got\nvs\n$expect")
+    assert(!got.exists(_._1 == "s2.gz"), "poisoned shard leaked rows")
+
+    // quarantine names the whole shard with the reason
+    val quar = spark.read.json(quarantine)
+      .select("raw", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(quar == Set(("s2.gz", "checksum_or_framing")))
+
+    // ---- phase 2: new shard, crash AFTER merge, BEFORE checkpoint ----
+    drop(dropDir, "s3.gz", gzipShard(3))
+    var batches = 0
+    val q2 = ShardIngest.gzipShardIngest(spark, dropDir.toString, table,
+      ckpt, quarantineDir = quarantine,
+      postMergeHook = { _ => batches += 1; sys.error("injected crash") })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    assert(batches == 1, s"restart must see exactly the new shard: $batches")
+
+    // ---- phase 3: resume; the replayed batch's upsert converges ----
+    val q3 = ShardIngest.gzipShardIngest(spark, dropDir.toString, table,
+      ckpt, quarantineDir = quarantine)
+    try q3.processAllAvailable() finally q3.stop()
+    val fin = ShardIngest.readShardTable(spark, table)
+    assert(fin.count() == fin.select("rec_key").distinct().count(),
+      "replay duplicated keys")
+    val s3rows = fin.filter(col("shard") === "s3.gz").count()
+    assert(s3rows == GzipMembers.walk(3L, gzipShard(3)).get.size,
+      "replayed shard's rows wrong after convergence")
+  }
+
+  test("tfrecord: stream/batch parity and poison quarantine") {
+    val root = Files.createTempDirectory("tfingest")
+    val dropDir = Files.createDirectories(root.resolve("drop"))
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("records").toString
+    val quarantine = root.resolve("quarantine").toString
+
+    drop(dropDir, "t1.tfrecord", tfShard(1))
+    drop(dropDir, "t4.tfrecord", tfShard(4))
+    val poison = tfShard(2)
+    poison(14) = (poison(14) ^ 1).toByte // body byte -> data CRC fails
+    drop(dropDir, "t2.tfrecord", poison)
+    val q = ShardIngest.tfrecordShardIngest(spark, dropDir.toString,
+      table, ckpt, quarantineDir = quarantine)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = ShardIngest.readShardTable(spark, table)
+      .select("shard", "rec", "n_bytes", "f1", "f2_md5")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val expect = (for {
+      (sh, id) <- Seq(("t1.tfrecord", 1L), ("t4.tfrecord", 4L))
+      m <- Tfrecord.walk(id, tfShard(id)).get
+    } yield (sh, m.rec, m.n_bytes, m.f1, m.f2_md5)).toSet
+    assert(got == expect)
+    val quar = spark.read.json(quarantine).select("raw").collect()
+      .map(_.getString(0)).toSet
+    assert(quar == Set("t2.tfrecord"))
+  }
+}

@@ -84,6 +84,30 @@ class PrefixJoinSpec extends AnyFunSuite {
     // bit-exactly by the lossless tests above)
   }
 
+  test("positional filter: measured reduction, lossless where it prunes") {
+    // PPJoin's position bound, adopted AFTER measurement (the
+    // audit-before-trust rule; tools.MeasurePrefix is the harness):
+    // at the gate's tau=7/10 the df-ordered prefixes already collapse
+    // candidates (28 -> 28 at sf0.001), but at tau=1/2 — where
+    // shorter prefixes flood on boilerplate-heavy corpora — the bound
+    // cut sf0.001 organic candidates 863 -> 33 and a 2000-doc shared-
+    // boilerplate skew fixture 23,653 -> 1,485 (93.7%). This test
+    // pins the law on a spec-sized replica of that skew fixture.
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    val skew = (0L until 300L).map { id =>
+      val tail = (0 until (3 + (id % 37)).toInt).map(j => s"t${id}_$j")
+      id -> (boiler + " " + tail.mkString(" "))
+    }
+    val noPos =
+      TextOps.prefixCandidateCount(df(skew), 1, 2, 3, positional = false)
+    val withPos =
+      TextOps.prefixCandidateCount(df(skew), 1, 2, 3, positional = true)
+    assert(withPos * 5 < noPos,
+      s"position bound stopped pruning: $withPos vs $noPos")
+    // and the pruned candidate set still verifies to brute force
+    assert(prefixPairs(skew, 1, 2, 3) === brutePairs(skew, 0.5, 3))
+  }
+
   test("exact duplicate and disjoint docs behave at the extremes") {
     val got = prefixPairs(corpus, 7, 10, 3)
     assert(got.exists { case (a, b, _, j) => a == 200L && b == 201L && j == 10000L },
