@@ -134,8 +134,17 @@ object ScaleBench {
     // here means the banding degenerated)
     "q140_image_neardup",
     // q142: HTML extraction — pure regex scan; its decade pins the
-    // per-document regex cost constant
-    "q142_html_extract")
+    // per-document regex cost constant (r15: now including the
+    // comment/CDATA/entity passes — the added per-row cost must stay
+    // constant too)
+    "q142_html_extract",
+    // r15 additions: q158's cost drivers are q150's line machinery +
+    // q47's pair/CC (both decades measured individually); measuring
+    // the COMPOSITION pins that assembling them adds no superlinear
+    // join (the q116-under-composition precedent). q159's decade pins
+    // the delta-admission law: base index probe stays one column scan
+    // while the delta grows with the corpus
+    "q158_curation_v3", "q159_line_admit")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -94,6 +94,54 @@ object Archives {
         _.grouped(batchSize).flatMap(b => explodeBatch(newDigest(), b)))
   }
 
+  /** Strict whole-archive ZIP walk for the streaming shard ingest:
+    * Some(name, n_bytes, method, body_md5 per entry) or None on ANY
+    * failure — quarantine-WHOLE, unlike [[explodeZipStats]]'s
+    * drop-silently batch posture (a standing service must NAME its
+    * poison shards). A payload without the local-file-header magic
+    * is None, not Some(empty): `ZipInputStream.getNextEntry` returns
+    * null on arbitrary garbage rather than throwing, which would
+    * read as a legitimately empty archive. Detection boundary: a
+    * truncation that clips only the CENTRAL DIRECTORY is invisible
+    * to a streaming walk (every entry's data + CRC verified; the
+    * directory is never consulted) — such a shard ingests, which is
+    * correct for the data actually present; a mid-entry truncation
+    * throws and quarantines.
+    */
+  def zipEntriesStrict(payload: Array[Byte])
+      : Option[Vector[(String, Long, String, String)]] = {
+    if (payload.length < 4 || payload(0) != 'P' || payload(1) != 'K' ||
+      payload(2) != 3 || payload(3) != 4) return None
+    val out = Vector.newBuilder[(String, Long, String, String)]
+    val zin = new ZipInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](8192)
+      var entry = zin.getNextEntry
+      if (entry == null) return None // magic present but no walkable entry
+      while (entry != null) {
+        md.reset()
+        var n = 0L
+        var read = zin.read(buf)
+        while (read >= 0) {
+          md.update(buf, 0, read); n += read; read = zin.read(buf)
+        }
+        val method = entry.getMethod match {
+          case ZipEntry.STORED => "stored"
+          case ZipEntry.DEFLATED => "deflated"
+          case other => s"method_$other"
+        }
+        out += ((entry.getName, n, method,
+          md.digest().map(b => f"$b%02x").mkString))
+        entry = zin.getNextEntry
+      }
+      Some(out.result())
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally zin.close()
+  }
+
   /** The member body planted for (archive id, entry j) — closed-form
     * in the ids so the DuckDB oracle rebuilds it with `repeat()`:
     * "doc <id> entry <j> " repeated 1 + (id+j) % 5 times.

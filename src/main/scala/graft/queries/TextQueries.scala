@@ -3611,6 +3611,113 @@ object TextQueries {
       |FROM nl LEFT JOIN agg a ON a.doc_id = nl.doc_id
       |ORDER BY nl.doc_id""".stripMargin
 
+  // ---- q159: incremental (delta-vs-base) line dedup ----
+  // The standing-crawl form of q150 (survey r16 candidate #3): a
+  // release's line-digest index is a persisted artifact, and each
+  // crawl delta admits lines against base ∪ its own keep-first —
+  // re-crawled docs read as all-boilerplate (n_kept 0), edited docs
+  // keep exactly their changed/added lines, fresh docs keep
+  // everything but the boilerplate, and a within-delta duplicate
+  // loses to its smaller-id twin (q150's rule applied inside the
+  // batch). Delta fixture, all closed-form: A = every 9th doc
+  // unchanged (re-crawl); B = every (9k+1)th doc with 5 fresh
+  // md5-derived tokens appended (the 7-token relining shifts only
+  // from the last partial line); C = a fully-fresh synthetic doc (21
+  // md5 tokens = 3 new lines) per (9k+2)th doc; D = C's exact twin
+  // at a higher id.
+  //
+  // 100 TB posture (TextOps.lineAdmitStats): the base index NEVER
+  // shuffles — one 32-char column probed via matchedBaseDigests
+  // (broadcast of the delta's distinct digests under the shared cap,
+  // sort-merge fallback past it); everything else is delta-sized
+  // digest machinery.
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    def freshToks(n: Int, tag: String): Column = concat_ws(" ",
+      (0 until n).map(k =>
+        md5(concat(id.cast("string"), lit(s":$tag$k")))): _*)
+    val base = withBoilerLines(docs)
+    val index = TextOps.buildLineIndex(base)
+    val partA = docs.filter(id % 9 === 0).select(id, col("text"))
+    val partB = docs.filter(id % 9 === 1)
+      .select(Fixtures.plantedId(id, 4000000L).as("doc_id"),
+        concat(col("text"), lit(" "), freshToks(5, "t")).as("text"))
+    val partC = docs.filter(id % 9 === 2)
+      .select(Fixtures.plantedId(id, 5000000L).as("doc_id"),
+        freshToks(21, "f").as("text"))
+    val partD = docs.filter(id % 9 === 2)
+      .select(Fixtures.plantedId(id, 6000000L).as("doc_id"),
+        freshToks(21, "f").as("text"))
+    val batch = withBoilerLines(
+      partA.unionByName(partB).unionByName(partC).unionByName(partD))
+    TextOps.lineAdmitStats(batch, index).orderBy(col("doc_id"))
+  }
+
+  val q159Sql: String = {
+    def relined(src: String) =
+      s"""SELECT doc_id,
+         |    'all rights reserved contact us today' || chr(10) ||
+         |    array_to_string(list_transform(
+         |      range(0, (len(toks) - 1) // 7 + 1),
+         |      k -> array_to_string(toks[k * 7 + 1 : k * 7 + 7], ' ')),
+         |      chr(10)) ||
+         |    chr(10) || 'subscribe to the newsletter now' AS text
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM $src)""".stripMargin
+    def freshToks(n: Int, tag: String) =
+      s"""array_to_string(list_transform(range(0, $n),
+         |      k -> md5(CAST(doc_id AS VARCHAR) || ':$tag' ||
+         |        CAST(k AS VARCHAR))), ' ')""".stripMargin
+    s"""WITH base_relined AS (
+       |  ${relined("documents")}
+       |), base_lines AS (
+       |  SELECT DISTINCT md5(u.line) AS lh
+       |  FROM (SELECT string_split(text, chr(10)) AS ls FROM base_relined),
+       |    unnest(ls) AS u(line)
+       |), delta AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, text || ' ' || ${freshToks(5, "t")}
+       |  FROM documents WHERE doc_id % 9 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, ${freshToks(21, "f")}
+       |  FROM documents WHERE doc_id % 9 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, ${freshToks(21, "f")}
+       |  FROM documents WHERE doc_id % 9 = 2
+       |), relined AS (
+       |  ${relined("delta")}
+       |), l AS (
+       |  SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line, len(ls) AS n_lines
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM relined),
+       |    unnest(range(1, len(ls) + 1)) AS u(i)
+       |), hh AS (
+       |  SELECT doc_id, pos, md5(line) AS lh,
+       |    doc_id * 1000000 + pos AS rank_key
+       |  FROM l
+       |), kk AS (
+       |  SELECT lh, min(rank_key) AS keep_key FROM hh GROUP BY lh
+       |), kept AS (
+       |  SELECT a.doc_id, a.pos, a.lh FROM hh a JOIN kk ON a.lh = kk.lh
+       |  WHERE a.rank_key = kk.keep_key
+       |    AND NOT EXISTS (SELECT 1 FROM base_lines b WHERE b.lh = a.lh)
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(lh, chr(10) ORDER BY pos)) AS kept_sig
+       |  FROM kept GROUP BY doc_id
+       |), nl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT)
+       |    AS n_lines
+       |  FROM relined
+       |)
+       |SELECT nl.doc_id, nl.n_lines,
+       |  coalesce(a.n_kept, 0) AS n_kept,
+       |  coalesce(a.kept_sig, md5('')) AS kept_sig
+       |FROM nl LEFT JOIN agg a ON a.doc_id = nl.doc_id
+       |ORDER BY nl.doc_id""".stripMargin
+  }
+
   // ---- q157: curation pipeline v2 (URL gate -> line dedup -> rules) ----
   // The r14 stages composed into ONE query the way a production
   // curation job runs them (q61 composed the r6-era stages; this
@@ -4059,6 +4166,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_line_admit" -> (q159 _),
     "q158_curation_v3" -> (q158 _),
     "q157_curation_v2" -> (q157 _),
     "q150_line_dedup" -> (q150 _),
@@ -4120,6 +4228,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_line_admit" -> q159Sql,
     "q158_curation_v3" -> q158Sql,
     "q157_curation_v2" -> q157Sql,
     "q150_line_dedup" -> q150Sql,

@@ -137,76 +137,90 @@ object Ingest {
           val deduped = batch
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          // persisted: the merge evaluates its input several times
-          // (emptiness probe, touched-bucket collect, staged write) —
-          // without the persist each evaluation would re-run curation
-          // AND re-read the batch's source files
-          val kept = TextQueries.curate(deduped, keepDigest = true)
-            .filter(col("keep"))
-            .withColumn("rev", lit(0L))
-            .select(col("doc_id"), col("rev"), col("lang_pred"),
-              col("quality_e4"), col("split"), col("text_md5"))
-            .persist()
-          try {
-            // heal any interrupted merge BEFORE observing the table: a
-            // crash mid-promote leaves buckets parked in the backup
-            // dir, and a probe read taken first would miss their
-            // digests — re-admitting a dup on replay
-            Sinks.recoverTable(spark, tablePath)
-            val fs = new org.apache.hadoop.fs.Path(tablePath)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            // q80 delta-dedup shape, one table scan per batch: the
-            // accumulated table's digest column probes a broadcast of
-            // the batch's digests; the matched set (bounded by the
-            // batch's distinct texts, never corpus-sized) is PERSISTED
-            // on the executors so the merge's downstream re-evaluations
-            // replay a cached-hits broadcast anti-join, never the table
-            // scan — and no digest round-trips through an application
-            // collect (the broadcast build is Spark's managed,
-            // size-guarded path).
-            // Lost-cache safety: if evicted/lost `hits` partitions are
-            // recomputed, the lineage re-scans the table — which is
-            // SAFE here because the merge protocol evaluates its input
-            // (emptiness probe, staged write) strictly BEFORE the first
-            // promote rename: every possible recompute observes the
-            // stable pre-merge table, the same one the original scan
-            // read. A merge that evaluated its input after promoting
-            // would break this; mergeApproachesTable's stage-then-
-            // promote ordering is the invariant relied on.
-            var hits: DataFrame = null
-            val admitted =
-              if (!Sinks.hasCommittedData(fs, tablePath)) kept
-              else {
-                val table = spark.read.parquet(tablePath)
-                require(table.columns.contains("text_md5"),
-                  s"curated table at $tablePath was written without text " +
-                    "digests — the stored rows carry no text to backfill " +
-                    "from, so cross-batch dedup cannot run against it; " +
-                    "rewrite the table (re-ingest) or start a new path")
-                // guarded transport (broadcast under the cap, SMJ
-                // fallback past it) — a poison mega-batch must degrade
-                // to a shuffle, not OOM the driver mid-stream
-                hits = graft.text.TextOps.matchedBaseDigests(
-                  table.select(col("text_md5")), kept, "text_md5").persist()
-                // the count pins the persist before the merge's
-                // re-evaluations AND guards the anti-join's transport
-                // with the same cap as the probe (shared constant, so
-                // the two regimes can never drift apart)
-                val hitsTransport =
-                  if (hits.count() <= graft.text.TextOps.MaxBroadcastDigests)
-                    broadcast(hits)
-                  else hits.hint("merge")
-                kept.join(hitsTransport, Seq("text_md5"), "left_anti")
-              }
-            try {
-              Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev",
-                buckets)
-            } finally if (hits != null) hits.unpersist()
-            postMergeHook(batchId)
-          } finally kept.unpersist()
+          curateAndMerge(spark, deduped, tablePath, buckets,
+            postMergeHook, batchId)
         } finally parsed.unpersist()
       }
       .start()
+
+  /** Curate a prepared (doc_id, text) micro-batch and merge the
+    * admitted rows into the keyed table — the shared BACK HALF of
+    * the ingest family: [[curatedJsonlIngest]] (clean-text shards)
+    * and [[CrawlIngest]] (raw-HTML shards with the q142/q143 front)
+    * both land here, so the exactly-once + cross-batch-dedup
+    * argument is written once.
+    */
+  private[streaming] def curateAndMerge(spark: SparkSession,
+      deduped: DataFrame, tablePath: String, buckets: Int,
+      postMergeHook: Long => Unit, batchId: Long): Unit = {
+    // persisted: the merge evaluates its input several times
+    // (emptiness probe, touched-bucket collect, staged write) —
+    // without the persist each evaluation would re-run curation
+    // AND re-read the batch's source files
+    val kept = TextQueries.curate(deduped, keepDigest = true)
+      .filter(col("keep"))
+      .withColumn("rev", lit(0L))
+      .select(col("doc_id"), col("rev"), col("lang_pred"),
+        col("quality_e4"), col("split"), col("text_md5"))
+      .persist()
+    try {
+      // heal any interrupted merge BEFORE observing the table: a
+      // crash mid-promote leaves buckets parked in the backup
+      // dir, and a probe read taken first would miss their
+      // digests — re-admitting a dup on replay
+      Sinks.recoverTable(spark, tablePath)
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // q80 delta-dedup shape, one table scan per batch: the
+      // accumulated table's digest column probes a broadcast of
+      // the batch's digests; the matched set (bounded by the
+      // batch's distinct texts, never corpus-sized) is PERSISTED
+      // on the executors so the merge's downstream re-evaluations
+      // replay a cached-hits broadcast anti-join, never the table
+      // scan — and no digest round-trips through an application
+      // collect (the broadcast build is Spark's managed,
+      // size-guarded path).
+      // Lost-cache safety: if evicted/lost `hits` partitions are
+      // recomputed, the lineage re-scans the table — which is
+      // SAFE here because the merge protocol evaluates its input
+      // (emptiness probe, staged write) strictly BEFORE the first
+      // promote rename: every possible recompute observes the
+      // stable pre-merge table, the same one the original scan
+      // read. A merge that evaluated its input after promoting
+      // would break this; mergeApproachesTable's stage-then-
+      // promote ordering is the invariant relied on.
+      var hits: DataFrame = null
+      val admitted =
+        if (!Sinks.hasCommittedData(fs, tablePath)) kept
+        else {
+          val table = spark.read.parquet(tablePath)
+          require(table.columns.contains("text_md5"),
+            s"curated table at $tablePath was written without text " +
+              "digests — the stored rows carry no text to backfill " +
+              "from, so cross-batch dedup cannot run against it; " +
+              "rewrite the table (re-ingest) or start a new path")
+          // guarded transport (broadcast under the cap, SMJ
+          // fallback past it) — a poison mega-batch must degrade
+          // to a shuffle, not OOM the driver mid-stream
+          hits = graft.text.TextOps.matchedBaseDigests(
+            table.select(col("text_md5")), kept, "text_md5").persist()
+          // the count pins the persist before the merge's
+          // re-evaluations AND guards the anti-join's transport
+          // with the same cap as the probe (shared constant, so
+          // the two regimes can never drift apart)
+          val hitsTransport =
+            if (hits.count() <= graft.text.TextOps.MaxBroadcastDigests)
+              broadcast(hits)
+            else hits.hint("merge")
+          kept.join(hitsTransport, Seq("text_md5"), "left_anti")
+        }
+      try {
+        Sinks.mergeKeyedTable(admitted, tablePath, "doc_id", "rev",
+          buckets)
+      } finally if (hits != null) hits.unpersist()
+      postMergeHook(batchId)
+    } finally kept.unpersist()
+  }
 
   /** The ingested table, caller-keyed. */
   def readCurated(spark: SparkSession, tablePath: String): DataFrame =

@@ -116,6 +116,82 @@ object ShardIngest {
     }
   }
 
+  /** One decoded ZIP entry (shard-relative; the table row). */
+  final case class ZipShardRec(idx: Long, entry: String, n_bytes: Long,
+      method: String, body_md5: String, n_entries: Long)
+
+  /** One decoded WebDataset tar member: `stem` is the training-sample
+    * key (name up to the first '.'), `n_in_sample` its member count —
+    * the q137 columns, so incomplete samples reject without re-reading
+    * the shard.
+    */
+  final case class TarShardRec(idx: Long, stem: String, entry: String,
+      n_bytes: Long, body_md5: String, n_in_sample: Long)
+
+  /** ZIP shard ingest (strict whole-archive walk; q136's family).
+    * Table rows: (rec_key, rev, shard, idx, entry, n_bytes, method,
+    * body_md5, n_entries).
+    */
+  def zipShardIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null): StreamingQuery = {
+    import spark.implicits._
+    runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
+      postMergeHook, quarantineDir, ordinalCol = "idx") { files =>
+      files.select(fileName(col("path")).as("shard"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (shard, bytes) =>
+          val rows = graft.multimodal.Archives.zipEntriesStrict(bytes)
+            .map { es =>
+              es.zipWithIndex.map { case ((name, n, method, md5), i) =>
+                ZipShardRec(i.toLong, name, n, method, md5,
+                  es.size.toLong)
+              }
+            }
+          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+        }
+        .toDF("shard", "ok", "rows")
+    }
+  }
+
+  /** WebDataset tar shard ingest (q137's walk: checksum-verified
+    * ustar headers, stems + per-stem member counts computed in the
+    * walk). Table rows: (rec_key, rev, shard, idx, stem, entry,
+    * n_bytes, body_md5, n_in_sample).
+    */
+  def tarShardIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String, buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null): StreamingQuery = {
+    import spark.implicits._
+    runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
+      postMergeHook, quarantineDir, ordinalCol = "idx") { files =>
+      files.select(fileName(col("path")).as("shard"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (shard, bytes) =>
+          val rows = graft.multimodal.Archives.tarMembers(bytes)
+            .map { members =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val stems = members
+                .groupBy { case (name, _, _) => name.takeWhile(_ != '.') }
+                .map { case (k, v) => k -> v.size.toLong }
+              members.toVector.zipWithIndex.map {
+                case ((name, off, len), i) =>
+                  md.reset()
+                  md.update(bytes, off, len)
+                  TarShardRec(i.toLong, name.takeWhile(_ != '.'), name,
+                    len.toLong,
+                    md.digest().map(b => f"$b%02x").mkString,
+                    stems(name.takeWhile(_ != '.')))
+              }
+            }
+          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+        }
+        .toDF("shard", "ok", "rows")
+    }
+  }
+
   /** The ingested table, caller-keyed. */
   def readShardTable(spark: SparkSession, tablePath: String): DataFrame =
     Sinks.readKeyedTable(spark, tablePath, "rec_key", "rev")

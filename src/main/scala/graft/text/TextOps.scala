@@ -582,8 +582,12 @@ object TextOps {
     * joins the (doc_id, pos) survivors against its own line relation
     * co-partitioned by doc_id.
     */
-  def lineDedup(docs: DataFrame): DataFrame = {
-    val lines = docs
+  /** (doc_id, pos, lh, rank_key) lines of `docs`, digested in the
+    * scan — the shared first stage of [[lineDedup]] (whole-corpus)
+    * and [[lineAdmitStats]] (delta-vs-base).
+    */
+  private def rankedLines(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n"))
         .as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), md5(col("line")).as("lh"))
@@ -605,10 +609,81 @@ object TextOps {
               lit("; widen the key to a (doc_id, pos) struct min"))
           ).isNull,
           col("doc_id") * LineKeyPosBound + col("pos")))
+
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = rankedLines(docs)
     val keeper = lines.groupBy(col("lh"))
       .agg(min(col("rank_key")).as("keep_key"))
     val kept = lines.join(keeper, "lh")
       .filter(col("rank_key") === col("keep_key"))
+      .select(col("doc_id"), col("pos"), col("lh"))
+    lineStatsFrom(kept, docs)
+  }
+
+  /** The release-time LINE-digest index of a base corpus — what
+    * [[lineAdmitStats]] admits against (persist as parquet per
+    * corpus release; one 32-char column, distinct).
+    */
+  def buildLineIndex(docs: DataFrame): DataFrame =
+    docs.select(posexplode(split(col("text"), "\n"))
+        .as(Seq("pos", "line")))
+      .select(md5(col("line")).as("lh"))
+      .distinct()
+
+  /** Incremental (delta-vs-base) C4 line dedup — q150's keep-first
+    * rule against a release-time base index, the q80/q107 admission
+    * shape applied at LINE granularity: a crawl batch's line survives
+    * iff it is (a) the batch's own keep-first occurrence (smallest
+    * (doc_id, pos), the q150 rule within the batch) AND (b) unseen in
+    * the base index. Returns q150's row shape per batch doc
+    * (n_lines, n_kept, kept_sig over the surviving lines' digests in
+    * position order), so a batch doc reduced to boilerplate by the
+    * base reads exactly like q150 flags it.
+    *
+    * 100 TB posture: the BASE NEVER SHUFFLES — its one 32-char
+    * column is probed by [[matchedBaseDigests]] (broadcast of the
+    * batch's distinct digests under the shared cap, guarded
+    * sort-merge fallback past it), and the hits — bounded by the
+    * batch's distinct lines, never base-sized — anti-join back under
+    * the same transport guard. All other work is batch-sized digest
+    * machinery (the q150 plan).
+    */
+  def lineAdmitStats(batch: DataFrame, baseLineIndex: DataFrame)
+      : DataFrame =
+    lineStatsFrom(lineAdmitKept(batch, baseLineIndex), batch)
+
+  /** The SURVIVING (doc_id, pos, lh) lines of [[lineAdmitStats]] —
+    * exposed for the streaming twin, whose admit-and-grow mode
+    * appends these digests to the index for later batches. The hits
+    * anti-join's transport is guarded by the same approximate count
+    * (vs 95% of the shared cap) matchedBaseDigests uses — hits are
+    * bounded by the batch's distinct lines, never base-sized.
+    */
+  private[graft] def lineAdmitKept(batch: DataFrame,
+      baseLineIndex: DataFrame): DataFrame = {
+    val lines = rankedLines(batch)
+    val keeper = lines.groupBy(col("lh"))
+      .agg(min(col("rank_key")).as("keep_key"))
+    val kept0 = lines.join(keeper, "lh")
+      .filter(col("rank_key") === col("keep_key"))
+    val approxN = kept0
+      .agg(approx_count_distinct(col("lh"), 0.01)).head().getLong(0)
+    val hits = matchedBaseDigests(
+      baseLineIndex.select(col("lh")), kept0.select(col("lh")), "lh")
+    val transport =
+      if (approxN <= MaxBroadcastDigests - MaxBroadcastDigests / 20)
+        broadcast(hits)
+      else hits.hint("merge")
+    kept0.join(transport, Seq("lh"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("lh"))
+  }
+
+  /** q150's per-doc readout (n_lines, n_kept, position-ordered
+    * kept_sig) over a surviving-lines table — shared by whole-corpus
+    * [[lineDedup]] and delta [[lineAdmitStats]].
+    */
+  private[graft] def lineStatsFrom(kept: DataFrame, docs: DataFrame)
+      : DataFrame = {
     val agg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_kept"),
         md5(concat_ws("\n",

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.queries.TextQueries
+
+/** The crawl-HTML ingest: raw pages through the hardened extraction
+  * + URL gate front, then the shared curate-and-merge back half —
+  * admitted rows must equal curating the CLEAN text directly (the
+  * HtmlSpec composition law, now across the streaming boundary),
+  * gated docs are recorded and never merged, and a post-merge crash
+  * replay converges.
+  */
+class CrawlIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and the cat is of " +
+      "the essence to win in the long game of the seasons"
+
+  /** The q142-style page: boilerplate zoo + comment + entities in a
+    * DROPPED garnish block, content verbatim in the kept block.
+    */
+  private def wrap(text: String): String =
+    "<!DOCTYPE html><html><head><title>T</title>" +
+      "<STYLE media=\"x>y\">p{c:#1}</STYLE>" +
+      "<script>var a=1;</script></head><body>" +
+      "<!-- <p>comment markup that must never leak</p> -->" +
+      "<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<DIV CLASS=\"m > c\">&amp; menu</DIV>" +
+      s"<p>$text</p>" +
+      "<footer><a href=\"/c\">Contact</a> (c) 9</footer></body></html>"
+
+  private def jline(id: Long, url: String, html: String): String = {
+    val esc = html.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"doc_id":$id,"url":"$url","html":"$esc"}"""
+  }
+
+  private def dropShard(dir: Path, name: String, lines: Seq[String]): Unit = {
+    val tmp = Files.createTempFile("crawl", ".jsonl")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  test("extract + gate + curate + merge; gated recorded; crash replay converges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawlingest")
+    val drop = Files.createDirectories(root.resolve("drop"))
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("curated").toString
+    val gatedDir = root.resolve("gated").toString
+    val blocked = Seq("spam.example")
+
+    val t2 = goodText + " again and again the end is near to all"
+    dropShard(drop, "c1.jsonl", Seq(
+      jline(1, "https://ok.example/a", wrap(goodText)),
+      jline(2, "https://ok.example/b", wrap(t2)),
+      jline(3, "https://ok.example/c", wrap(goodText)), // dup of 1
+      jline(4, "https://SPAM.example/x", wrap(goodText)), // blocked
+      jline(5, "https://ok.example/d", wrap("tiny")),     // thin
+      jline(6, "https://ok.example/e", wrap("zzz qqq xxx vvv www uuu ttt")))) // und
+    val q1 = CrawlIngest.crawlHtmlIngest(spark, drop.toString, table,
+      ckpt, blocked, gatedDir = gatedDir)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // admitted = curate(clean text) admits: 1 and 2 (3 dup, 6 lang)
+    val after1 = CrawlIngest.readCurated(spark, table)
+    assert(after1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    // cross-boundary composition law: the merged rows' signals equal
+    // curating the CLEAN text directly
+    val expect = TextQueries.curate(
+        Seq((1L, goodText), (2L, t2)).toDF("doc_id", "text"))
+      .select("doc_id", "lang_pred", "quality_e4", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    val got = after1.select("doc_id", "lang_pred", "quality_e4", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    assert(got == expect,
+      s"streamed crawl curation diverged from clean-text curation:\n$got\nvs\n$expect")
+    // gated records name the blocked and thin docs with reasons
+    val gated = spark.read.json(gatedDir)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gated == Set((4L, "blocked"), (5L, "thin")))
+
+    // ---- crash replay: new shard, crash after merge ----
+    dropShard(drop, "c2.jsonl", Seq(
+      jline(7, "https://ok.example/f",
+        wrap(goodText + " a tale of two cities and the best of times"))))
+    var batches = 0
+    val q2 = CrawlIngest.crawlHtmlIngest(spark, drop.toString, table,
+      ckpt, blocked, gatedDir = gatedDir,
+      postMergeHook = { _ => batches += 1; sys.error("injected crash") })
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    assert(batches == 1)
+    val q3 = CrawlIngest.crawlHtmlIngest(spark, drop.toString, table,
+      ckpt, blocked, gatedDir = gatedDir)
+    try q3.processAllAvailable() finally q3.stop()
+    val ids = CrawlIngest.readCurated(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 7L), s"exactly-once violated: $ids")
+
+    // ---- malformed lines quarantine like the jsonl ingest ----
+    dropShard(drop, "c3.jsonl", Seq(
+      """{"doc_id":8,"url":"https://ok.example/g""", // truncated json
+      jline(9, "https://ok.example/h",
+        wrap(goodText + " the final word on the matter is simply this"))))
+    val q4 = CrawlIngest.crawlHtmlIngest(spark, drop.toString, table,
+      ckpt, blocked, gatedDir = gatedDir)
+    try q4.processAllAvailable() finally q4.stop()
+    val quar = spark.read.json(Ingest.quarantinePath(table))
+      .select("reason").collect().map(_.getString(0)).toSeq
+    assert(quar == Seq("malformed"))
+    assert(CrawlIngest.readCurated(spark, table)
+      .filter(col("doc_id") === 9L).count() == 1)
+  }
+}

@@ -100,6 +100,86 @@ class ShardIngestSpec extends AnyFunSuite {
       "replayed shard's rows wrong after convergence")
   }
 
+  test("zip: stream/batch parity, garbage and truncation quarantine") {
+    import graft.multimodal.Archives
+    val root = Files.createTempDirectory("zipingest")
+    val dropDir = Files.createDirectories(root.resolve("drop"))
+    def zipShard(id: Long): Array[Byte] =
+      Archives.encodeZip((0 until (2 + id % 3).toInt).map(j =>
+        (s"e$j.txt", Archives.plantedBody(id, j).getBytes("UTF-8"))))
+    drop(dropDir, "z0.zip", zipShard(0))
+    drop(dropDir, "z1.zip", zipShard(1))
+    // garbage payload: no PK magic — must quarantine, not read as an
+    // empty archive (ZipInputStream returns null on garbage)
+    drop(dropDir, "z2.zip", "this is not a zip at all".getBytes)
+    // truncated MID-ENTRY — the walk throws, quarantine-whole.
+    // (A cut that only clips the central directory is NOT detectable
+    // by a streaming walk — entry CRCs all verified — and such a
+    // shard legitimately ingests; see zipEntriesStrict's scaladoc.)
+    drop(dropDir, "z3.zip", zipShard(3).take(zipShard(3).length / 2))
+    val table = root.resolve("entries").toString
+    val quarantine = root.resolve("quarantine").toString
+    val q = ShardIngest.zipShardIngest(spark, dropDir.toString, table,
+      root.resolve("ckpt").toString, quarantineDir = quarantine)
+    try q.processAllAvailable() finally q.stop()
+    val got = ShardIngest.readShardTable(spark, table)
+      .select("shard", "idx", "entry", "n_bytes", "method", "body_md5")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSet
+    val expect = (for {
+      (sh, id) <- Seq(("z0.zip", 0L), ("z1.zip", 1L))
+      ((name, n, method, md5), i) <-
+        Archives.zipEntriesStrict(zipShard(id)).get.zipWithIndex
+    } yield (sh, i.toLong, name, n, method, md5)).toSet
+    assert(got == expect)
+    // both methods exercised (encodeZip alternates DEFLATED/STORED)
+    assert(got.map(_._5) == Set("deflated", "stored"))
+    val quar = spark.read.json(quarantine).select("raw").collect()
+      .map(_.getString(0)).toSet
+    assert(quar == Set("z2.zip", "z3.zip"))
+  }
+
+  test("webdataset tar: stems + sample counts, corrupt header quarantines") {
+    import graft.multimodal.Archives
+    val root = Files.createTempDirectory("taringest")
+    val dropDir = Files.createDirectories(root.resolve("drop"))
+    // WebDataset shape: sample stems with 2-3 members each
+    def tarShard(id: Long): Array[Byte] =
+      Archives.encodeTar((0 until (2 + id % 2).toInt).flatMap { s =>
+        val stem = f"sample$id%d_$s%03d"
+        Seq((s"$stem.jpg", Archives.plantedBody(id, s).getBytes),
+          (s"$stem.json", s"""{"k":$s}""".getBytes)) ++
+          (if (s % 2 == 0) Seq((s"$stem.cls", s"$s".getBytes)) else Nil)
+      })
+    drop(dropDir, "w0.tar", tarShard(0))
+    drop(dropDir, "w1.tar", tarShard(1))
+    val poison = tarShard(2)
+    poison(148) = '9' // corrupt the first header's checksum field
+    drop(dropDir, "w2.tar", poison)
+    val table = root.resolve("members").toString
+    val quarantine = root.resolve("quarantine").toString
+    val q = ShardIngest.tarShardIngest(spark, dropDir.toString, table,
+      root.resolve("ckpt").toString, quarantineDir = quarantine)
+    try q.processAllAvailable() finally q.stop()
+    val got = ShardIngest.readShardTable(spark, table)
+      .select("shard", "stem", "entry", "n_in_sample")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    // every .jpg/.json pair shares a stem; .cls-bearing samples
+    // count 3, others 2
+    assert(got.nonEmpty)
+    for ((_, stem, entry, n) <- got) {
+      assert(entry.startsWith(stem))
+      val expectedN = if (stem.endsWith("0") || stem.endsWith("2")) 3L else 2L
+      assert(n == expectedN, s"$stem expected $expectedN members, got $n")
+    }
+    val shards = got.map(_._1)
+    assert(shards == Set("w0.tar", "w1.tar"))
+    val quar = spark.read.json(quarantine).select("raw").collect()
+      .map(_.getString(0)).toSet
+    assert(quar == Set("w2.tar"))
+  }
+
   test("tfrecord: stream/batch parity and poison quarantine") {
     val root = Files.createTempDirectory("tfingest")
     val dropDir = Files.createDirectories(root.resolve("drop"))
