@@ -3951,6 +3951,17 @@ object TextQueries {
       lit("</footer></body></html>"))
     val ext = corpus.select(id,
       Html.extractMain(page).getField("content").as("text"))
+      // persisted, not a repartition barrier: FOUR sibling branches
+      // consume the extracted corpus (line stats, pair/CC, signals,
+      // final assembly) with DIFFERENT column sets, and Catalyst
+      // pushes pruning through an exchange — the four rewritten
+      // exchanges no longer canonicalize equal, so ReuseExchange
+      // never fires (measured: 15 scans / 0 reused in the barrier
+      // plan; the q31 trick only works for identical-column
+      // consumers). The cache is (doc_id, text) — corpus-sized but
+      // the same rows q61's corpus scan holds; Bench/Verify clear it
+      // per query
+      .persist()
     // stage 1: URL gate (q143's planted messy URL + broadcast
     // blocklist) and the thin gate (extraction yielded nothing)
     val url = concat(

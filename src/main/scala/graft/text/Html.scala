@@ -169,12 +169,20 @@ object Html {
   }
 
   /** Visible text of one block: tags to spaces, entities decoded,
-    * whitespace runs collapsed, trimmed.
+    * whitespace runs collapsed, trimmed. The decode is gated on a
+    * literal `&` probe: decodeEntities is the identity on
+    * entity-free text (split yields one segment, zero entities) but
+    * still pays a split + extract + interleave per block — and most
+    * blocks of most pages carry no entity at all, so the cheap
+    * `instr` probe skips the machinery wholesale (the oracle decodes
+    * unconditionally: identical values, this is cost-only).
     */
-  private def visible(b: Column): Column =
-    trim(regexp_replace(
-      decodeEntities(regexp_replace(b, TagPattern, " ")),
-      s"$WS+", " "))
+  private def visible(b: Column): Column = {
+    val stripped = regexp_replace(b, TagPattern, " ")
+    val decoded = when(instr(stripped, "&") > 0,
+      decodeEntities(stripped)).otherwise(stripped)
+    trim(regexp_replace(decoded, s"$WS+", " "))
+  }
 
   /** Link count of one block (<a> openings surviving in the block). */
   private def linkCount(b: Column): Column =
