@@ -492,6 +492,34 @@ class ShuffleBudgetSpec extends AnyFunSuite {
         "vectors are travelling through a shuffle")
   }
 
+  test("q159 delta line admission: shuffles scale with the DELTA, never the base") {
+    import spark.implicits._
+    // base 80x the delta in line count: if the base index ever enters
+    // an exchange, writeRecords jumps past the base's 8,000 lines and
+    // the budget (bounded by the DELTA's 100 lines) turns red
+    val base = (0L until 200L).map(i =>
+      (i, (0 until 40).map(k => s"b${i}_$k").mkString("\n")))
+      .toDF("doc_id", "text")
+    val index = graft.text.TextOps.buildLineIndex(base).persist()
+    index.count() // materialized OUTSIDE the measured window
+    val delta = (1000L until 1010L).map(i =>
+      (i, (0 until 10).map(k => s"d${i}_$k").mkString("\n")))
+      .toDF("doc_id", "text")
+    val deltaLines = 100L
+    val s = ShuffleMeter.measure(spark) {
+      graft.text.TextOps.lineAdmitStats(delta, index)
+        .queryExecution.toRdd.count()
+    }
+    assert(s.writeRecords > 0, "expected the delta's keeper aggregate")
+    // keeper agg + keeper join + hits distinct + stats agg/join: each
+    // at most delta-line-sized (map-side partials) — nothing here may
+    // scale with the base's 8,000 lines
+    assert(s.writeRecords <= 8 * deltaLines,
+      s"admission shuffled ${s.writeRecords} records for $deltaLines " +
+        "delta lines — the base index has entered an exchange")
+    index.unpersist()
+  }
+
   test("q114 outlier audit: exchanges are catalog-sized (source x dim), not corpus-sized") {
     graft.functions.GraftFunctions.register(spark)
     val nSources = spark.read.parquet(s"$dir/documents.parquet")
