@@ -108,7 +108,8 @@ object Archives {
     * correct for the data actually present; a mid-entry truncation
     * throws and quarantines.
     */
-  def zipEntriesStrict(payload: Array[Byte])
+  def zipEntriesStrict(payload: Array[Byte],
+      maxBytes: Long = 1L << 26)
       : Option[Vector[(String, Long, String, String)]] = {
     if (payload.length < 4 || payload(0) != 'P' || payload(1) != 'K' ||
       payload(2) != 3 || payload(3) != 4) return None
@@ -118,6 +119,7 @@ object Archives {
     try {
       val md = java.security.MessageDigest.getInstance("MD5")
       val buf = new Array[Byte](8192)
+      var total = 0L
       var entry = zin.getNextEntry
       if (entry == null) return None // magic present but no walkable entry
       while (entry != null) {
@@ -125,7 +127,13 @@ object Archives {
         var n = 0L
         var read = zin.read(buf)
         while (read >= 0) {
-          md.update(buf, 0, read); n += read; read = zin.read(buf)
+          md.update(buf, 0, read); n += read; total += read
+          // decompression-bomb bound (GzipMembers.walk's cap): a
+          // kB-sized DEFLATE entry can inflate ~1000:1, and a
+          // standing ingest must quarantine the bomb early, not
+          // stream-and-discard gigabytes per poisoned shard
+          if (total > maxBytes) return None
+          read = zin.read(buf)
         }
         val method = entry.getMethod match {
           case ZipEntry.STORED => "stored"

@@ -666,10 +666,19 @@ object TextOps {
       .agg(min(col("rank_key")).as("keep_key"))
     val kept0 = lines.join(keeper, "lh")
       .filter(col("rank_key") === col("keep_key"))
+    // ONE estimator job, shared with matchedBaseDigests' transport
+    // decision via knownDeltaCount (its internal estimator would
+    // recompute kept0's digest+keeper lineage for the same number).
+    // kept0 itself is deliberately NOT persisted: the stream caller
+    // already persists the batch (so recompute re-runs batch-sized
+    // digest work over cached rows), and a catalog cache here would
+    // leak across LineDedupStream's batches — its per-batch
+    // unpersist covers `kept`, not this internal frame.
     val approxN = kept0
       .agg(approx_count_distinct(col("lh"), 0.01)).head().getLong(0)
     val hits = matchedBaseDigests(
-      baseLineIndex.select(col("lh")), kept0.select(col("lh")), "lh")
+      baseLineIndex.select(col("lh")), kept0.select(col("lh")), "lh",
+      knownDeltaCount = approxN)
     val transport =
       if (approxN <= MaxBroadcastDigests - MaxBroadcastDigests / 20)
         broadcast(hits)
@@ -880,10 +889,17 @@ object TextOps {
     */
   def matchedBaseDigests(base: DataFrame, deltaDigests: DataFrame,
       key: String,
-      maxBroadcastRows: Long = MaxBroadcastDigests): DataFrame = {
+      maxBroadcastRows: Long = MaxBroadcastDigests,
+      knownDeltaCount: Long = -1L): DataFrame = {
     val probe = deltaDigests.select(col(key)).distinct()
-    val approxN = deltaDigests
-      .agg(approx_count_distinct(col(key), 0.01)).head().getLong(0)
+    // a caller that already ran the estimator for its own transport
+    // decision passes the number in (lineAdmitKept) — re-running it
+    // here would recompute the delta's whole lineage for a value we
+    // have
+    val approxN =
+      if (knownDeltaCount >= 0) knownDeltaCount
+      else deltaDigests
+        .agg(approx_count_distinct(col(key), 0.01)).head().getLong(0)
     val hits =
       if (approxN <= maxBroadcastRows - maxBroadcastRows / 20)
         base.select(col(key)).join(broadcast(probe), Seq(key), "left_semi")

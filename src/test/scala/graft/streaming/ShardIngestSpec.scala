@@ -137,6 +137,13 @@ class ShardIngestSpec extends AnyFunSuite {
     val quar = spark.read.json(quarantine).select("raw").collect()
       .map(_.getString(0)).toSet
     assert(quar == Set("z2.zip", "z3.zip"))
+    // decompression-bomb bound: a tiny DEFLATE entry inflating past
+    // the cap quarantines instead of streaming gigabytes (the
+    // GzipMembers.walk twin)
+    val bomb = Archives.encodeZip(Seq(
+      ("bomb.bin", Array.fill[Byte](1 << 20)(0))))
+    assert(Archives.zipEntriesStrict(bomb, maxBytes = 1 << 16).isEmpty)
+    assert(Archives.zipEntriesStrict(bomb, maxBytes = 1 << 21).isDefined)
   }
 
   test("webdataset tar: stems + sample counts, corrupt header quarantines") {
