@@ -96,6 +96,34 @@ object Bench {
     val obs = scala.collection.mutable.Map[String,
       List[(Double, Boolean)]]().withDefaultValue(Nil)
     for (_ <- 1 to passes; name <- names) obs(name) ::= runOne(name)
+    // Contended-window refusal (r15 verdict watch item): BENCH_r15
+    // archived a capture whose over_expect_median was 1.26 — a
+    // box-swing artifact, not code — because nothing stopped a
+    // contended window from becoming the round's number. Now the
+    // suite re-runs ITSELF (full extra passes, best-of-all kept)
+    // while the floor-ratio median stays above 1.2, up to 2 extra
+    // passes: a quiet stretch anywhere in the window fixes every
+    // query's min. If the median still exceeds 1.2 after that, the
+    // artifact says so ("window":"contended") instead of
+    // masquerading as a clean capture.
+    def ratioMedianNow(): Double = {
+      val rs = names.flatMap { n =>
+        expect.get(n).filter(_ > 0).flatMap { e =>
+          val good = obs(n).collect { case (t, true) => t }
+          if (good.nonEmpty) Some(good.min / e) else None
+        }
+      }.sorted
+      if (rs.isEmpty) -1.0
+      else if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
+    }
+    var extraPasses = 0
+    while (expectApplicable && ratioMedianNow() > 1.2 && extraPasses < 2) {
+      extraPasses += 1
+      System.err.println(s"[bench] contended window detected " +
+        f"(median ${ratioMedianNow()}%.2f > 1.2); extra pass $extraPasses")
+      names.foreach(name => obs(name) ::= runOne(name))
+    }
     var reruns = 0
     var rerunSpent = 0.0
     def bestOf(name: String): (Double, Boolean) = {
@@ -179,7 +207,9 @@ object Bench {
     // contended) trails — a tail crop of any length keeps the
     // headline. The full line is ALSO written to BENCH_full.json
     // beside the build so nothing depends on the crop at all.
-    val line = s"""{"queries":$qs,"over_expect":$ratioJson,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"over_expect_median":${f"$ratioMedian%.2f"},"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work","metric":"total","unit":"sec","value":$total}"""
+    val window =
+      if (expectApplicable && ratioMedian > 1.2) "contended" else "quiet"
+    val line = s"""{"queries":$qs,"over_expect":$ratioJson,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"extra_passes":$extraPasses,"window":"$window","over_expect_median":${f"$ratioMedian%.2f"},"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work","metric":"total","unit":"sec","value":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))

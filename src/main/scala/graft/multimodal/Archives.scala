@@ -110,9 +110,22 @@ object Archives {
     */
   def zipEntriesStrict(payload: Array[Byte],
       maxBytes: Long = 1L << 26)
-      : Option[Vector[(String, Long, String, String)]] = {
+      : Option[Vector[(String, Long, String, String)]] =
+    zipEntriesDetail(payload, maxBytes).toOption
+
+  /** [[zipEntriesStrict]] with the failure NAMED: Left("too_large")
+    * when the cumulative decompressed size exceeds `maxBytes` (a
+    * legitimately large shard — common for real WARC/WebDataset
+    * shards past the default 64 MiB — is distinguishable from a
+    * corrupt one and re-ingestable with a raised cap), Left
+    * ("checksum_or_framing") for every genuine malformation.
+    */
+  def zipEntriesDetail(payload: Array[Byte],
+      maxBytes: Long = 1L << 26)
+      : Either[String, Vector[(String, Long, String, String)]] = {
+    val Bad = Left("checksum_or_framing")
     if (payload.length < 4 || payload(0) != 'P' || payload(1) != 'K' ||
-      payload(2) != 3 || payload(3) != 4) return None
+      payload(2) != 3 || payload(3) != 4) return Bad
     val out = Vector.newBuilder[(String, Long, String, String)]
     val zin = new ZipInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -121,7 +134,7 @@ object Archives {
       val buf = new Array[Byte](8192)
       var total = 0L
       var entry = zin.getNextEntry
-      if (entry == null) return None // magic present but no walkable entry
+      if (entry == null) return Bad // magic present but no walkable entry
       while (entry != null) {
         md.reset()
         var n = 0L
@@ -131,8 +144,11 @@ object Archives {
           // decompression-bomb bound (GzipMembers.walk's cap): a
           // kB-sized DEFLATE entry can inflate ~1000:1, and a
           // standing ingest must quarantine the bomb early, not
-          // stream-and-discard gigabytes per poisoned shard
-          if (total > maxBytes) return None
+          // stream-and-discard gigabytes per poisoned shard. The cap
+          // is cumulative over the WHOLE archive's decompressed
+          // bytes, so the reason is its own so callers can tell an
+          // oversized-but-valid shard from a corrupt one.
+          if (total > maxBytes) return Left("too_large")
           read = zin.read(buf)
         }
         val method = entry.getMethod match {
@@ -144,9 +160,9 @@ object Archives {
           md.digest().map(b => f"$b%02x").mkString))
         entry = zin.getNextEntry
       }
-      Some(out.result())
+      Right(out.result())
     } catch {
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(_) => Bad
     } finally zin.close()
   }
 

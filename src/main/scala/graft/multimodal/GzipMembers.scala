@@ -45,7 +45,27 @@ object GzipMembers {
     * a crawl shard that fails its checksums quarantines whole.
     */
   def walk(mediaId: Long, b: Array[Byte],
-      maxBytes: Long = 1L << 26): Option[Vector[MemberRow]] = {
+      maxBytes: Long = 1L << 26): Option[Vector[MemberRow]] =
+    walkDetail(mediaId, b, maxBytes).toOption
+
+  /** [[walk]] with the failure NAMED ([[Archives.zipEntriesDetail]]'s
+    * contract): Left("too_large") when the cumulative decompressed
+    * size exceeds `maxBytes` — an oversized-but-valid shard, distinct
+    * from Left("checksum_or_framing") for genuine corruption.
+    */
+  def walkDetail(mediaId: Long, b: Array[Byte],
+      maxBytes: Long = 1L << 26): Either[String, Vector[MemberRow]] = {
+    val tooLarge = new Array[Boolean](1)
+    walkImpl(mediaId, b, maxBytes, tooLarge) match {
+      case Some(rows) => Right(rows)
+      case None =>
+        Left(if (tooLarge(0)) "too_large" else "checksum_or_framing")
+    }
+  }
+
+  private def walkImpl(mediaId: Long, b: Array[Byte],
+      maxBytes: Long, tooLarge: Array[Boolean])
+      : Option[Vector[MemberRow]] = {
     val out = Vector.newBuilder[MemberRow]
     var off = 0
     var idx = 0L
@@ -101,7 +121,10 @@ object GzipMembers {
           md5.update(buf, 0, k)
           n += k
           total += k
-          if (total > maxBytes) return None // decompression-bomb bound
+          if (total > maxBytes) { // decompression-bomb bound
+            tooLarge(0) = true
+            return None
+          }
         }
         val used = inf.getBytesRead.toInt
         val tOff = p + used

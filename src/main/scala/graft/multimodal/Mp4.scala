@@ -69,18 +69,23 @@ object Mp4 {
         val typ = fourcc(b, off + 4)
         // ISO-BMFF special sizes (14496-12 §4.2): size==1 means a
         // 64-bit largesize follows the type (large mdat); size==0
-        // means the box extends to the end of the enclosing scope
-        // (legal only for the LAST box — enforced by the off==end
-        // loop exit after it). Real-world large-mdat files carry
-        // both; rejecting them contradicted the probe's framing.
+        // means the box extends to the end of the FILE — §4.2 allows
+        // it only for the last TOP-LEVEL box, so it is rejected in
+        // nested scopes (end != file end): a corrupt mid-scope zero
+        // size would otherwise silently swallow its sibling boxes as
+        // body (skipping later trak/mvhd, undercounting nTracks)
+        // instead of failing the probe. At top level the computed
+        // size runs to EOF, which IS the last-box semantics.
         var hdr = 8L
         val size: Long =
           if (size32 == 1L) {
             if (off + 16 > end) return false
             hdr = 16L
             ((u32(b, off + 8) << 32) | u32(b, off + 12))
-          } else if (size32 == 0L) (end - off).toLong
-          else size32
+          } else if (size32 == 0L) {
+            if (end != b.length) return false
+            (end - off).toLong
+          } else size32
         if (size < hdr || off + size > end) return false
         wsum += nBoxes * size
         nBoxes += 1

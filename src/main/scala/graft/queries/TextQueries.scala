@@ -3381,8 +3381,13 @@ object TextQueries {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val hostport = regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)
-    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    // userinfo stripped at the LAST '@' before host/port capture
+    // (graft.text.Urls' hardened rule — `user:pass@host` must not
+    // yield host `user`); the fixture has no userinfo, so both
+    // engines mirror the rule and the output is unchanged
+    val noUser = regexp_replace(hostport, "^.*@", "")
+    val host = lower(regexp_extract(noUser, "^([^:]+)", 1))
+    val port = regexp_extract(noUser, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -3427,10 +3432,14 @@ object TextQueries {
       |  SELECT doc_id,
       |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
       |    lower(regexp_extract(
-      |      regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      regexp_replace(
+      |        regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |        '^.*@', ''),
       |      '^([^:]+)', 1)) AS host,
       |    regexp_extract(
-      |      regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      regexp_replace(
+      |        regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |        '^.*@', ''),
       |      ':([0-9]+)$', 1) AS port,
       |    regexp_extract(
       |      regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),

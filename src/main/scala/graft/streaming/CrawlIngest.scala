@@ -7,13 +7,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
 
 import graft.sources.Jsonl
-import graft.text.Html
+import graft.text.{Html, Urls}
 
 /** Streaming curation with the CRAWL front — q158's chain as the
   * drop-folder service (survey r16 candidate #1): shards carry RAW
   * pages `{doc_id, url, html}`, and each micro-batch runs
   * HTML extract (comments/CDATA/entities/quoted-attrs — the hardened
-  * q142 pipeline) -> thin gate -> URL domain + broadcast blocklist ->
+  * q142 pipeline) -> thin gate -> hardened host + suffix blocklist
+  * ([[graft.text.Urls]]: userinfo-safe host capture, entries matched
+  * as host suffixes — not the last-two-label heuristic) ->
   * q61 curation -> crash-atomic keyed merge, through
   * [[Ingest.curateAndMerge]] — the SAME back half as the clean-text
   * ingest, so the exactly-once and cross-batch-dedup guarantees are
@@ -34,7 +36,10 @@ import graft.text.Html
   * ingest's do.
   *
   * 100 TB posture: extraction + URL gate are batch-sized map work;
-  * the blocklist is a broadcast dim (q143); everything wide is
+  * the blocklist rides the plan as one array literal probed per row
+  * (Urls.blockedByHostSuffix — fine for parameter-passed lists; a
+  * corpus-scale blocklist table gates via a broadcast equi-join on
+  * the exploded suffix chain instead); everything wide is
   * curateAndMerge's documented machinery.
   */
 object CrawlIngest {
@@ -54,8 +59,6 @@ object CrawlIngest {
       postMergeHook: Long => Unit = _ => (),
       quarantineDir: String = null,
       gatedDir: String = null): StreamingQuery = {
-    import spark.implicits._
-    val blocklist = blockedDomains.toDF("blocked_domain")
     Jsonl.readJsonlStreamRaw(spark, dropDir)
       .writeStream
       .outputMode("append")
@@ -84,18 +87,18 @@ object CrawlIngest {
           val batch = parsed.filter(!bad).select(
             col("j.doc_id").as("doc_id"), col("j.url").as("url"),
             col("j.html").as("html"))
-          // the q158 front: extract, registrable domain, gates
-          val host = lower(regexp_extract(
-            regexp_replace(col("url"), "#.*$", ""),
-            "^[A-Za-z]+://([^/:?#]+)", 1))
-          val domain = regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+          // the q158 front: extract, then gate on the HARDENED host —
+          // userinfo stripped, blocklist entries matched as host
+          // suffixes (Urls' contract; the r15 advice's fix). The
+          // recorded `domain` stays the last-two-label DISPLAY
+          // heuristic; the gate key is the host itself.
+          val host = Urls.hostOf(col("url"))
           val staged = batch
-            .select(col("doc_id"), domain.as("domain"),
+            .select(col("doc_id"),
+              Urls.displayDomain(host).as("domain"),
+              Urls.blockedByHostSuffix(host, blockedDomains)
+                .as("blocked"),
               Html.extractMain(col("html")).getField("content").as("text"))
-            .join(broadcast(blocklist),
-              col("domain") === col("blocked_domain"), "left")
-            .withColumn("blocked", col("blocked_domain").isNotNull)
-            .drop("blocked_domain")
             .withColumn("thin", length(col("text")) === 0)
             .persist()
           try {

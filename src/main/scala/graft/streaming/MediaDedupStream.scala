@@ -81,8 +81,16 @@ object MediaDedupStream {
 
   /** Verdicts for one hashed micro-batch against the index — exposed
     * for batch callers and the spec; the streams run this per batch.
-    * Returns (media_id, best_base, best_hamming, admit): best = the
-    * (hamming, base_id)-min candidate, null when no limb collided.
+    * Returns (media_id, best_base, best_hamming, admit, verdict):
+    * best = the (hamming, base_id)-min OTHER-item candidate, null
+    * when no limb collided; verdict ∈ {admit, duplicate,
+    * already_indexed}. A batch id already PRESENT in the base index
+    * (a re-delivered item) gets `already_indexed` / admit=false —
+    * id-equality means "same item", and silently excluding the
+    * self-match would re-admit an exact duplicate whenever the
+    * caller's growth policy appends admits to the index. Its
+    * best_base/best_hamming still report the nearest OTHER item
+    * (null when none collided), so the row stays informative.
     */
   def admitBatch(batchHashes: DataFrame, baseIndex: DataFrame,
       maxHam: Int = MaxHam): DataFrame = {
@@ -101,10 +109,24 @@ object MediaDedupStream {
       .agg(min(struct(col("ham"), col("base_id"))).as("b"))
       .select(col("media_id"), col("b.base_id").as("best_base"),
         col("b.ham").as("best_hamming"))
+    // same transport shape as the limb probe: the index is touched by
+    // one map-only pass against the broadcast batch ids and never
+    // enters an exchange; the hit set is batch-bounded
+    val inBase = baseIndex.select(col("media_id"))
+      .join(broadcast(batchHashes.select(col("media_id"))),
+        Seq("media_id"))
+      .distinct()
+      .withColumn("in_base", lit(true))
     batchHashes.select(col("media_id"))
       .join(best, Seq("media_id"), "left")
-      .withColumn("admit",
-        col("best_hamming").isNull || col("best_hamming") > maxHam)
+      .join(inBase, Seq("media_id"), "left")
+      .withColumn("verdict",
+        when(col("in_base"), "already_indexed")
+          .when(col("best_hamming").isNotNull &&
+            col("best_hamming") <= maxHam, "duplicate")
+          .otherwise("admit"))
+      .withColumn("admit", col("verdict") === "admit")
+      .drop("in_base")
   }
 
   /** Start the image admission stream: `media` is a streaming

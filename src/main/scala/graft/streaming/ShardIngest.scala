@@ -26,6 +26,9 @@ import graft.sinks.Sinks
   * batch rewrites rather than duplicates its quarantine entries. A
   * checksum failure anywhere in a shard means the producer or the
   * transport is broken and every other byte in that shard is suspect.
+  * The decompression-bomb cap quarantines under its OWN reason
+  * ("too_large", gzip/zip walks): an oversized-but-valid shard is the
+  * operator's to re-ingest with a raised `maxBytes`, not a corrupt one.
   *
   * Exactly-once table state from at-least-once execution, exactly
   * `Ingest`'s argument: the binary file source's checkpoint tracks
@@ -78,19 +81,24 @@ object ShardIngest {
   def gzipShardIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int = 16,
       postMergeHook: Long => Unit = _ => (),
-      quarantineDir: String = null): StreamingQuery = {
+      quarantineDir: String = null,
+      maxBytes: Long = 1L << 26): StreamingQuery = {
     import spark.implicits._
     runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
       postMergeHook, quarantineDir, ordinalCol = "member") { files =>
       files.select(fileName(col("path")).as("shard"), col("content"))
         .as[(String, Array[Byte])]
         .map { case (shard, bytes) =>
-          val rows = graft.multimodal.GzipMembers.walk(0L, bytes)
+          graft.multimodal.GzipMembers.walkDetail(0L, bytes, maxBytes)
             .map(_.map(m => GzipShardRec(
               m.member, m.name, m.n_bytes, m.body_md5, m.n_members)))
-          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+            match {
+              case Right(rows) => (shard, null: String, rows)
+              case Left(reason) =>
+                (shard, reason, Vector.empty[GzipShardRec])
+            }
         }
-        .toDF("shard", "ok", "rows")
+        .toDF("shard", "reason", "rows")
     }
   }
 
@@ -110,9 +118,11 @@ object ShardIngest {
           val rows = graft.multimodal.Tfrecord.walk(0L, bytes)
             .map(_.map(r => TfShardRec(
               r.rec, r.n_bytes, r.f1, r.f2_md5, r.n_records)))
-          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+          (shard,
+            if (rows.isDefined) null: String else "checksum_or_framing",
+            rows.getOrElse(Vector.empty))
         }
-        .toDF("shard", "ok", "rows")
+        .toDF("shard", "reason", "rows")
     }
   }
 
@@ -135,23 +145,28 @@ object ShardIngest {
   def zipShardIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int = 16,
       postMergeHook: Long => Unit = _ => (),
-      quarantineDir: String = null): StreamingQuery = {
+      quarantineDir: String = null,
+      maxBytes: Long = 1L << 26): StreamingQuery = {
     import spark.implicits._
     runShardIngest(spark, dropDir, tablePath, checkpointDir, buckets,
       postMergeHook, quarantineDir, ordinalCol = "idx") { files =>
       files.select(fileName(col("path")).as("shard"), col("content"))
         .as[(String, Array[Byte])]
         .map { case (shard, bytes) =>
-          val rows = graft.multimodal.Archives.zipEntriesStrict(bytes)
+          graft.multimodal.Archives.zipEntriesDetail(bytes, maxBytes)
             .map { es =>
               es.zipWithIndex.map { case ((name, n, method, md5), i) =>
                 ZipShardRec(i.toLong, name, n, method, md5,
                   es.size.toLong)
               }
             }
-          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+            match {
+              case Right(rows) => (shard, null: String, rows)
+              case Left(reason) =>
+                (shard, reason, Vector.empty[ZipShardRec])
+            }
         }
-        .toDF("shard", "ok", "rows")
+        .toDF("shard", "reason", "rows")
     }
   }
 
@@ -170,7 +185,7 @@ object ShardIngest {
       files.select(fileName(col("path")).as("shard"), col("content"))
         .as[(String, Array[Byte])]
         .map { case (shard, bytes) =>
-          val rows = graft.multimodal.Archives.tarMembers(bytes)
+          val decoded = graft.multimodal.Archives.tarMembers(bytes)
             .map { members =>
               val md = java.security.MessageDigest.getInstance("MD5")
               val stems = members
@@ -186,9 +201,11 @@ object ShardIngest {
                     stems(name.takeWhile(_ != '.')))
               }
             }
-          (shard, rows.isDefined, rows.getOrElse(Vector.empty))
+          (shard,
+            if (decoded.isDefined) null: String else "checksum_or_framing",
+            decoded.getOrElse(Vector.empty))
         }
-        .toDF("shard", "ok", "rows")
+        .toDF("shard", "reason", "rows")
     }
   }
 
@@ -200,10 +217,12 @@ object ShardIngest {
     element_at(split(path, "/"), -1)
 
   /** Shared harness: per micro-batch, `decode` turns the batch's
-    * shard files into (shard, ok, rows:array<struct>) — ok=false
-    * means the WHOLE shard quarantines; good rows explode via
-    * `inline` (struct field names become table columns), key on the
-    * salted digest of shard#ordinal, and upsert.
+    * shard files into (shard, reason, rows:array<struct>) — a
+    * non-null reason means the WHOLE shard quarantines under that
+    * reason ("too_large" for an over-cap valid shard, "checksum_or_
+    * framing" for corruption); good rows explode via `inline` (struct
+    * field names become table columns), key on the salted digest of
+    * shard#ordinal, and upsert.
     */
   private def runShardIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String, buckets: Int,
@@ -222,9 +241,8 @@ object ShardIngest {
         // re-read the shard bytes) otherwise
         val walked = decode(files).persist()
         try {
-          val bad = walked.filter(!col("ok"))
-            .select(col("shard").as("raw"),
-              lit("checksum_or_framing").as("reason"))
+          val bad = walked.filter(col("reason").isNotNull)
+            .select(col("shard").as("raw"), col("reason"))
           if (!bad.isEmpty)
             bad.write.mode(SaveMode.Overwrite)
               .json(s"$quarantine/batch=$batchId")
@@ -234,7 +252,7 @@ object ShardIngest {
           // session resolves nothing here (surfaced by the
           // local-cluster gate, where no earlier code had registered)
           graft.functions.GraftFunctions.register(walked.sparkSession)
-          val keyed = walked.filter(col("ok"))
+          val keyed = walked.filter(col("reason").isNull)
             .select(col("shard"), inline(col("rows")))
             .withColumn("rec_key", call_function("md5_long60",
               concat(col("shard"), lit("#"),

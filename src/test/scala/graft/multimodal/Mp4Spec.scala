@@ -70,6 +70,20 @@ class Mp4Spec extends AnyFunSuite {
       "mdat".getBytes("ISO-8859-1") ++ u32be(0)).isEmpty)
   }
 
+  test("size==0 in a NESTED scope rejects (14496-12 §4.2: last " +
+      "top-level box only)") {
+    // corrupt the mvhd's declared size to 0: a lenient walk would
+    // swallow the sibling trak as mvhd body (nTracks undercount);
+    // the probe must reject the file instead
+    val base = enc(nTracks = 1, mdat = 10)
+    val corrupted = base.clone()
+    // mvhd size field sits at ftyp(24) + moov header(8)
+    corrupted(24 + 8) = 0; corrupted(24 + 9) = 0
+    corrupted(24 + 10) = 0; corrupted(24 + 11) = 0
+    assert(Mp4.probe(0L, corrupted).isEmpty,
+      "nested size==0 must fail the probe, not swallow siblings")
+  }
+
   test("malformed payloads are rejected, not thrown") {
     assert(Mp4.probe(0L, Array.empty[Byte]).isEmpty)
     assert(Mp4.probe(0L, "notanmp4".getBytes).isEmpty)

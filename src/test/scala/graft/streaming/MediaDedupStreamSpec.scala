@@ -140,6 +140,40 @@ class MediaDedupStreamSpec extends AnyFunSuite {
     baseIndex.unpersist()
   }
 
+  test("re-delivered item already in the base index: already_indexed, " +
+      "not re-admitted") {
+    import spark.implicits._
+    val docs = spark.range(0, 8).select(col("id").as("doc_id"))
+    val media = MultimodalOps.dhashMediaFromDocuments(docs)
+      .as[MediaItem].collect().toSeq
+    val baseIndex = MediaDedupStream.buildImageIndex(
+      media.filter(_.media_id % 4 == 0).toDF("media_id", "payload"))
+      .persist()
+    baseIndex.count()
+    // the batch RE-DELIVERS a base item (id 0) alongside fresh items:
+    // with the self-match silently excluded the re-delivery would
+    // admit again (and an admit-and-grow caller would duplicate it)
+    val batch = media.filter(m => m.media_id == 0 || m.media_id % 4 == 3)
+    val verdicts = MediaDedupStream.admitBatch(
+      MediaDedupStream.buildImageIndex(
+        batch.toDF("media_id", "payload")), baseIndex)
+      .select("media_id", "verdict", "admit").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(verdicts(0L) == ("already_indexed", false),
+      s"re-delivered base item must not re-admit: ${verdicts(0L)}")
+    for ((id, (v, admit)) <- verdicts if id % 4 == 3)
+      assert(admit && v == "admit", s"unrelated $id must still admit: $v")
+    // copies of base items that are NOT base ids stay 'duplicate'
+    val copies = media.filter(_.media_id % 4 == 1)
+    val v2 = MediaDedupStream.admitBatch(
+      MediaDedupStream.buildImageIndex(
+        copies.toDF("media_id", "payload")), baseIndex)
+      .select("media_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2.values.toSet == Set("duplicate"))
+    baseIndex.unpersist()
+  }
+
   test("audio admission: copies reject at hamming 0, unrelated admit") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -139,11 +139,63 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(quar == Set("z2.zip", "z3.zip"))
     // decompression-bomb bound: a tiny DEFLATE entry inflating past
     // the cap quarantines instead of streaming gigabytes (the
-    // GzipMembers.walk twin)
+    // GzipMembers.walk twin) — under its OWN reason, so an
+    // oversized-but-valid shard is distinguishable from corruption
     val bomb = Archives.encodeZip(Seq(
       ("bomb.bin", Array.fill[Byte](1 << 20)(0))))
     assert(Archives.zipEntriesStrict(bomb, maxBytes = 1 << 16).isEmpty)
     assert(Archives.zipEntriesStrict(bomb, maxBytes = 1 << 21).isDefined)
+    assert(Archives.zipEntriesDetail(bomb, maxBytes = 1 << 16)
+      == Left("too_large"))
+    assert(Archives.zipEntriesDetail("garbage".getBytes, 1 << 16)
+      == Left("checksum_or_framing"))
+    import graft.multimodal.GzipMembers
+    val gzBomb = GzipMembers.encodeMembers(Seq(
+      ("b.warc", Array.fill[Byte](1 << 20)(0))))
+    assert(GzipMembers.walkDetail(0L, gzBomb, maxBytes = 1 << 16)
+      == Left("too_large"))
+    assert(GzipMembers.walkDetail(0L, "garbage".getBytes, 1 << 16)
+      == Left("checksum_or_framing"))
+  }
+
+  test("zip: maxBytes is an ingest parameter; over-cap valid shards " +
+      "quarantine as too_large and re-ingest with a raised cap") {
+    import graft.multimodal.Archives
+    val root = Files.createTempDirectory("zipcap")
+    val dropDir = Files.createDirectories(root.resolve("drop"))
+    val small = Archives.encodeZip(Seq(
+      ("a.txt", Archives.plantedBody(1, 0).getBytes("UTF-8"))))
+    val big = Archives.encodeZip(Seq(
+      ("big.bin", Array.fill[Byte](1 << 18)(7))))
+    drop(dropDir, "ok.zip", small)
+    drop(dropDir, "big.zip", big)
+    val table = root.resolve("entries").toString
+    val quarantine = root.resolve("quarantine").toString
+    val q = ShardIngest.zipShardIngest(spark, dropDir.toString, table,
+      root.resolve("ckpt").toString, quarantineDir = quarantine,
+      maxBytes = 1 << 16)
+    try q.processAllAvailable() finally q.stop()
+    assert(ShardIngest.readShardTable(spark, table)
+      .select("shard").collect().map(_.getString(0)).toSet
+      == Set("ok.zip"))
+    val quar = spark.read.json(quarantine)
+      .select("raw", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(quar == Set(("big.zip", "too_large")))
+    // the operator's recourse: a raised cap ingests the same shard
+    // into a fresh table (new checkpoint — the file was already seen)
+    val drop2 = Files.createDirectories(root.resolve("drop2"))
+    drop(drop2, "big.zip", big)
+    val table2 = root.resolve("entries2").toString
+    val q2 = ShardIngest.zipShardIngest(spark, drop2.toString, table2,
+      root.resolve("ckpt2").toString,
+      quarantineDir = root.resolve("quarantine2").toString,
+      maxBytes = 1 << 20)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ShardIngest.readShardTable(spark, table2)
+      .select("shard", "entry").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("big.zip", "big.bin")))
   }
 
   test("webdataset tar: stems + sample counts, corrupt header quarantines") {
