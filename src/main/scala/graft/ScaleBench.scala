@@ -144,7 +144,12 @@ object ScaleBench {
     // join (the q116-under-composition precedent). q159's decade pins
     // the delta-admission law: base index probe stays one column scan
     // while the delta grows with the corpus
-    "q158_curation_v3", "q159_line_admit")
+    "q158_curation_v3", "q159_line_admit",
+    // r16 addition: q160 curates from the real container front — its
+    // decade pins that the zip encode/walk boundary (map-only per
+    // shard) and the downstream q157-family stages compose without a
+    // superlinear term
+    "q160_container_curation")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -166,6 +166,49 @@ object Archives {
     } finally zin.close()
   }
 
+  /** Strict whole-archive walk with BODIES and the declared method —
+    * the decoded-member boundary for container-front curation (q160):
+    * unlike the stats walks, curation must carry each member's text
+    * onward. Same posture as [[zipEntriesStrict]]: PK-magic check,
+    * quarantine-whole None on any failure, cumulative decompressed-
+    * size cap. Memory is one archive's decompressed members at a time
+    * (bounded by `maxBytes`), which is the explode boundary's
+    * documented working set.
+    */
+  def zipMembersFull(payload: Array[Byte], maxBytes: Long = 1L << 26)
+      : Option[Vector[(String, String, Array[Byte])]] = {
+    if (payload.length < 4 || payload(0) != 'P' || payload(1) != 'K' ||
+      payload(2) != 3 || payload(3) != 4) return None
+    val out = Vector.newBuilder[(String, String, Array[Byte])]
+    val zin = new ZipInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      var entry = zin.getNextEntry
+      if (entry == null) return None
+      while (entry != null) {
+        val body = new java.io.ByteArrayOutputStream()
+        var read = zin.read(buf)
+        while (read >= 0) {
+          body.write(buf, 0, read); total += read
+          if (total > maxBytes) return None
+          read = zin.read(buf)
+        }
+        val method = entry.getMethod match {
+          case ZipEntry.STORED => "stored"
+          case ZipEntry.DEFLATED => "deflated"
+          case other => s"method_$other"
+        }
+        out += ((entry.getName, method, body.toByteArray))
+        entry = zin.getNextEntry
+      }
+      Some(out.result())
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally zin.close()
+  }
+
   /** The member body planted for (archive id, entry j) — closed-form
     * in the ids so the DuckDB oracle rebuilds it with `repeat()`:
     * "doc <id> entry <j> " repeated 1 + (id+j) % 5 times.

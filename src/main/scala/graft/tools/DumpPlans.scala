@@ -181,7 +181,12 @@ object DumpPlans {
       "q154_tfrecord" -> "TFRecord framing + protobuf wire walk (masked CRC32C per record, varint field scan, narrow, output-only sort)",
       "q155_audio_neardup" -> "perceptual audio near-dup (real decode -> energy-delta limbs, banded Hamming bucket join, never all-pairs)",
       "q156_audio_neardup_audit" -> "audio near-dup recall audit (fixed-size anchor panel broadcast against the corpus — linear exact side)",
-      "q157_curation_v2" -> "composed curation v2 (broadcast URL blocklist -> q150 digest-keyed line dedup -> map-only signals; wide work = the line machinery only)")
+      "q157_curation_v2" -> "composed curation v2 (broadcast URL blocklist -> q150 digest-keyed line dedup -> map-only signals; wide work = the line machinery only)",
+      // ---- r15 ----
+      "q158_curation_v3" -> "composed curation v3 (HTML extract front, persisted extracted frame for the 4 sibling stages, q150 line machinery + q47 pair/CC, cluster-keeper split)",
+      "q159_line_admit" -> "incremental line admission (base index probed map-only under the broadcast cap, guarded merge fallback; shuffles scale with the delta, never the base)",
+      // ---- r16 ----
+      "q160_container_curation" -> "curation over the real container front (map-only zip walk on the executors, hardened host-suffix gate, q157-family stages over decoded members)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

@@ -184,6 +184,33 @@ class PlanSpec extends AnyFunSuite {
       s"q158 must not rank through a window:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // the extracted-frame persist is load-bearing (measured r15:
+    // 15 corpus scans / 16 s without it, 8.2 s with — Catalyst pushes
+    // pruning through exchanges, so the four different-column sibling
+    // consumers defeat ReuseExchange). A refactor that silently drops
+    // the persist leaves ZERO InMemoryTableScans; today's plan has 6
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 4,
+      s"q158's sibling stages must read the persisted extracted frame " +
+        s"(InMemoryTableScan x$inMem < 4 — did the persist get dropped?):\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q160 container curation: window-free, no all-pairs, persisted " +
+      "extracted frame") {
+    // the container walk is map-only (members never re-shuffle as
+    // pages); the blocklist gates through a per-row suffix predicate
+    // (no join at all); m_idx comes from the WALK, never a window
+    val p = plan(TextQueries.q160(spark, dir))
+    assert(!p.contains("Window"),
+      s"q160 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 3,
+      s"q160's sibling stages must read the persisted extracted frame " +
+        s"(InMemoryTableScan x$inMem < 3):\n$p")
+    spark.catalog.clearCache()
   }
 
   test("q112 containment pair generation is a bucketed equi join") {
