@@ -145,11 +145,11 @@ object ScaleBench {
     // the delta-admission law: base index probe stays one column scan
     // while the delta grows with the corpus
     "q158_curation_v3", "q159_line_admit",
-    // r16 addition: q160 curates from the real container front — its
-    // decade pins that the zip encode/walk boundary (map-only per
-    // shard) and the downstream q157-family stages compose without a
-    // superlinear term
-    "q160_container_curation")
+    // r16 additions: q160/q161 curate from the real container fronts
+    // (ZIP / WebDataset tar) — their decades pin that the archive
+    // encode/walk boundary (map-only per shard) and the downstream
+    // q157-family stages compose without a superlinear term
+    "q160_container_curation", "q161_webdataset_curation")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -4225,28 +4225,10 @@ object TextQueries {
     import graft.multimodal.Archives
     graft.functions.GraftFunctions.register(spark)
     val id = col("doc_id")
-    val s = (c: Column) => c.cast("string")
     val base = tbl(spark, dir, "documents")
-    val t = regexp_replace(
-      regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", " "),
-      "[<>&]", " ")
-    // every 97th doc is a planted THIN page (extraction under the
-    // 25-char gate), so the thin branch provably fires
-    val content = when(id % 97 === 0,
-      concat(lit("tiny page "), s(id % 9))).otherwise(t)
-    val page = concat(
-      lit("<!DOCTYPE html><html><head><title>Doc "), s(id),
-      lit("</title></head><body>"),
-      lit("<!-- <p>tracking markup that must never leak "), s(id),
-      lit("</p> -->"),
-      lit("<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>"),
-      lit("<DIV CLASS=\"menu > compact\">&amp; menu "), s(id % 7),
-      lit("</DIV>"),
-      lit("<p>"), content, lit("</p>"),
-      lit("<footer><a href=\"/c\">Contact</a> (c) "), s(id % 100),
-      lit("</footer></body></html>"))
     val shards = base
-      .select(expr("doc_id DIV 8").as("shard_id"), id, page.as("page"))
+      .select(expr("doc_id DIV 8").as("shard_id"), id,
+        crawlPage(id).as("page"))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .mapGroups { (sid, it) =>
@@ -4268,7 +4250,53 @@ object TextQueries {
           }
       }
     }.toDF("shard_id", "m_idx", "n_entries", "doc_id", "method", "html")
-    val url = concat(
+    val host = Urls.hostOf(crawlUrl(id))
+    val gated = members.select(col("shard_id"), col("m_idx"),
+        col("n_entries"), col("method"), col("doc_id"),
+        Urls.displayDomain(host).as("domain"),
+        Urls.blockedByHostSuffix(host,
+          Seq("site0.example", "site3.example")).as("blocked"),
+        Html.extractMain(col("html")).getField("content").as("text"))
+      .withColumn("thin", length(col("text")) === 0)
+    containerCurationTail(spark, gated,
+      Seq("shard_id", "m_idx", "method", "n_entries"))
+  }
+
+  /** The hardened crawl page for `doc_id` — q158's garnish wrap over
+    * the sanitized doc text; every 97th doc is a planted THIN page
+    * (extraction under the 25-char gate) so the thin branch provably
+    * fires. Shared by the container fronts (q160/q161), which pack
+    * these pages into REAL archive bytes.
+    */
+  private def crawlPage(id: Column): Column = {
+    val s = (c: Column) => c.cast("string")
+    val t = regexp_replace(
+      regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", " "),
+      "[<>&]", " ")
+    val content = when(id % 97 === 0,
+      concat(lit("tiny page "), s(id % 9))).otherwise(t)
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), s(id),
+      lit("</title></head><body>"),
+      lit("<!-- <p>tracking markup that must never leak "), s(id),
+      lit("</p> -->"),
+      lit("<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>"),
+      lit("<DIV CLASS=\"menu > compact\">&amp; menu "), s(id % 7),
+      lit("</DIV>"),
+      lit("<p>"), content, lit("</p>"),
+      lit("<footer><a href=\"/c\">Contact</a> (c) "), s(id % 100),
+      lit("</footer></body></html>"))
+  }
+
+  /** The planted crawl URL for `doc_id` — q157's messy-URL cycle plus
+    * a `user:pass@` userinfo segment every 11th doc (the r15-advice
+    * blocklist bypass the hardened gate must still block). Shared by
+    * q160 (recomputed from doc_id) and q161 (carried as a REAL json
+    * member through the tar round trip).
+    */
+  private def crawlUrl(id: Column): Column = {
+    val s = (c: Column) => c.cast("string")
+    concat(
       when(id % 2 === 0, lit("HTTPS")).otherwise(lit("Http")), lit("://"),
       when(id % 11 === 0, lit("user:pass@")).otherwise(lit("")),
       lit("WwW.sItE"), s(id % 7), lit(".ExAmPle"),
@@ -4277,18 +4305,21 @@ object TextQueries {
         .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
       lit("/P/"), s(id),
       when(id % 5 === 0, concat(lit("#Frag"), s(id))).otherwise(lit("")))
-    val host = Urls.hostOf(url)
-    // persisted: three sibling consumers (line stats, signals, final
-    // assembly) read the extracted frame with different column sets —
-    // q158's measured ReuseExchange argument
-    val gated = members.select(col("shard_id"), col("m_idx"),
-        col("n_entries"), col("method"), col("doc_id"),
-        Urls.displayDomain(host).as("domain"),
-        Urls.blockedByHostSuffix(host,
-          Seq("site0.example", "site3.example")).as("blocked"),
-        Html.extractMain(col("html")).getField("content").as("text"))
-      .withColumn("thin", length(col("text")) === 0)
-      .persist()
+  }
+
+  /** Shared back half of the container-front curations (q160 ZIP /
+    * q161 WebDataset-tar): gates -> live set -> corpus line dedup +
+    * lang/quality signals -> verdict assembly with the q157 reason
+    * chain extended by `thin`. `gated` carries (doc_id, domain,
+    * blocked, thin, text) plus each front's own walk-observability
+    * columns (`frontCols`), which pass through into the output. The
+    * gated frame is PERSISTED here: three sibling consumers (line
+    * stats, signals, final assembly) read it with different column
+    * sets — q158's measured ReuseExchange argument.
+    */
+  private def containerCurationTail(spark: SparkSession,
+      gated0: DataFrame, frontCols: Seq[String]): DataFrame = {
+    val gated = gated0.persist()
     val live = gated.filter(!col("blocked") && !col("thin"))
       .select(col("doc_id"), col("text"))
     val lineStats = TextOps.lineDedup(withBoilerLines(live))
@@ -4306,39 +4337,42 @@ object TextQueries {
           .when(col("n_kept") * 2 < col("n_lines"), "linedup")
           .when(col("lang_pred") === "und", "lang")
           .when(col("quality_e4") < 5000, "quality"))
-      .select(col("doc_id"), col("shard_id"), col("m_idx"),
-        col("method"), col("n_entries"), col("domain"), col("blocked"),
-        col("thin"),
+      .select(Seq(col("doc_id")) ++ frontCols.map(col) ++ Seq(
+        col("domain"), col("blocked"), col("thin"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
         coalesce(col("quality_e4"), lit(0L)).as("quality_e4"),
-        col("split"), col("reason"), col("reason").isNull.as("keep"))
+        col("split"), col("reason"),
+        col("reason").isNull.as("keep")): _*)
       .orderBy(col("doc_id"))
   }
 
-  val q160Sql: String =
-    s"""WITH m AS (
-       |  SELECT doc_id, text, doc_id // 8 AS shard_id,
-       |    CAST(row_number() OVER (PARTITION BY doc_id // 8
-       |      ORDER BY doc_id) - 1 AS BIGINT) AS m_idx,
-       |    CAST(count(*) OVER (PARTITION BY doc_id // 8)
-       |      AS BIGINT) AS n_entries
-       |  FROM documents
-       |), ext AS (
-       |  SELECT doc_id, shard_id, m_idx, n_entries,
-       |    CASE WHEN m_idx % 2 = 0 THEN 'deflated' ELSE 'stored' END
-       |      AS method,
-       |    CASE WHEN length(v) >= 25 THEN v ELSE '' END AS text
-       |  FROM (SELECT doc_id, shard_id, m_idx, n_entries,
-       |          trim(regexp_replace(regexp_replace(regexp_replace(
-       |            CASE WHEN doc_id % 97 = 0
-       |                 THEN 'tiny page ' || CAST(doc_id % 9 AS VARCHAR)
-       |                 ELSE coalesce(text, '') END,
-       |            '[^ -~]', ' ', 'g'), '[<>&]', ' ', 'g'),
-       |            ' +', ' ', 'g')) AS v
-       |        FROM m)
-       |), u AS (
+  /** The closed-form page-extraction CTE fragment shared by the
+    * container fronts: `v` = trim(collapse(sanitize(content))) with
+    * the thin plant, gated at 25 chars — q158's proven independent
+    * derivation of extractMain over the garnish wrap.
+    */
+  private val extractVSql: String =
+    """trim(regexp_replace(regexp_replace(regexp_replace(
+      |            CASE WHEN doc_id % 97 = 0
+      |                 THEN 'tiny page ' || CAST(doc_id % 9 AS VARCHAR)
+      |                 ELSE coalesce(text, '') END,
+      |            '[^ -~]', ' ', 'g'), '[<>&]', ' ', 'g'),
+      |            ' +', ' ', 'g'))""".stripMargin
+
+  /** Shared oracle tail for the container-front curations —
+    * [[containerCurationTail]]'s DuckDB twin. `frontCtes` must define
+    * an `ext` relation carrying (doc_id, <frontCols>, text = the
+    * extracted content); the tail replays the planted URL, the
+    * hardened host gate (userinfo strip + suffix match), and the
+    * q157-family line-dedup/signal/split stages.
+    */
+  private def containerCurationSql(frontCtes: String,
+      frontCols: Seq[String]): String = {
+    val fb = frontCols.map("b." + _).mkString(", ")
+    val fo = frontCols.mkString(", ")
+    s"""WITH $frontCtes, u AS (
        |  SELECT *,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) ||
        |    '://' ||
@@ -4352,7 +4386,7 @@ object TextQueries {
        |          ELSE '' END) AS url
        |  FROM ext
        |), b AS (
-       |  SELECT doc_id, shard_id, m_idx, n_entries, method, text,
+       |  SELECT doc_id, $fo, text,
        |    regexp_extract(host, '([a-z0-9-]+\\.[a-z]+)$$', 1) AS domain,
        |    (host = 'site0.example' OR ends_with(host, '.site0.example')
        |     OR host = 'site3.example' OR ends_with(host, '.site3.example'))
@@ -4416,7 +4450,7 @@ object TextQueries {
        |              AS stop_hits
        |          FROM t))
        |), j AS (
-       |  SELECT b.doc_id, b.shard_id, b.m_idx, b.method, b.n_entries,
+       |  SELECT b.doc_id, $fb,
        |    b.domain, b.blocked, b.thin,
        |    st.n_lines, st.n_kept, p.lang_pred, p.quality_e4,
        |    $splitCaseSql AS split,
@@ -4429,7 +4463,7 @@ object TextQueries {
        |  LEFT JOIN st USING (doc_id)
        |  LEFT JOIN p USING (doc_id)
        |)
-       |SELECT doc_id, shard_id, m_idx, method, n_entries, domain,
+       |SELECT doc_id, $fo, domain,
        |  blocked, thin,
        |  coalesce(n_lines, 0) AS n_lines,
        |  coalesce(n_kept, 0) AS n_kept,
@@ -4437,8 +4471,126 @@ object TextQueries {
        |  coalesce(quality_e4, 0) AS quality_e4,
        |  split, reason, reason IS NULL AS keep
        |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  val q160Sql: String = containerCurationSql(
+    s"""m AS (
+       |  SELECT doc_id, text, doc_id // 8 AS shard_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 8
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS m_idx,
+       |    CAST(count(*) OVER (PARTITION BY doc_id // 8)
+       |      AS BIGINT) AS n_entries
+       |  FROM documents
+       |), ext AS (
+       |  SELECT doc_id, shard_id, m_idx, n_entries,
+       |    CASE WHEN m_idx % 2 = 0 THEN 'deflated' ELSE 'stored' END
+       |      AS method,
+       |    CASE WHEN length(v) >= 25 THEN v ELSE '' END AS text
+       |  FROM (SELECT doc_id, shard_id, m_idx, n_entries,
+       |          $extractVSql AS v
+       |        FROM m)
+       |)""".stripMargin,
+    Seq("shard_id", "m_idx", "method", "n_entries"))
+
+  // ---- q161: curation over the WebDataset-tar front ----
+  // q160's sibling for the OTHER dominant training-shard container:
+  // each doc becomes one WebDataset SAMPLE — stem d<id> with a
+  // d<id>.html page member, a d<id>.json metadata member carrying the
+  // crawl URL (so the URL the gate reads rides REAL tar bytes instead
+  // of being recomputed — a corrupted metadata member flips blocked
+  // verdicts and hash-fails), and a d<id>.cls label member every 3rd
+  // doc (so per-sample member counts vary 2/3 closed-form); four
+  // samples per REAL checksummed ustar shard (encodeTar: octal
+  // checksum, 512-block padding). The shard walks back with
+  // Archives.decodeTar (tarMembers' verify-everything posture),
+  // members group by stem IN WALK ORDER, and the same curation tail
+  // runs. Observability: s_idx = the sample's position in the walk,
+  // n_in_sample = walked member count, has_cls = the label member's
+  // presence — all recomputed closed-form by the oracle.
+  //
+  // 100 TB posture: identical to q160 — map-only walk, the shard
+  // CONSTRUCTION (groupByKey of 4 docs) is labeled fixture
+  // generation; a real pipeline reads shards via ShardIngest.
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{Html, Urls}
+    import graft.multimodal.Archives
+    graft.functions.GraftFunctions.register(spark)
+    val id = col("doc_id")
+    val base = tbl(spark, dir, "documents")
+    val shards = base.select(expr("doc_id DIV 4").as("shard_id"), id,
+        crawlPage(id).as("page"), crawlUrl(id).as("url"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val members = it.toSeq.sortBy(_._2).flatMap { case (_, d, p, u) =>
+          val core = Seq(
+            (s"d$d.html", p.getBytes("UTF-8")),
+            (s"d$d.json", s"""{"url":"$u"}""".getBytes("UTF-8")))
+          if (d % 3 == 0)
+            core :+ ((s"d$d.cls", s"${d % 10}".getBytes("UTF-8")))
+          else core
+        }
+        (sid, Archives.encodeTar(members))
+      }
+    val samples = shards.flatMap { case (sid, payload) =>
+      Archives.decodeTar(payload) match {
+        case None => Iterator.empty // quarantine-whole in the service
+        case Some(ms) =>
+          // group walk-order-contiguous members by stem — the
+          // WebDataset sample rule (ShardIngest's tar walk computes
+          // the same counts shard-side)
+          val byStem = scala.collection.mutable.LinkedHashMap
+            .empty[String, Vector[(String, Array[Byte])]]
+          ms.foreach { case (name, body) =>
+            val stem = name.takeWhile(_ != '.')
+            byStem.update(stem,
+              byStem.getOrElse(stem, Vector.empty) :+ ((name, body)))
+          }
+          byStem.iterator.zipWithIndex.map { case ((stem, mem), sIdx) =>
+            def text(suffix: String) = mem.find(_._1.endsWith(suffix))
+              .map(m => new String(m._2, "UTF-8")).getOrElse("")
+            (sid, sIdx.toLong, mem.size.toLong, stem.drop(1).toLong,
+              mem.exists(_._1.endsWith(".cls")),
+              text(".json"), text(".html"))
+          }
+      }
+    }.toDF("shard_id", "s_idx", "n_in_sample", "doc_id", "has_cls",
+      "meta", "html")
+    // the URL the gate reads comes from the DECODED json member
+    val url = regexp_extract(col("meta"), "\"url\":\"([^\"]+)\"", 1)
+    val host = Urls.hostOf(url)
+    val gated = samples.select(col("shard_id"), col("s_idx"),
+        col("n_in_sample"), col("has_cls"), col("doc_id"),
+        Urls.displayDomain(host).as("domain"),
+        Urls.blockedByHostSuffix(host,
+          Seq("site0.example", "site3.example")).as("blocked"),
+        Html.extractMain(col("html")).getField("content").as("text"))
+      .withColumn("thin", length(col("text")) === 0)
+    containerCurationTail(spark, gated,
+      Seq("shard_id", "s_idx", "n_in_sample", "has_cls"))
+  }
+
+  val q161Sql: String = containerCurationSql(
+    s"""m AS (
+       |  SELECT doc_id, text, doc_id // 4 AS shard_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 4
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS s_idx,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END
+       |      AS BIGINT) AS n_in_sample,
+       |    doc_id % 3 = 0 AS has_cls
+       |  FROM documents
+       |), ext AS (
+       |  SELECT doc_id, shard_id, s_idx, n_in_sample, has_cls,
+       |    CASE WHEN length(v) >= 25 THEN v ELSE '' END AS text
+       |  FROM (SELECT doc_id, shard_id, s_idx, n_in_sample, has_cls,
+       |          $extractVSql AS v
+       |        FROM m)
+       |)""".stripMargin,
+    Seq("shard_id", "s_idx", "n_in_sample", "has_cls"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_webdataset_curation" -> (q161 _),
     "q160_container_curation" -> (q160 _),
     "q159_line_admit" -> (q159 _),
     "q158_curation_v3" -> (q158 _),
@@ -4502,6 +4654,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_webdataset_curation" -> q161Sql,
     "q160_container_curation" -> q160Sql,
     "q159_line_admit" -> q159Sql,
     "q158_curation_v3" -> q158Sql,

@@ -69,6 +69,16 @@ object ReleaseBuild {
       outRoot: String, shingleN: Int = 3, minJaccard: Double = 0.5,
       afterArtifact: String => Unit = _ => ()): Manifest = {
     val root = new Path(outRoot)
+    // release roots are WRITE-ONCE: re-building into a root whose
+    // manifest already landed would overwrite artifact dirs UNDER
+    // live readers (they resolve through the manifest, which would
+    // briefly vanish and then point at torn parquet). Re-running
+    // into a manifest-less root (a crashed build) is the supported
+    // recovery; a new release goes to a NEW root.
+    require(readManifest(spark, outRoot).isEmpty,
+      s"release root already released (manifest present): $outRoot — " +
+        "build into a NEW root; re-run only recovers crashed " +
+        "(manifest-less) builds")
     IndexRebuild.compactLineIndex(spark, baseLineIndex, growLinePath,
       new Path(root, LinePath).toString)
     afterArtifact(LinePath)
@@ -92,7 +102,6 @@ object ReleaseBuild {
       .mkString("{", ",", "}")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    if (f.exists(fin)) f.delete(fin, false)
     if (!f.rename(tmp, fin))
       sys.error(s"manifest rename failed: $tmp -> $fin")
     readManifest(spark, outRoot).getOrElse(

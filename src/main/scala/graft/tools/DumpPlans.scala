@@ -186,7 +186,8 @@ object DumpPlans {
       "q158_curation_v3" -> "composed curation v3 (HTML extract front, persisted extracted frame for the 4 sibling stages, q150 line machinery + q47 pair/CC, cluster-keeper split)",
       "q159_line_admit" -> "incremental line admission (base index probed map-only under the broadcast cap, guarded merge fallback; shuffles scale with the delta, never the base)",
       // ---- r16 ----
-      "q160_container_curation" -> "curation over the real container front (map-only zip walk on the executors, hardened host-suffix gate, q157-family stages over decoded members)")
+      "q160_container_curation" -> "curation over the real container front (map-only zip walk on the executors, hardened host-suffix gate, q157-family stages over decoded members)",
+      "q161_webdataset_curation" -> "curation over the WebDataset-tar front (checksummed ustar walk, stem-grouped samples, URL read from the decoded json member, same curation tail as q160)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

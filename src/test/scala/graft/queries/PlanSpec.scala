@@ -213,6 +213,20 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q161 webdataset curation: window-free, no all-pairs, persisted " +
+      "extracted frame") {
+    val p = plan(TextQueries.q161(spark, dir))
+    assert(!p.contains("Window"),
+      s"q161 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 3,
+      s"q161's sibling stages must read the persisted extracted frame " +
+        s"(InMemoryTableScan x$inMem < 3):\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }

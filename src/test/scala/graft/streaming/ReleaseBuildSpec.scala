@@ -113,5 +113,14 @@ class ReleaseBuildSpec extends AnyFunSuite {
       sigBase, sigGrow, v2)
     assert(ReleaseBuild.readManifest(spark, v2).contains(m2))
     assert(spark.read.parquet(m2.keeperMap).count() == 1L)
+
+    // release roots are WRITE-ONCE: building into a root whose
+    // manifest landed must refuse (overwriting artifacts under live
+    // readers), not silently rebuild
+    val e = intercept[IllegalArgumentException] {
+      ReleaseBuild.release(spark, base, lineBase, lineGrow, sigBase,
+        sigGrow, v2)
+    }
+    assert(e.getMessage.contains("already released"))
   }
 }
