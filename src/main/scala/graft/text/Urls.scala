@@ -35,13 +35,18 @@ object Urls {
   /** The URL's hostname: fragment dropped, authority captured up to
     * `/?#` (':' allowed — ports and userinfo live in the authority),
     * userinfo stripped at the last '@', port stripped, lowercased.
+    * A bracketed IP-literal (`[2001:db8::1]:8080`) keeps its brackets
+    * whole — ':' separates a port only OUTSIDE brackets (RFC 3986's
+    * host forms); the brackets stay in the result, which is correct
+    * for the gate (an IP-literal host never suffix-matches a domain
+    * blocklist entry, and the bracketed form is unambiguous).
     */
   def hostOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val auth = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     val noUser = regexp_replace(auth, "^.*@", "")
-    lower(regexp_extract(noUser, "^([^:]+)", 1))
+    lower(regexp_extract(noUser, "^(\\[[^\\]]*\\]|[^:]+)", 1))
   }
 
   /** True iff `host` is `entry` or a subdomain of `entry` for some
