@@ -60,8 +60,12 @@ object Mp4 {
     var h0 = -1L
     var nBoxes = 0L
     var wsum = 0L
-    // pre-order walk; `end` bounds the current container's body
-    def walk(start: Int, end: Int): Boolean = {
+    // pre-order walk; `end` bounds the current container's body.
+    // `depth` is explicit because `end == b.length` does NOT imply
+    // top level: a nested scope ends at the file end whenever its
+    // container is the last top-level box (moov-last layouts), and
+    // size==0 must still be rejected there (r16 advice).
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
       var off = start
       while (off < end) {
         if (off + 8 > end) return false
@@ -70,12 +74,12 @@ object Mp4 {
         // ISO-BMFF special sizes (14496-12 §4.2): size==1 means a
         // 64-bit largesize follows the type (large mdat); size==0
         // means the box extends to the end of the FILE — §4.2 allows
-        // it only for the last TOP-LEVEL box, so it is rejected in
-        // nested scopes (end != file end): a corrupt mid-scope zero
-        // size would otherwise silently swallow its sibling boxes as
-        // body (skipping later trak/mvhd, undercounting nTracks)
-        // instead of failing the probe. At top level the computed
-        // size runs to EOF, which IS the last-box semantics.
+        // it only for the last TOP-LEVEL box, so it is rejected at
+        // any depth > 0: a corrupt mid-scope zero size would
+        // otherwise silently swallow its sibling boxes as body
+        // (skipping later trak/mvhd, undercounting nTracks) instead
+        // of failing the probe. At top level the computed size runs
+        // to EOF, which IS the last-box semantics.
         var hdr = 8L
         val size: Long =
           if (size32 == 1L) {
@@ -83,7 +87,7 @@ object Mp4 {
             hdr = 16L
             ((u32(b, off + 8) << 32) | u32(b, off + 12))
           } else if (size32 == 0L) {
-            if (end != b.length) return false
+            if (depth > 0) return false
             (end - off).toLong
           } else size32
         if (size < hdr || off + size > end) return false
@@ -96,7 +100,7 @@ object Mp4 {
             brand = fourcc(b, body)
           case "moov" | "trak" =>
             if (typ == "trak") nTracks += 1
-            if (!walk(body, (off + size).toInt)) return false
+            if (!walk(body, (off + size).toInt, depth + 1)) return false
           case "mvhd" =>
             // v0: version+flags 4, ctime 4, mtime 4 -> timescale @12
             if (size < hdr + 100 || b(body) != 0) return false
@@ -115,7 +119,7 @@ object Mp4 {
       }
       true
     }
-    if (!walk(0, b.length)) return None
+    if (!walk(0, b.length, 0)) return None
     if (brand == null || timescale <= 0 || duration < 0) return None
     Some(Mp4Meta(mediaId, brand, timescale,
       duration * 1000L / timescale, nTracks, math.max(w0, 0L),

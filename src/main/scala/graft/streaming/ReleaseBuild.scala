@@ -56,6 +56,40 @@ object ReleaseBuild {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** JSON string escaping for the manifest's path values (keys are
+    * fixed safe literals). Hand-rolled JSON without this corrupts on
+    * roots containing '"' or backslashes (Windows paths) — r16
+    * advice; the 6-field manifest doesn't warrant a parser dep.
+    */
+  private[streaming] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[streaming] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Build every artifact under `outRoot`, then land the manifest
     * atomically. `docs` is the COMPACTED corpus (base ∪ admitted —
     * the caller's curated table); `baseLineIndex`/`baseSigIndex` +
@@ -98,7 +132,7 @@ object ReleaseBuild {
     val fin = new Path(root, ManifestName)
     val json = Seq(LinePath, SignaturePath, PrefixOrderedPath,
       PrefixDfPath, KeeperMapPath)
-      .map(p => s""""$p":"${new Path(root, p).toString}"""")
+      .map(p => s""""$p":"${jsonEscape(new Path(root, p).toString)}"""")
       .mkString("{", ",", "}")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
@@ -122,8 +156,8 @@ object ReleaseBuild {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     def field(k: String): String =
-      s""""$k":"([^"]+)"""".r.findFirstMatchIn(body)
-        .map(_.group(1))
+      s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(body)
+        .map(m => jsonUnescape(m.group(1)))
         .getOrElse(sys.error(s"manifest missing $k: $body"))
     Some(Manifest(outRoot, field(LinePath), field(SignaturePath),
       field(PrefixOrderedPath), field(PrefixDfPath),

@@ -34,7 +34,11 @@ object Urls {
 
   /** The URL's hostname: fragment dropped, authority captured up to
     * `/?#` (':' allowed — ports and userinfo live in the authority),
-    * userinfo stripped at the last '@', port stripped, lowercased.
+    * userinfo stripped at the last '@', port stripped, lowercased,
+    * and a single trailing '.' removed — `spam.example.` is the
+    * fully-qualified root-dot form DNS resolves identically to
+    * `spam.example`, so leaving the dot would let a root-dot URL
+    * bypass every suffix-matched blocklist entry (r16 advice).
     * A bracketed IP-literal (`[2001:db8::1]:8080`) keeps its brackets
     * whole — ':' separates a port only OUTSIDE brackets (RFC 3986's
     * host forms); the brackets stay in the result, which is correct
@@ -46,7 +50,8 @@ object Urls {
     val auth = regexp_extract(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     val noUser = regexp_replace(auth, "^.*@", "")
-    lower(regexp_extract(noUser, "^(\\[[^\\]]*\\]|[^:]+)", 1))
+    val host = lower(regexp_extract(noUser, "^(\\[[^\\]]*\\]|[^:]+)", 1))
+    regexp_replace(host, "\\.$", "")
   }
 
   /** True iff `host` is `entry` or a subdomain of `entry` for some
@@ -69,4 +74,50 @@ object Urls {
     */
   def displayDomain(host: Column): Column =
     regexp_extract(host, "([a-z0-9-]+\\.[a-z]+)$", 1)
+
+  /** Every label-boundary suffix of `host`, longest first:
+    * `a.shop.example.co.uk` -> [a.shop.example.co.uk,
+    * shop.example.co.uk, example.co.uk, co.uk, uk]. Bounded by the
+    * host's label count (RFC 1035 caps a name at 127 labels; real
+    * hosts carry < 10), so exploding it multiplies the NARROW
+    * (key, suffix) projection by a small constant — the map-side
+    * half of the table gate below.
+    */
+  def hostSuffixChain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** The TABLE form of [[blockedByHostSuffix]] — for corpus-scale
+    * blocklists (public-suffix-backed deny lists, freehoster
+    * registries) that must NOT ride the plan as a literal. Returns
+    * the distinct `keyCol` values of rows whose host matches some
+    * table entry (entry == host, or host ends with "." + entry — the
+    * same label-boundary rule as the literal form, expressed as an
+    * equi-join on the exploded suffix chain).
+    *
+    * 100 TB shape: only the NARROW (key, suffix) projection explodes
+    * (label-count-bounded), the blocklist joins BROADCAST, and the
+    * distinct shuffles only the MATCHED keys — the wide document
+    * columns never move. The caller anti-joins (or left-joins) the
+    * result back; with AQE the hit set is typically broadcast-sized.
+    * Entries are matched lowercase; rows with an empty host never
+    * match (an empty chain element only equals an empty entry, which
+    * the select filters out).
+    */
+  def blockedKeysByTable(rows: org.apache.spark.sql.DataFrame,
+      keyCol: String, hostCol: String,
+      blocklist: org.apache.spark.sql.DataFrame, entryCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val entries = blocklist
+      .select(lower(trim(col(entryCol))).as("__sfx"))
+      .filter(col("__sfx") =!= "")
+    rows
+      .select(col(keyCol),
+        explode(hostSuffixChain(col(hostCol))).as("__sfx"))
+      .join(org.apache.spark.sql.functions.broadcast(entries),
+        Seq("__sfx"), "left_semi")
+      .select(col(keyCol)).distinct()
+  }
 }

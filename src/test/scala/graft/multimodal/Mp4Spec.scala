@@ -82,6 +82,19 @@ class Mp4Spec extends AnyFunSuite {
     corrupted(24 + 10) = 0; corrupted(24 + 11) = 0
     assert(Mp4.probe(0L, corrupted).isEmpty,
       "nested size==0 must fail the probe, not swallow siblings")
+    // the r16-advice case: when the CONTAINER is the last top-level
+    // box, the nested scope ends exactly at the file end — inferring
+    // "top level" from end == file length would re-admit the corrupt
+    // zero size here (swallowing the trak, undercounting nTracks);
+    // the explicit depth flag must still reject it
+    val moovLast = base.dropRight(18) // drop mdat: moov is now last
+    assert(Mp4.probe(0L, moovLast).map(_.n_tracks) === Some(1L),
+      "moov-last layout is itself valid")
+    val corruptedLast = moovLast.clone()
+    corruptedLast(24 + 8) = 0; corruptedLast(24 + 9) = 0
+    corruptedLast(24 + 10) = 0; corruptedLast(24 + 11) = 0
+    assert(Mp4.probe(0L, corruptedLast).isEmpty,
+      "nested size==0 must reject even when the scope ends at EOF")
   }
 
   test("malformed payloads are rejected, not thrown") {

@@ -123,4 +123,31 @@ class ReleaseBuildSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("already released"))
   }
+
+  test("manifest escaping: quote/backslash roots neither corrupt the " +
+      "JSON nor poison readManifest (r16 advice)") {
+    // the escape pair round-trips the hostile characters a root can
+    // legally carry (Windows separators, quotes, control chars)
+    for (s <- Seq("""C:\srv\share""", """it"s "quoted"""", "a\\\"b",
+        "ctl\u0001\u001f", "plain/posix"))
+      assert(ReleaseBuild.jsonUnescape(ReleaseBuild.jsonEscape(s)) == s,
+        s"round-trip: $s")
+    // end-to-end: a release into a root whose path contains '"'
+    // (legal on POSIX) writes a valid manifest and reads back whole
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = Seq((1L, words("ash", 12))).toDF("doc_id", "text")
+    val lineBase = LineDedupStream.buildIndex(base)
+    val sigBase = NearDupStream.buildBaseIndex(base)
+    val lineGrow = Files.createTempDirectory("rb_lg3").toString
+    val sigGrow = Files.createTempDirectory("rb_sg3").toString
+    val odd = Files.createTempDirectory("rb_q")
+      .resolve("""it"s a root""").toString
+    val m = ReleaseBuild.release(spark, base, lineBase, lineGrow,
+      sigBase, sigGrow, odd)
+    assert(ReleaseBuild.readManifest(spark, odd).contains(m))
+    assert(m.keeperMap.contains("""it"s a root"""),
+      "the unescaped path must survive the manifest round-trip")
+    assert(spark.read.parquet(m.keeperMap).count() == 1L)
+  }
 }

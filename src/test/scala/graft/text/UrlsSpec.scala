@@ -41,6 +41,10 @@ class UrlsSpec extends AnyFunSuite {
       "http://user@[::1]/x" -> "[::1]",
       // scheme charset per RFC 3986 (ALPHA *( ALPHA/DIGIT/+/-/. ))
       "ftp+x://H.Example" -> "h.example",
+      // root-dot FQDN form resolves identically to the undotted host
+      // (the r16-advice bypass): the single trailing dot is stripped
+      "https://spam.example./x" -> "spam.example",
+      "https://u:p@Spam.Example.:8080/x" -> "spam.example",
       // not a URL at all -> empty host, gate passes nothing odd
       "notaurl" -> "",
       "://missing.scheme/" -> "")
@@ -54,6 +58,8 @@ class UrlsSpec extends AnyFunSuite {
     assert(blocked("https://a.b.SPAM.example/x", bl))
     assert(blocked("http://u:p@spam.example/x", bl),
       "userinfo must not smuggle a blocked host past the gate")
+    assert(blocked("https://spam.example./x", bl),
+      "a root-dot FQDN must not smuggle a blocked host past the gate")
     // multi-label public-suffix entries match as plain suffixes
     // (the reason the last-two-label heuristic was retired)
     assert(blocked("https://shop.example.co.uk/x", bl))
@@ -63,5 +69,36 @@ class UrlsSpec extends AnyFunSuite {
     assert(!blocked("http://[2001:db8::1]/x", bl))
     assert(!blocked("https://ok.example/x", bl))
     assert(!blocked("https://ok.example/x", Nil), "empty blocklist")
+  }
+
+  test("hostSuffixChain: every label-boundary suffix, longest first") {
+    import spark.implicits._
+    def chain(h: String): Seq[String] =
+      Seq(h).toDF("h").select(Urls.hostSuffixChain(col("h")))
+        .head().getSeq[String](0)
+    assert(chain("a.shop.example.co.uk") == Seq("a.shop.example.co.uk",
+      "shop.example.co.uk", "example.co.uk", "co.uk", "uk"))
+    assert(chain("uk") == Seq("uk"))
+    assert(chain("") == Seq(""))
+  }
+
+  test("blockedKeysByTable: the table form of the suffix gate " +
+      "(multi-label entries, boundaries, normalization)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "www.freehost.example"),   // subdomain of entry 1
+      (1L, "a.b.freehost.example"),   // deep subdomain
+      (2L, "notfreehost.example"),    // label boundary: passes
+      (3L, "shop.example.co.uk"),     // multi-label entry match
+      (4L, "other.co.uk"),            // bare public suffix: passes
+      (5L, "freehost.example"),       // entry itself
+      (6L, "")).toDF("doc_id", "host")
+    // mixed case + padding exercise normalization; the empty entry
+    // must DROP (an empty-host row must not match it)
+    val bl = Seq(" FreeHost.Example ", "example.co.uk", "")
+      .toDF("entry")
+    val hit = Urls.blockedKeysByTable(rows, "doc_id", "host", bl,
+      "entry").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(0L, 1L, 3L, 5L), s"wrong hit set: $hit")
   }
 }
