@@ -61,15 +61,18 @@ object Bench {
     //      a reason FOR pass 2, never against it.
     //   2. A committed per-query expectation file (bench-expect.json,
     //      quiet-window best-of-2 on this tree) drives targeted
-    //      re-runs: any query whose best-so-far still exceeds 3x its
-    //      expectation gets individual extra runs, worst offender
-    //      first, bounded by a 120 s total re-run budget so deep
-    //      contention cannot run away.
+    //      re-runs: any query whose best-so-far still exceeds
+    //      BenchPolicy.SuspectRatio (2x since r17 — r16 ran at 3x and
+    //      shipped q39 at 2.35x / q105 at 2.17x silently inside a
+    //      "quiet" capture) x its expectation gets individual extra
+    //      runs, worst offender first, bounded by a 120 s total
+    //      re-run budget so deep contention cannot run away. The
+    //      thresholds and ordering live in BenchPolicy (spec-tested).
     //   3. The artifact names its own suspects: "contended" lists
     //      queries whose observed spread across successful runs
     //      exceeded 2x (with a 0.2 s absolute floor so micro-query
-    //      jitter isn't flagged), plus any still over 3x expectation
-    //      after re-runs. A clean run has "contended":[].
+    //      jitter isn't flagged), plus any still suspect after
+    //      re-runs. A clean run has "contended":[].
     // Best-of-N over successful runs remains the estimator: the min
     // estimates the code's cost, the spread is the environment's.
     // the expectation file records ABSOLUTE seconds at the default
@@ -106,19 +109,16 @@ object Bench {
     // query's min. If the median still exceeds 1.2 after that, the
     // artifact says so ("window":"contended") instead of
     // masquerading as a clean capture.
-    def ratioMedianNow(): Double = {
-      val rs = names.flatMap { n =>
+    def ratioMedianNow(): Double = BenchPolicy.ratioMedian(
+      names.flatMap { n =>
         expect.get(n).filter(_ > 0).flatMap { e =>
           val good = obs(n).collect { case (t, true) => t }
           if (good.nonEmpty) Some(good.min / e) else None
         }
-      }.sorted
-      if (rs.isEmpty) -1.0
-      else if (rs.size % 2 == 1) rs(rs.size / 2)
-      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
-    }
+      })
     var extraPasses = 0
-    while (expectApplicable && ratioMedianNow() > 1.2 && extraPasses < 2) {
+    while (expectApplicable &&
+        ratioMedianNow() > BenchPolicy.WindowMedianMax && extraPasses < 2) {
       extraPasses += 1
       System.err.println(s"[bench] contended window detected " +
         f"(median ${ratioMedianNow()}%.2f > 1.2); extra pass $extraPasses")
@@ -130,25 +130,27 @@ object Bench {
       val good = obs(name).collect { case (t, true) => t }
       if (good.nonEmpty) (good.min, true) else (obs(name).map(_._1).min, false)
     }
-    def overExpect(name: String): Double =
-      expect.get(name).filter(_ > 0) match {
-        case Some(e) => bestOf(name)._1 / e
-        case None => 0.0
-      }
-    var suspects = names.filter(n => bestOf(n)._2 && overExpect(n) > 3.0)
-      .sortBy(-overExpect(_))
+    def isSuspect(name: String): Boolean =
+      bestOf(name)._2 && expect.get(name)
+        .exists(BenchPolicy.isSuspect(bestOf(name)._1, _))
+    def currentSuspects(): Seq[String] = BenchPolicy.suspects(
+      names.collect { case n if bestOf(n)._2 => n -> bestOf(n)._1 }.toMap,
+      expect)
+    var suspects = currentSuspects()
+    // the window loop above may have consumed attempts; cap each
+    // suspect at 2 extra attempts beyond the passes it already has
+    val attemptCap = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
     while (suspects.nonEmpty && rerunSpent < 120.0) {
       val name = suspects.head
       val r = runOne(name)
       obs(name) ::= r
+      attemptCap(name) += 1
       reruns += 1
       rerunSpent += r._1
-      // re-rank: drop any suspect the re-runs (or this one) cleared
-      suspects = suspects.filter(n => overExpect(n) > 3.0)
-        .sortBy(-overExpect(_))
-      // give each suspect at most 2 extra attempts total
-      if (obs(name).size >= passes + 2)
-        suspects = suspects.filterNot(_ == name)
+      // re-rank: drop any suspect the re-runs (or this one) cleared,
+      // and any that exhausted its 2 extra attempts
+      suspects = currentSuspects().filter(attemptCap(_) < 2)
     }
     val best = names.map { n => val (t, ok) = bestOf(n); (n, t, ok) }
     val contended = names.filter { n =>
@@ -156,7 +158,7 @@ object Bench {
       val spread = good.nonEmpty &&
         good.max / math.max(good.min, 1e-9) > 2.0 &&
         good.max - good.min > 0.2
-      spread || (bestOf(n)._2 && overExpect(n) > 3.0)
+      spread || isSuspect(n)
     }
     // a query that threw in EVERY pass must not masquerade as a fast
     // success: report it as -1 (and name it in "failed") instead of
