@@ -63,8 +63,23 @@ object GzipMembers {
     }
   }
 
+  /** Bodies-carrying strict walk — the container-front ingest form
+    * ([[Archives.zipMembersFull]]'s gzip sibling): the same
+    * verify-everything posture (header bits, CRC32 + ISIZE trailer,
+    * bomb bound), returning (name, body) per member in walk order;
+    * name is "" for members without FNAME. None quarantines whole.
+    */
+  def membersFull(b: Array[Byte], maxBytes: Long = 1L << 26)
+      : Option[Vector[(String, Array[Byte])]] = {
+    val bodies = Vector.newBuilder[Array[Byte]]
+    walkImpl(0L, b, maxBytes, new Array[Boolean](1), bodies)
+      .map(rows => rows.map(_.name).zip(bodies.result()))
+  }
+
   private def walkImpl(mediaId: Long, b: Array[Byte],
-      maxBytes: Long, tooLarge: Array[Boolean])
+      maxBytes: Long, tooLarge: Array[Boolean],
+      bodies: scala.collection.mutable.Builder[
+        Array[Byte], Vector[Array[Byte]]] = null)
       : Option[Vector[MemberRow]] = {
     val out = Vector.newBuilder[MemberRow]
     var off = 0
@@ -112,6 +127,8 @@ object GzipMembers {
         val crc = new CRC32()
         val buf = new Array[Byte](8192)
         val md5 = java.security.MessageDigest.getInstance("MD5")
+        val bodyBuf =
+          if (bodies != null) new java.io.ByteArrayOutputStream() else null
         var n = 0L
         while (!inf.finished()) {
           val k = try inf.inflate(buf)
@@ -119,6 +136,7 @@ object GzipMembers {
           if (k == 0 && !inf.finished()) return None // truncated
           crc.update(buf, 0, k)
           md5.update(buf, 0, k)
+          if (bodyBuf != null) bodyBuf.write(buf, 0, k)
           n += k
           total += k
           if (total > maxBytes) { // decompression-bomb bound
@@ -136,6 +154,7 @@ object GzipMembers {
         if (u32le(tOff + 4) != (n & 0xffffffffL)) return None
         out += MemberRow(mediaId, idx, name, n,
           md5.digest().map(x => f"$x%02x").mkString, 0L)
+        if (bodies != null) bodies += bodyBuf.toByteArray
         idx += 1
         off = tOff + 8
       } finally inf.end()

@@ -3381,12 +3381,18 @@ object TextQueries {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val hostport = regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)
-    // userinfo stripped at the LAST '@' before host/port capture
-    // (graft.text.Urls' hardened rule — `user:pass@host` must not
-    // yield host `user`); the fixture has no userinfo, so both
-    // engines mirror the rule and the output is unchanged
+    // userinfo stripped at the LAST '@', bracket-aware host capture,
+    // single trailing root-dot stripped — graft.text.Urls.hostOf's
+    // full hardened rule, mirrored expression-for-expression in the
+    // oracle SQL below so the two cannot drift (r16 advice: the
+    // earlier '^([^:]+)' capture parsed '[2001:db8::1]' as '[2001');
+    // the fixture carries none of these forms, so output is unchanged
     val noUser = regexp_replace(hostport, "^.*@", "")
-    val host = lower(regexp_extract(noUser, "^([^:]+)", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noUser, "^(\\[[^\\]]*\\]|[^:]+)", 1)),
+      "\\.$", "")
+    // a bracketed host ends in ']', so the port capture cannot match
+    // inside the brackets
     val port = regexp_extract(noUser, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
@@ -3431,11 +3437,13 @@ object TextQueries {
       |), parts AS (
       |  SELECT doc_id,
       |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
-      |    lower(regexp_extract(
-      |      regexp_replace(
-      |        regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
-      |        '^.*@', ''),
-      |      '^([^:]+)', 1)) AS host,
+      |    regexp_replace(
+      |      lower(regexp_extract(
+      |        regexp_replace(
+      |          regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
+      |          '^.*@', ''),
+      |        '^(\[[^\]]*\]|[^:]+)', 1)),
+      |      '\.$', '') AS host,
       |    regexp_extract(
       |      regexp_replace(
       |        regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1),
@@ -4308,17 +4316,27 @@ object TextQueries {
   }
 
   /** Shared back half of the container-front curations (q160 ZIP /
-    * q161 WebDataset-tar): gates -> live set -> corpus line dedup +
-    * lang/quality signals -> verdict assembly with the q157 reason
-    * chain extended by `thin`. `gated` carries (doc_id, domain,
-    * blocked, thin, text) plus each front's own walk-observability
-    * columns (`frontCols`), which pass through into the output. The
-    * gated frame is PERSISTED here: three sibling consumers (line
-    * stats, signals, final assembly) read it with different column
+    * q161 WebDataset-tar / q163 WARC-gzip / q162 cluster-aware ZIP):
+    * gates -> live set -> corpus line dedup + lang/quality signals ->
+    * verdict assembly with the q157 reason chain extended by `thin`.
+    * `gated` carries (doc_id, domain, blocked, thin, text) plus each
+    * front's own walk-observability columns (`frontCols`), which pass
+    * through into the output. The gated frame is PERSISTED here:
+    * the sibling consumers (line stats, signals, clusters when
+    * cluster-aware, final assembly) read it with different column
     * sets — q158's measured ReuseExchange argument.
+    *
+    * `clusterAware = true` (q162) composes q158's near-dup stage onto
+    * the container lineage: jaccardPairs + CC keeper over the live
+    * set, the SPLIT bucketed on the KEEPER hash (q124's no-straddle
+    * guarantee — a near-dup group never crosses train/valid/test),
+    * and `neardup` in the reason chain; the output gains
+    * keeper/bucket columns. `false` keeps the per-doc salted split
+    * (the q160/q161/q163 scope).
     */
   private def containerCurationTail(spark: SparkSession,
-      gated0: DataFrame, frontCols: Seq[String]): DataFrame = {
+      gated0: DataFrame, frontCols: Seq[String],
+      clusterAware: Boolean = false): DataFrame = {
     val gated = gated0.persist()
     val live = gated.filter(!col("blocked") && !col("thin"))
       .select(col("doc_id"), col("text"))
@@ -4327,25 +4345,57 @@ object TextQueries {
     val signals = TextOps.withLanguageId(live, col("text"), "lang_pred")
       .withColumn("quality_e4", qualityE4Col)
       .select(col("doc_id"), col("lang_pred"), col("quality_e4"))
-    gated
-      .join(lineStats, Seq("doc_id"), "left")
-      .join(signals, Seq("doc_id"), "left")
-      .withColumn("split", splitLabel(spark))
-      .withColumn("reason",
-        when(col("blocked"), "blocked")
-          .when(col("thin"), "thin")
-          .when(col("n_kept") * 2 < col("n_lines"), "linedup")
-          .when(col("lang_pred") === "und", "lang")
-          .when(col("quality_e4") < 5000, "quality"))
-      .select(Seq(col("doc_id")) ++ frontCols.map(col) ++ Seq(
-        col("domain"), col("blocked"), col("thin"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
-        coalesce(col("quality_e4"), lit(0L)).as("quality_e4"),
-        col("split"), col("reason"),
-        col("reason").isNull.as("keep")): _*)
-      .orderBy(col("doc_id"))
+    if (!clusterAware) {
+      gated
+        .join(lineStats, Seq("doc_id"), "left")
+        .join(signals, Seq("doc_id"), "left")
+        .withColumn("split", splitLabel(spark))
+        .withColumn("reason",
+          when(col("blocked"), "blocked")
+            .when(col("thin"), "thin")
+            .when(col("n_kept") * 2 < col("n_lines"), "linedup")
+            .when(col("lang_pred") === "und", "lang")
+            .when(col("quality_e4") < 5000, "quality"))
+        .select(Seq(col("doc_id")) ++ frontCols.map(col) ++ Seq(
+          col("domain"), col("blocked"), col("thin"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+          coalesce(col("quality_e4"), lit(0L)).as("quality_e4"),
+          col("split"), col("reason"),
+          col("reason").isNull.as("keep")): _*)
+        .orderBy(col("doc_id"))
+    } else {
+      val clusters = TextOps.dedupClusters(TextOps.jaccardPairs(live, 0.5))
+      val bucket = call_function("md5_long60",
+        concat(lit("split:"), col("keeper").cast("string"))) % 100
+      gated
+        .join(lineStats, Seq("doc_id"), "left")
+        .join(clusters, col("doc_id") === col("id"), "left").drop("id")
+        .withColumn("keeper", coalesce(col("label"), col("doc_id")))
+        .drop("label")
+        .join(signals, Seq("doc_id"), "left")
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid").otherwise("test"))
+        .withColumn("reason",
+          when(col("blocked"), "blocked")
+            .when(col("thin"), "thin")
+            .when(col("doc_id") =!= col("keeper"), "neardup")
+            .when(col("n_kept") * 2 < col("n_lines"), "linedup")
+            .when(col("lang_pred") === "und", "lang")
+            .when(col("quality_e4") < 5000, "quality"))
+        .select(Seq(col("doc_id")) ++ frontCols.map(col) ++ Seq(
+          col("domain"), col("blocked"), col("thin"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("keeper"), col("bucket"), col("split"),
+          coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+          coalesce(col("quality_e4"), lit(0L)).as("quality_e4"),
+          col("reason"), col("reason").isNull.as("keep")): _*)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** The closed-form page-extraction CTE fragment shared by the
@@ -4366,13 +4416,89 @@ object TextQueries {
     * an `ext` relation carrying (doc_id, <frontCols>, text = the
     * extracted content); the tail replays the planted URL, the
     * hardened host gate (userinfo strip + suffix match), and the
-    * q157-family line-dedup/signal/split stages.
+    * q157-family line-dedup/signal/split stages. `clusterAware`
+    * splices in q158's recursive-CTE connected-components stage and
+    * switches the split to the keeper hash (the Spark twin's flag).
+    * Emitted as WITH RECURSIVE unconditionally — legal for the
+    * non-recursive fronts, required for `reach` and the q162 corpus.
     */
   private def containerCurationSql(frontCtes: String,
-      frontCols: Seq[String]): String = {
+      frontCols: Seq[String], clusterAware: Boolean = false): String = {
     val fb = frontCols.map("b." + _).mkString(", ")
     val fo = frontCols.mkString(", ")
-    s"""WITH $frontCtes, u AS (
+    val ccCtes = if (!clusterAware) "" else
+      s""", sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 5 THEN []::BIGINT[]
+         |         ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+         |                i -> ${md5IntSql("array_to_string(toks[i:i+4], ' ')")} % ${TextOps.MinHashP}))
+         |         END AS sh
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM live)
+         |), inv AS (
+         |  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), good AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE 1.0 * common / (na + nb - common) >= 0.5
+         |), nodes AS (
+         |  SELECT DISTINCT id
+         |  FROM (SELECT id_a AS id FROM good UNION ALL SELECT id_b FROM good)
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM good
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM good
+         |), reach(n, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+         |), cl AS (
+         |  SELECT n AS id, min(m) AS label FROM reach GROUP BY n
+         |)""".stripMargin
+    val kb = s"${md5IntSql("'split:' || CAST(keeper AS VARCHAR)")} % 100"
+    val jSelect =
+      if (!clusterAware)
+        s"""  SELECT b.doc_id, $fb,
+           |    b.domain, b.blocked, b.thin,
+           |    st.n_lines, st.n_kept, p.lang_pred, p.quality_e4,
+           |    $splitCaseSql AS split,
+           |    CASE WHEN b.blocked THEN 'blocked'
+           |         WHEN b.thin THEN 'thin'
+           |         WHEN st.n_kept * 2 < st.n_lines THEN 'linedup'
+           |         WHEN p.lang_pred = 'und' THEN 'lang'
+           |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason
+           |  FROM b
+           |  LEFT JOIN st USING (doc_id)
+           |  LEFT JOIN p USING (doc_id)""".stripMargin
+      else
+        s"""  SELECT b.doc_id, $fb,
+           |    b.domain, b.blocked, b.thin,
+           |    st.n_lines, st.n_kept,
+           |    coalesce(cl.label, b.doc_id) AS keeper,
+           |    p.lang_pred, p.quality_e4,
+           |    CASE WHEN b.blocked THEN 'blocked'
+           |         WHEN b.thin THEN 'thin'
+           |         WHEN b.doc_id != coalesce(cl.label, b.doc_id) THEN 'neardup'
+           |         WHEN st.n_kept * 2 < st.n_lines THEN 'linedup'
+           |         WHEN p.lang_pred = 'und' THEN 'lang'
+           |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason
+           |  FROM b
+           |  LEFT JOIN st USING (doc_id)
+           |  LEFT JOIN cl ON cl.id = b.doc_id
+           |  LEFT JOIN p USING (doc_id)""".stripMargin
+    val finalCols =
+      if (!clusterAware) "split,"
+      else
+        s"""CAST(keeper AS BIGINT) AS keeper,
+           |  CAST($kb AS BIGINT) AS bucket,
+           |  CASE WHEN $kb < 80 THEN 'train'
+           |       WHEN $kb < 90 THEN 'valid'
+           |       ELSE 'test' END AS split,""".stripMargin
+    s"""WITH RECURSIVE $frontCtes, u AS (
        |  SELECT *,
        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END) ||
        |    '://' ||
@@ -4393,10 +4519,12 @@ object TextQueries {
        |      AS blocked,
        |    length(text) = 0 AS thin
        |  FROM (SELECT *,
-       |          lower(regexp_extract(regexp_replace(
-       |            regexp_extract(regexp_replace(url, '#.*$$', ''),
-       |              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-       |            '^.*@', ''), '^([^:]+)', 1)) AS host
+       |          regexp_replace(
+       |            lower(regexp_extract(regexp_replace(
+       |              regexp_extract(regexp_replace(url, '#.*$$', ''),
+       |                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+       |              '^.*@', ''), '^([^:]+)', 1)),
+       |            '\\.$$', '') AS host
        |        FROM u)
        |), live AS (
        |  SELECT doc_id, text FROM b WHERE NOT blocked AND NOT thin
@@ -4431,7 +4559,7 @@ object TextQueries {
        |        FROM relined) nl
        |  LEFT JOIN (SELECT doc_id, count(*) AS n_kept FROM kept
        |             GROUP BY doc_id) ag ON ag.doc_id = nl.doc_id
-       |), t AS (
+       |)$ccCtes, t AS (
        |  SELECT doc_id,
        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
        |  FROM live
@@ -4450,26 +4578,16 @@ object TextQueries {
        |              AS stop_hits
        |          FROM t))
        |), j AS (
-       |  SELECT b.doc_id, $fb,
-       |    b.domain, b.blocked, b.thin,
-       |    st.n_lines, st.n_kept, p.lang_pred, p.quality_e4,
-       |    $splitCaseSql AS split,
-       |    CASE WHEN b.blocked THEN 'blocked'
-       |         WHEN b.thin THEN 'thin'
-       |         WHEN st.n_kept * 2 < st.n_lines THEN 'linedup'
-       |         WHEN p.lang_pred = 'und' THEN 'lang'
-       |         WHEN p.quality_e4 < 5000 THEN 'quality' END AS reason
-       |  FROM b
-       |  LEFT JOIN st USING (doc_id)
-       |  LEFT JOIN p USING (doc_id)
+       |$jSelect
        |)
        |SELECT doc_id, $fo, domain,
        |  blocked, thin,
        |  coalesce(n_lines, 0) AS n_lines,
        |  coalesce(n_kept, 0) AS n_kept,
+       |  $finalCols
        |  coalesce(lang_pred, 'und') AS lang_pred,
        |  coalesce(quality_e4, 0) AS quality_e4,
-       |  split, reason, reason IS NULL AS keep
+       |  reason, reason IS NULL AS keep
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
@@ -4589,7 +4707,273 @@ object TextQueries {
        |)""".stripMargin,
     Seq("shard_id", "s_idx", "n_in_sample", "has_cls"))
 
+  // ---- q162: cluster-aware split at the container front ----
+  // Closes the scope note q160 shipped with: the container fronts
+  // used the PER-DOC salted split, but q158 proved (measured, on the
+  // composed output) that a near-dup group must not straddle a
+  // train/valid/test boundary — so the shards -> release lineage
+  // needs q124's keeper split composed onto the container tail.
+  // Same REAL ZIP front as q160 (strict bodies-carrying walk,
+  // observable m_idx/method/n_entries), but the corpus carries
+  // PLANTED NEAR-COPIES (withNearCopies — every 7th doc re-appears
+  // at +1000000 with its last 3 tokens dropped, landing in a
+  // DIFFERENT shard, so clusters provably cross shard boundaries and
+  // the split has to be corpus-global), and the tail runs
+  // clusterAware: jaccardPairs + CC keeper over the live set, split
+  // bucketed on the KEEPER hash, `neardup` in the reason chain.
+  // Oracle: the same recursive-CTE connected components q158 proved,
+  // spliced into the shared container oracle.
+  //
+  // 100 TB posture: the front is q160's (map-only walk, labeled
+  // fixture-generation shuffle); the cluster stage is q33/q47's
+  // priced machinery (capped inverted-index pairs + pointer-doubled
+  // CC — never corpus^2); the tail persists the gated frame for its
+  // now-FOUR different-column sibling consumers (q158's measured
+  // ReuseExchange lesson).
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{Html, Urls}
+    import graft.multimodal.Archives
+    graft.functions.GraftFunctions.register(spark)
+    val id = col("doc_id")
+    val corpus = withNearCopies(tbl(spark, dir, "documents"))
+    val shards = corpus
+      .select(expr("doc_id DIV 8").as("shard_id"), id,
+        crawlPage(id).as("page"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val members = it.toSeq.sortBy(_._2)
+          .map { case (_, d, p) => (s"d$d.html", p.getBytes("UTF-8")) }
+        (sid, Archives.encodeZip(members))
+      }
+    val members = shards.flatMap { case (sid, payload) =>
+      Archives.zipMembersFull(payload) match {
+        case None => Iterator.empty // quarantine-whole in the service
+        case Some(ms) =>
+          val n = ms.size.toLong
+          ms.iterator.zipWithIndex.map {
+            case ((name, method, body), i) =>
+              (sid, i.toLong, n,
+                name.drop(1).takeWhile(_ != '.').toLong, method,
+                new String(body, "UTF-8"))
+          }
+      }
+    }.toDF("shard_id", "m_idx", "n_entries", "doc_id", "method", "html")
+    val host = Urls.hostOf(crawlUrl(id))
+    val gated = members.select(col("shard_id"), col("m_idx"),
+        col("n_entries"), col("method"), col("doc_id"),
+        Urls.displayDomain(host).as("domain"),
+        Urls.blockedByHostSuffix(host,
+          Seq("site0.example", "site3.example")).as("blocked"),
+        Html.extractMain(col("html")).getField("content").as("text"))
+      .withColumn("thin", length(col("text")) === 0)
+    containerCurationTail(spark, gated,
+      Seq("shard_id", "m_idx", "method", "n_entries"),
+      clusterAware = true)
+  }
+
+  val q162Sql: String = containerCurationSql(
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, array_to_string(toks[1:len(toks)-3], ' ')
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(toks) > 10
+       |), m AS (
+       |  SELECT doc_id, text, doc_id // 8 AS shard_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 8
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS m_idx,
+       |    CAST(count(*) OVER (PARTITION BY doc_id // 8)
+       |      AS BIGINT) AS n_entries
+       |  FROM corpus
+       |), ext AS (
+       |  SELECT doc_id, shard_id, m_idx, n_entries,
+       |    CASE WHEN m_idx % 2 = 0 THEN 'deflated' ELSE 'stored' END
+       |      AS method,
+       |    CASE WHEN length(v) >= 25 THEN v ELSE '' END AS text
+       |  FROM (SELECT doc_id, shard_id, m_idx, n_entries,
+       |          $extractVSql AS v
+       |        FROM m)
+       |)""".stripMargin,
+    Seq("shard_id", "m_idx", "method", "n_entries"),
+    clusterAware = true)
+
+  // ---- q163: curation over the WARC-gzip front ----
+  // Third instantiation of the container-curation template (ZIP q160,
+  // WebDataset-tar q161), completing the container matrix over the
+  // THIRD dominant crawl-shard format: WARC-style CONCATENATED gzip
+  // members (one record per member — Common Crawl's layout), walked
+  // back with q153's proven member walk now carrying bodies
+  // (GzipMembers.membersFull — header bits, CRC32 + ISIZE trailer,
+  // bomb bound, quarantine-whole). Each doc becomes one WARC-ish
+  // record: a header block carrying the record id AND the crawl URL
+  // (so both ride REAL gzip bytes — a corrupted member flips doc
+  // attribution or a blocked verdict and hash-fails), a blank line,
+  // then the hardened crawl page; six records per shard; alternating
+  // members carry the FNAME header (q153's pattern), so both header
+  // paths are exercised and the read-back bit is itself observable.
+  // Observability: m_idx = the member's position in the WALK,
+  // n_members = walked member count, named = the FNAME bit read back
+  // — all recomputed closed-form by the oracle; doc_id and url come
+  // ONLY from decoded record bytes.
+  //
+  // 100 TB posture: identical to q160/q161 — the walk is map-only
+  // over each shard's bytes, members never re-shuffle as pages, the
+  // curation tail is q157's priced machinery. Shard CONSTRUCTION
+  // (groupByKey of 6 docs) is labeled fixture generation; a real
+  // pipeline reads shards via ShardIngest's gzip table.
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{Html, Urls}
+    import graft.multimodal.GzipMembers
+    graft.functions.GraftFunctions.register(spark)
+    val id = col("doc_id")
+    val base = tbl(spark, dir, "documents")
+    val shards = base.select(expr("doc_id DIV 6").as("shard_id"), id,
+        crawlPage(id).as("page"), crawlUrl(id).as("url"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val members = it.toSeq.sortBy(_._2).zipWithIndex.map {
+          case ((_, d, p, u), j) =>
+            val rec = s"WARC/1.0\r\nWARC-Record-ID: urn:graft:d$d\r\n" +
+              s"WARC-Target-URI: $u\r\n\r\n$p"
+            // FNAME on even members only — both header paths walked
+            val name = if (j % 2 == 0) s"d$d.warc" else null
+            (name, rec.getBytes("UTF-8"))
+        }
+        (sid, GzipMembers.encodeMembers(members))
+      }
+    val records = shards.flatMap { case (sid, payload) =>
+      GzipMembers.membersFull(payload) match {
+        case None => Iterator.empty // quarantine-whole in the service
+        case Some(ms) =>
+          val n = ms.size.toLong
+          ms.iterator.zipWithIndex.map { case ((name, body), i) =>
+            val s = new String(body, "UTF-8")
+            val cut = s.indexOf("\r\n\r\n")
+            val (hdr, html) =
+              if (cut < 0) (s, "") else (s.take(cut), s.drop(cut + 4))
+            val docId = "urn:graft:d(\\d+)".r.findFirstMatchIn(hdr)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            val url = "WARC-Target-URI: ([^\r\n]*)".r
+              .findFirstMatchIn(hdr).map(_.group(1)).getOrElse("")
+            (sid, i.toLong, n, name.nonEmpty, docId, url, html)
+          }
+      }
+    }.toDF("shard_id", "m_idx", "n_members", "named", "doc_id", "url",
+      "html")
+    val host = Urls.hostOf(col("url"))
+    val gated = records.select(col("shard_id"), col("m_idx"),
+        col("n_members"), col("named"), col("doc_id"),
+        Urls.displayDomain(host).as("domain"),
+        Urls.blockedByHostSuffix(host,
+          Seq("site0.example", "site3.example")).as("blocked"),
+        Html.extractMain(col("html")).getField("content").as("text"))
+      .withColumn("thin", length(col("text")) === 0)
+    containerCurationTail(spark, gated,
+      Seq("shard_id", "m_idx", "n_members", "named"))
+  }
+
+  val q163Sql: String = containerCurationSql(
+    s"""m AS (
+       |  SELECT doc_id, text, doc_id // 6 AS shard_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 6
+       |      ORDER BY doc_id) - 1 AS BIGINT) AS m_idx,
+       |    CAST(count(*) OVER (PARTITION BY doc_id // 6)
+       |      AS BIGINT) AS n_members
+       |  FROM documents
+       |), ext AS (
+       |  SELECT doc_id, shard_id, m_idx, n_members,
+       |    m_idx % 2 = 0 AS named,
+       |    CASE WHEN length(v) >= 25 THEN v ELSE '' END AS text
+       |  FROM (SELECT doc_id, shard_id, m_idx, n_members,
+       |          $extractVSql AS v
+       |        FROM m)
+       |)""".stripMargin,
+    Seq("shard_id", "m_idx", "n_members", "named"))
+
+  // ---- q164: table-backed blocklist gate (PSL shape) ----
+  // The residual Urls.scala documented honestly since r16: the
+  // literal-array gate (blockedByHostSuffix) is right for a service's
+  // parameter-passed list, but "block every site under a freehoster"
+  // needs a public-suffix-scale TABLE — and a table must not ride the
+  // plan as a literal. This is the named design made real
+  // (Urls.blockedKeysByTable): the host's label-boundary suffix
+  // chain explodes on a NARROW (doc_id, host) projection, the
+  // blocklist joins BROADCAST as a left-semi on the exploded suffix,
+  // and only the matched keys shuffle (distinct) before rejoining the
+  // frame. Fixtures are the multi-label family the last-two-label
+  // heuristic gets wrong: entries `freehost.example` and
+  // `example.co.uk` must block deep subdomains
+  // (`a.b.freehost.example`, `shop.example.co.uk`) while respecting
+  // label boundaries (`notfreehost.example` passes) and NOT blocking
+  // the bare public suffix (`other.co.uk` passes); entries normalize
+  // through lower+trim and empty entries drop (oracle mirrors all
+  // of it). n_suffixes pins the chain length (= label count).
+  //
+  // 100 TB posture: explode multiplies only (doc_id, host) by the
+  // label count (<10); the table is broadcast; the matched-key
+  // distinct and the hit-set rejoin are the only shuffles — the wide
+  // document columns never move (AQE broadcasts the hit set when it
+  // is small, which is the production case).
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.Urls
+    val id = col("doc_id")
+    val host = when(id % 6 === 0, lit("www.freehost.example"))
+      .when(id % 6 === 1, lit("a.b.freehost.example"))
+      .when(id % 6 === 2, lit("notfreehost.example"))
+      .when(id % 6 === 3, lit("shop.example.co.uk"))
+      .when(id % 6 === 4, lit("other.co.uk"))
+      .otherwise(concat(lit("site"), (id % 7).cast("string"),
+        lit(".example")))
+    val docs = tbl(spark, dir, "documents").select(id, host.as("host"))
+    // the table fixture: mixed case + padding (normalization must
+    // fire) and an empty entry (must drop, not match everything)
+    val bl = Seq(" FreeHost.Example ", "example.co.uk", "")
+      .toDF("entry")
+    val hits = Urls.blockedKeysByTable(docs, "doc_id", "host", bl,
+      "entry")
+    docs
+      .join(hits.withColumn("__hit", lit(true)), Seq("doc_id"), "left")
+      .select(id, col("host"),
+        coalesce(col("__hit"), lit(false)).as("blocked"),
+        size(Urls.hostSuffixChain(col("host"))).cast("long")
+          .as("n_suffixes"))
+      .orderBy(id)
+  }
+
+  val q164Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'www.freehost.example'
+      |      WHEN 1 THEN 'a.b.freehost.example'
+      |      WHEN 2 THEN 'notfreehost.example'
+      |      WHEN 3 THEN 'shop.example.co.uk'
+      |      WHEN 4 THEN 'other.co.uk'
+      |      ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+      |    END AS host
+      |  FROM documents
+      |), bl AS (
+      |  SELECT lower(trim(entry)) AS e
+      |  FROM (VALUES (' FreeHost.Example '), ('example.co.uk'), (''))
+      |    AS t(entry)
+      |  WHERE lower(trim(entry)) != ''
+      |)
+      |SELECT doc_id, host,
+      |  EXISTS (SELECT 1 FROM bl
+      |          WHERE host = e OR ends_with(host, '.' || e)) AS blocked,
+      |  CAST(len(string_split(host, '.')) AS BIGINT) AS n_suffixes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_blocklist_table" -> (q164 _),
+    "q163_warc_curation" -> (q163 _),
+    "q162_cluster_split_front" -> (q162 _),
     "q161_webdataset_curation" -> (q161 _),
     "q160_container_curation" -> (q160 _),
     "q159_line_admit" -> (q159 _),
@@ -4654,6 +5038,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_blocklist_table" -> q164Sql,
+    "q163_warc_curation" -> q163Sql,
+    "q162_cluster_split_front" -> q162Sql,
     "q161_webdataset_curation" -> q161Sql,
     "q160_container_curation" -> q160Sql,
     "q159_line_admit" -> q159Sql,

@@ -36,11 +36,13 @@ import graft.text.{Html, Urls}
   * ingest's do.
   *
   * 100 TB posture: extraction + URL gate are batch-sized map work;
-  * the blocklist rides the plan as one array literal probed per row
-  * (Urls.blockedByHostSuffix — fine for parameter-passed lists; a
-  * corpus-scale blocklist table gates via a broadcast equi-join on
-  * the exploded suffix chain instead); everything wide is
-  * curateAndMerge's documented machinery.
+  * the parameter-passed blocklist rides the plan as one array
+  * literal probed per row (Urls.blockedByHostSuffix), and a
+  * corpus-scale blocklist TABLE gates via
+  * [[graft.text.Urls.blockedKeysByTable]]'s broadcast equi-join on
+  * the exploded suffix chain (the `blocklistTable` parameter — r16
+  * verdict #3, oracled as q164); everything wide is curateAndMerge's
+  * documented machinery.
   */
 object CrawlIngest {
 
@@ -53,12 +55,22 @@ object CrawlIngest {
   private val Corrupt = "_corrupt_record"
   private val parseSchema = crawlSchema.add(Corrupt, StringType)
 
+  /** `blocklistTable` is the CORPUS-SCALE gate (r16 verdict #3): a
+    * (entry) table — public-suffix-backed deny lists, freehoster
+    * registries — matched by [[Urls.blockedKeysByTable]]'s exploded
+    * suffix-chain broadcast equi-join instead of riding the plan as
+    * a literal. When given, it gates IN ADDITION to `blockedDomains`
+    * (a service typically carries both: a small hot list in config
+    * plus the big table). Null keeps the literal-only gate.
+    */
   def crawlHtmlIngest(spark: SparkSession, dropDir: String,
       tablePath: String, checkpointDir: String,
       blockedDomains: Seq[String], buckets: Int = 16,
       postMergeHook: Long => Unit = _ => (),
       quarantineDir: String = null,
-      gatedDir: String = null): StreamingQuery = {
+      gatedDir: String = null,
+      blocklistTable: org.apache.spark.sql.DataFrame = null,
+      blocklistEntryCol: String = "entry"): StreamingQuery = {
     Jsonl.readJsonlStreamRaw(spark, dropDir)
       .writeStream
       .outputMode("append")
@@ -93,12 +105,29 @@ object CrawlIngest {
           // recorded `domain` stays the last-two-label DISPLAY
           // heuristic; the gate key is the host itself.
           val host = Urls.hostOf(col("url"))
-          val staged = batch
+          val staged0 = batch
             .select(col("doc_id"),
+              host.as("__host"),
               Urls.displayDomain(host).as("domain"),
               Urls.blockedByHostSuffix(host, blockedDomains)
-                .as("blocked"),
+                .as("blocked_lit"),
               Html.extractMain(col("html")).getField("content").as("text"))
+          // the table gate joins its MATCHED keys back (narrow explode
+          // + broadcast semi join inside blockedKeysByTable; the wide
+          // html/text columns never ride the explode)
+          val staged1 =
+            if (blocklistTable == null)
+              staged0.withColumn("blocked", col("blocked_lit"))
+            else staged0
+              .join(Urls.blockedKeysByTable(
+                  staged0.select(col("doc_id"), col("__host")),
+                  "doc_id", "__host", blocklistTable, blocklistEntryCol)
+                .withColumn("__tbl_hit", lit(true)),
+                Seq("doc_id"), "left")
+              .withColumn("blocked", col("blocked_lit") ||
+                coalesce(col("__tbl_hit"), lit(false)))
+              .drop("__tbl_hit")
+          val staged = staged1.drop("blocked_lit", "__host")
             .withColumn("thin", length(col("text")) === 0)
             .persist()
           try {

@@ -187,7 +187,10 @@ object DumpPlans {
       "q159_line_admit" -> "incremental line admission (base index probed map-only under the broadcast cap, guarded merge fallback; shuffles scale with the delta, never the base)",
       // ---- r16 ----
       "q160_container_curation" -> "curation over the real container front (map-only zip walk on the executors, hardened host-suffix gate, q157-family stages over decoded members)",
-      "q161_webdataset_curation" -> "curation over the WebDataset-tar front (checksummed ustar walk, stem-grouped samples, URL read from the decoded json member, same curation tail as q160)")
+      "q161_webdataset_curation" -> "curation over the WebDataset-tar front (checksummed ustar walk, stem-grouped samples, URL read from the decoded json member, same curation tail as q160)",
+      "q163_warc_curation" -> "curation over the WARC-gzip front (q153's member walk carrying bodies, doc id + URL decoded from record bytes, FNAME bit observable, same curation tail as q160/q161)",
+      "q162_cluster_split_front" -> "cluster-aware split at the ZIP container front (q160's walk + planted cross-shard near-copies, jaccardPairs+CC keeper, split bucketed on the keeper hash — q124's no-straddle guarantee on the shards lineage)",
+      "q164_blocklist_table" -> "table-backed blocklist gate (narrow explode of the label-boundary suffix chain, broadcast left-semi against the entry table, matched-keys distinct — corpus-scale lists never ride the plan as a literal)")
 
     val all = SparkEntry.queries.keys.toSeq
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))

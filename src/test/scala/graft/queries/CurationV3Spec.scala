@@ -65,6 +65,52 @@ class CurationV3Spec extends AnyFunSuite {
     assert(reasons.getOrElse("linedup", 0L) >= 1)
   }
 
+  // ---- q162: the same no-straddle bar ON THE CONTAINER LINEAGE ----
+  // (the r16 verdict's "done" test: q160 shipped with a per-doc-split
+  // scope note; q162 composes the keeper split onto the walked-shard
+  // front, and the guarantee must hold on THAT composed output)
+
+  private lazy val out162 = {
+    val df = TextQueries.q162(spark, dir).persist()
+    df.count()
+    df
+  }
+
+  test("q162: a near-dup group never straddles a split on the " +
+      "container-front output") {
+    val straddle = out162.groupBy(col("keeper"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddle.isEmpty,
+      s"${straddle.count()} clusters straddle a split boundary")
+    val multi = out162.groupBy(col("keeper")).count()
+      .filter(col("count") > 1)
+    assert(multi.count() > 10, "fixture grew no multi-member clusters")
+  }
+
+  test("q162: clusters cross SHARD boundaries (the property that " +
+      "forces the split to be corpus-global, not shard-local)") {
+    // the planted near-copies live at +1000000, so an original and
+    // its copy never pack into the same 8-doc shard; at least one
+    // multi-member cluster must span two shard_ids
+    val spans = out162.groupBy(col("keeper"))
+      .agg(countDistinct(col("shard_id")).as("n_shards"))
+      .filter(col("n_shards") > 1)
+    assert(spans.count() > 10,
+      "no cluster crossed a shard — the fixture lost its point")
+  }
+
+  test("q162: the walk observability survives the cluster tail") {
+    // every shard's members carry 0..n-1 walk positions and the
+    // alternating method pattern — the cluster stage must not have
+    // re-derived or reordered the front columns
+    val bad = out162.filter(
+      (col("m_idx") % 2 === 0 && col("method") =!= "deflated") ||
+        (col("m_idx") % 2 === 1 && col("method") =!= "stored") ||
+        col("m_idx") >= col("n_entries"))
+    assert(bad.isEmpty)
+  }
+
   test("blocked and thin docs are excluded from cluster/line scope") {
     // excluded docs are always their own keeper and carry the
     // coalesced zero line stats

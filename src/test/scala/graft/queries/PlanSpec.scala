@@ -227,6 +227,47 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q163 warc-gzip curation: window-free, no all-pairs, persisted " +
+      "extracted frame") {
+    val p = plan(TextQueries.q163(spark, dir))
+    assert(!p.contains("Window"),
+      s"q163 must not rank through a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 3,
+      s"q163's sibling stages must read the persisted extracted frame " +
+        s"(InMemoryTableScan x$inMem < 3):\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q162 cluster-split front: no all-pairs, persisted extracted " +
+      "frame feeding FOUR sibling consumers") {
+    val p = plan(TextQueries.q162(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // line stats + clusters + signals + final assembly all read the
+    // persisted gated frame (q158's measured ReuseExchange lesson)
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 4,
+      s"q162's sibling stages must read the persisted extracted frame " +
+        s"(InMemoryTableScan x$inMem < 4):\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q164 table blocklist: the entry table joins BROADCAST on the " +
+      "exploded suffix chain; no cartesian anywhere") {
+    val p = plan(TextQueries.q164(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the blocklist table must broadcast, not shuffle:\n$p")
+    // the explode rides the narrow (doc_id, host) projection — the
+    // semi join's stream side must not carry any document payload
+    assert("LeftSemi".r.findAllIn(p).nonEmpty,
+      s"the suffix match must be a left-semi probe:\n$p")
+  }
+
   test("q112 containment pair generation is a bucketed equi join") {
     assertNoAllPairs(TextQueries.q112(spark, dir), "q112")
   }

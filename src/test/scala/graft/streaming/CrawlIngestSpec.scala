@@ -160,4 +160,36 @@ class CrawlIngestSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(23L, 24L), s"admitted wrong: $admitted")
   }
+
+  test("table-backed blocklist gates alongside the literal list " +
+      "(the q164 form wired into the service)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawltbl")
+    val drop = Files.createDirectories(root.resolve("drop"))
+    val table = root.resolve("curated").toString
+    val gatedDir = root.resolve("gated").toString
+    // literal list blocks spam.example; the TABLE blocks the
+    // multi-label family the literal list doesn't carry
+    val bl = Seq("freehost.example", "example.co.uk").toDF("entry")
+    dropShard(drop, "t1.jsonl", Seq(
+      jline(31, "https://spam.example/x", wrap(goodText)), // literal
+      jline(32, "https://a.b.freehost.example/x",          // table
+        wrap(goodText + " more of the same tale told for the ages")),
+      jline(33, "https://shop.example.co.uk/x",            // table
+        wrap(goodText + " yet another story for the long road ahead")),
+      jline(34, "https://notfreehost.example/x",           // boundary
+        wrap(goodText + " the last chapter closes the book at last"))))
+    val q = CrawlIngest.crawlHtmlIngest(spark, drop.toString, table,
+      root.resolve("ckpt").toString, Seq("spam.example"),
+      gatedDir = gatedDir, blocklistTable = bl)
+    try q.processAllAvailable() finally q.stop()
+    val gated = spark.read.json(gatedDir)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gated == Set((31L, "blocked"), (32L, "blocked"),
+      (33L, "blocked")), s"table gate verdicts wrong: $gated")
+    val admitted = CrawlIngest.readCurated(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(34L), s"admitted wrong: $admitted")
+  }
 }
