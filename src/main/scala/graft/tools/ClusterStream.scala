@@ -350,6 +350,132 @@ object ClusterStream {
         s"admitted=${admitted.size} master=$master")
     }
 
+    // ---- scenario 7 (r17): the FULL release cycle — streams up,
+    // batch A, quiesce, ReleaseBuild into a versioned root, restart
+    // every stream from the MANIFEST's paths with fresh growth, old
+    // growth deleted, batch B — under a real multi-JVM master (the
+    // gate class that caught r15's session-clone registry bug).
+    // Batch-B verdicts must equal the single-corpus derivation for
+    // all four artifacts (ReleaseCycleSpec's bar, now cross-process:
+    // the manifest parquet reads, the growth-shard lists, and the
+    // rebuild writes all cross executor boundaries here) ----
+    locally {
+      import graft.streaming.{IndexRebuild, LineDedupStream,
+        NearDupStream, PrefixDedupStream, ReleaseBuild}
+      graft.functions.GraftFunctions.register(spark)
+      def words(p: String, n: Int) =
+        (1 to n).map(i => s"$p$i").mkString(" ")
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val b0 = Seq(
+        (1L, words("ash", 12)), (2L, words("elm", 12)),
+        (5L, words("oak", 20)),
+        (6L, words("oak", 20).replace("oak20", "oakzz")))
+        .toDF("doc_id", "text")
+      val batchA = Seq((10L, words("fir", 12)),
+        (11L, words("ash", 12).replace("ash12", "ashqq")),
+        (12L, words("gum", 14)))
+      val batchB = Seq(
+        (20L, words("fir", 12).replace("fir12", "pine1")), // dup of A-adm
+        (21L, words("yew", 12)),                           // fresh
+        (22L, words("oak", 20).replace("oak20", "oakpp")), // dup of base
+        (23L, words("fir", 12)))                           // line-copy of 10
+      val lineBase = LineDedupStream.buildIndex(b0)
+      val sigBase = NearDupStream.buildBaseIndex(b0)
+      val (pfxOrd, pfxDf) = PrefixDedupStream.buildBaseIndex(b0)
+      val (growLine1, growSig1) = (tmp("cs_rc_lg1"), tmp("cs_rc_sg1"))
+      val (outLine1, outSig1, outPfx1) =
+        (tmp("cs_rc_lo1"), tmp("cs_rc_so1"), tmp("cs_rc_po1"))
+      val inL1 = MemoryStream[(Long, String)]
+      val inS1 = MemoryStream[(Long, String)]
+      val inP1 = MemoryStream[(Long, String)]
+      val qL1 = LineDedupStream.admissionStream(spark,
+        inL1.toDS().toDF("doc_id", "text"), lineBase, outLine1,
+        tmp("cs_rc_lc1"), growLine1)
+      val qS1 = NearDupStream.admissionStream(spark,
+        inS1.toDS().toDF("doc_id", "text"), sigBase, outSig1,
+        tmp("cs_rc_sc1"), growSig1)
+      val qP1 = PrefixDedupStream.admissionStream(spark,
+        inP1.toDS().toDF("doc_id", "text"), pfxOrd, pfxDf, outPfx1,
+        tmp("cs_rc_pc1"))
+      try {
+        inL1.addData(batchA: _*); inS1.addData(batchA: _*)
+        inP1.addData(batchA: _*)
+        qL1.processAllAvailable(); qS1.processAllAvailable()
+        qP1.processAllAvailable()
+      } finally { qL1.stop(); qS1.stop(); qP1.stop() } // quiesce
+      val admittedA = spark.read.parquet(outSig1)
+        .filter(col("admit")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val curated = b0.unionByName(batchA.toDF("doc_id", "text")
+        .filter(col("doc_id").isin(admittedA.toSeq: _*)))
+      val m = ReleaseBuild.release(spark, curated, lineBase, growLine1,
+        sigBase, growSig1, tmp("cs_rc_rel"))
+      val (growLine2, growSig2) = (tmp("cs_rc_lg2"), tmp("cs_rc_sg2"))
+      val (outLine2, outSig2, outPfx2) =
+        (tmp("cs_rc_lo2"), tmp("cs_rc_so2"), tmp("cs_rc_po2"))
+      val inL2 = MemoryStream[(Long, String)]
+      val inS2 = MemoryStream[(Long, String)]
+      val inP2 = MemoryStream[(Long, String)]
+      val qL2 = LineDedupStream.admissionStream(spark,
+        inL2.toDS().toDF("doc_id", "text"),
+        spark.read.parquet(m.lineIndex), outLine2,
+        tmp("cs_rc_lc2"), growLine2)
+      val qS2 = NearDupStream.admissionStream(spark,
+        inS2.toDS().toDF("doc_id", "text"),
+        spark.read.parquet(m.signatureIndex), outSig2,
+        tmp("cs_rc_sc2"), growSig2)
+      val qP2 = PrefixDedupStream.admissionStream(spark,
+        inP2.toDS().toDF("doc_id", "text"),
+        spark.read.parquet(m.prefixOrdered),
+        spark.read.parquet(m.prefixDf), outPfx2, tmp("cs_rc_pc2"))
+      def rmrf(p: String): Unit = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
+      rmrf(growLine1); rmrf(growSig1) // protocol step 3
+      try {
+        inL2.addData(batchB: _*); inS2.addData(batchB: _*)
+        inP2.addData(batchB: _*)
+        qL2.processAllAvailable(); qS2.processAllAvailable()
+        qP2.processAllAvailable()
+      } finally { qL2.stop(); qS2.stop(); qP2.stop() }
+      def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.toVector).toSet
+      val vCols = Seq("doc_id", "best_base", "jaccard_e4", "admit")
+      val lCols = Seq("doc_id", "n_lines", "n_kept", "kept_sig")
+      val lineOk = rows(spark.read.parquet(outLine2), lCols: _*) ==
+        rows(LineDedupStream.admitBatch(batchB.toDF("doc_id", "text"),
+          LineDedupStream.buildIndex(
+            b0.unionByName(batchA.toDF("doc_id", "text")))), lCols: _*)
+      val sigOk = rows(spark.read.parquet(outSig2), vCols: _*) ==
+        rows(NearDupStream.admitBatch(batchB.toDF("doc_id", "text"),
+          NearDupStream.buildBaseIndex(curated)), vCols: _*)
+      val (pfxOrdS, pfxDfS) = PrefixDedupStream.buildBaseIndex(curated)
+      val pfxOk = rows(spark.read.parquet(outPfx2), vCols: _*) ==
+        rows(PrefixDedupStream.admitBatch(
+          batchB.toDF("doc_id", "text"), pfxOrdS, pfxDfS), vCols: _*)
+      val kmCols = Seq("doc_id", "keeper", "bucket", "split")
+      val kmOk = rows(spark.read.parquet(m.keeperMap), kmCols: _*) ==
+        rows(IndexRebuild.rebuiltKeeperMap(curated), kmCols: _*)
+      val verdictsB = spark.read.parquet(outSig2)
+        .select("doc_id", "admit").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val plantedOk = admittedA == Set(10L, 12L) &&
+        !verdictsB(20L) && verdictsB(21L) && !verdictsB(22L)
+      val ok = lineOk && sigOk && pfxOk && kmOk && plantedOk
+      if (!ok) {
+        failed = true
+        println(s"  releasecycle diff line=$lineOk sig=$sigOk " +
+          s"pfx=$pfxOk km=$kmOk planted=$plantedOk " +
+          s"admittedA=$admittedA verdictsB=$verdictsB")
+      }
+      println(s"CLUSTERSTREAM releasecycle ${if (ok) "PASS" else "FAIL"} " +
+        s"admittedA=${admittedA.size} master=$master")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
