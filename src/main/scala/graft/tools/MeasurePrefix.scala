@@ -39,6 +39,37 @@ object MeasurePrefix {
       val withPos = graft.text.TextOps.prefixCandidateCount(skew, num, den, 3, positional = true)
       println(f"tau=$num/$den skewed:  noPos=$noPos withPos=$withPos reduction=${100.0*(noPos-withPos)/math.max(noPos,1)}%.1f%%")
     }
+    // r17 (verdict #6): DENSER fixtures, to decide whether PPJoin's
+    // SUFFIX filter earns its complexity. (a) the sf0.01 organic
+    // corpus (5x the docs); (b) a small-shared-vocabulary corpus —
+    // 3000 docs whose tokens all come from a 60-token pool, so
+    // prefixes collide pervasively and true Jaccard usually sits
+    // under tau: the worst case for prefix-only, the best case for
+    // suffix filtering. If the positional bound still collapses
+    // candidates here, suffix filtering stays unadopted.
+    val organic01 = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for ((num, den) <- Seq((7, 10), (5, 10))) {
+      val noPos = graft.text.TextOps.prefixCandidateCount(organic01, num, den, 3, positional = false)
+      val withPos = graft.text.TextOps.prefixCandidateCount(organic01, num, den, 3, positional = true)
+      println(f"tau=$num/$den organic-sf0.01: noPos=$noPos withPos=$withPos reduction=${100.0*(noPos-withPos)/math.max(noPos,1)}%.1f%%")
+    }
+    val dense = (0L until 3000L).map { id =>
+      val toks = (0 until (14 + (id % 9)).toInt)
+        .map(j => s"v${(id * 7 + j * j) % 60}")
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((num, den) <- Seq((7, 10), (5, 10))) {
+      val noPos = graft.text.TextOps.prefixCandidateCount(dense, num, den, 3, positional = false)
+      val withPos = graft.text.TextOps.prefixCandidateCount(dense, num, den, 3, positional = true)
+      // candidates that VERIFY: if most candidates are true positives,
+      // no filter (position, suffix, anything) can remove them —
+      // verification is the irreducible cost and suffix filtering
+      // would buy nothing on this shape
+      val verified = graft.text.TextOps.prefixJaccardPairs(dense, num, den, 3).count()
+      println(f"tau=$num/$den dense-vocab: noPos=$noPos withPos=$withPos verified=$verified reduction=${100.0*(noPos-withPos)/math.max(noPos,1)}%.1f%% spurious=${100.0*(withPos-verified)/math.max(withPos,1)}%.1f%%")
+    }
     spark.stop()
   }
 }
