@@ -149,7 +149,11 @@ object ScaleBench {
     // (ZIP / WebDataset tar) — their decades pin that the archive
     // encode/walk boundary (map-only per shard) and the downstream
     // q157-family stages compose without a superlinear term
-    "q160_container_curation", "q161_webdataset_curation")
+    "q160_container_curation", "q161_webdataset_curation",
+    // r17 additions: q162 composes the cluster stage onto the q160
+    // front (its decade pins the pair/CC term under the container
+    // lineage); q163's decade pins the gzip member walk
+    "q162_cluster_split_front", "q163_warc_curation")
 
   /** Replica-k embedding perturbation: cyclic rotation by k % Dim
     * composed with a Walsh sign flip (dimension j negated iff

@@ -4800,6 +4800,9 @@ object TextQueries {
     Seq("shard_id", "m_idx", "method", "n_entries"),
     clusterAware = true)
 
+  private val WarcRecIdRe = "urn:graft:d(\\d+)".r
+  private val WarcUriRe = "WARC-Target-URI: ([^\r\n]*)".r
+
   // ---- q163: curation over the WARC-gzip front ----
   // Third instantiation of the container-curation template (ZIP q160,
   // WebDataset-tar q161), completing the container matrix over the
@@ -4847,6 +4850,10 @@ object TextQueries {
         (sid, GzipMembers.encodeMembers(members))
       }
     val records = shards.flatMap { case (sid, payload) =>
+      // regexes hoisted: compiled once per partition-task closure,
+      // not once per member (5M members at the 100x replica)
+      val recIdRe = WarcRecIdRe
+      val uriRe = WarcUriRe
       GzipMembers.membersFull(payload) match {
         case None => Iterator.empty // quarantine-whole in the service
         case Some(ms) =>
@@ -4856,10 +4863,10 @@ object TextQueries {
             val cut = s.indexOf("\r\n\r\n")
             val (hdr, html) =
               if (cut < 0) (s, "") else (s.take(cut), s.drop(cut + 4))
-            val docId = "urn:graft:d(\\d+)".r.findFirstMatchIn(hdr)
+            val docId = recIdRe.findFirstMatchIn(hdr)
               .map(_.group(1).toLong).getOrElse(-1L)
-            val url = "WARC-Target-URI: ([^\r\n]*)".r
-              .findFirstMatchIn(hdr).map(_.group(1)).getOrElse("")
+            val url = uriRe.findFirstMatchIn(hdr)
+              .map(_.group(1)).getOrElse("")
             (sid, i.toLong, n, name.nonEmpty, docId, url, html)
           }
       }

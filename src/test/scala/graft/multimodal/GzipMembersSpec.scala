@@ -83,6 +83,26 @@ class GzipMembersSpec extends AnyFunSuite {
     assert(GzipMembers.walk(2L, bad).isEmpty)
   }
 
+  test("membersFull: bodies round-trip byte-exact in walk order; " +
+      "rejection mirrors walk") {
+    val bodies = Seq(
+      ("a.warc", "first record body".getBytes("UTF-8")),
+      (null, "second, unnamed body".getBytes("UTF-8")),
+      ("c.warc", Array.fill[Byte](5000)(9)))
+    val enc = GzipMembers.encodeMembers(bodies)
+    val ms = GzipMembers.membersFull(enc).get
+    assert(ms.map(_._1) === Vector("a.warc", "", "c.warc"))
+    assert(ms.map(_._2.toSeq) === bodies.map(_._2.toSeq).toVector,
+      "bodies must survive the round trip byte-exact")
+    // same quarantine-whole posture as the digest walk
+    val bad = enc.clone()
+    bad(bad.length - 6) = (bad(bad.length - 6) ^ 0x01).toByte
+    assert(GzipMembers.membersFull(bad).isEmpty)
+    assert(GzipMembers.membersFull(enc.dropRight(3)).isEmpty)
+    assert(GzipMembers.membersFull(enc, maxBytes = 16).isEmpty,
+      "the bomb bound applies to the bodies-carrying walk too")
+  }
+
   test("the decompression-bomb bound rejects before inflating it all") {
     val big = GzipMembers.encodeMembers(Seq(
       (null, Array.fill[Byte](1 << 20)(0))))
