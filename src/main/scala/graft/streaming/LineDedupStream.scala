@@ -65,14 +65,16 @@ object LineDedupStream {
                 val p = new org.apache.hadoop.fs.Path(growIndexPath)
                 val fs = p.getFileSystem(
                   spark.sparkContext.hadoopConfiguration)
-                val shards =
+                val all =
                   if (!fs.exists(p)) Nil
                   else fs.listStatus(p).toSeq.map(_.getPath)
                     .filter(_.getName.startsWith("batch="))
-                    // a replayed batch must not read its own (possibly
-                    // half-written) growth shard from the crashed run
-                    .filterNot(_.getName == s"batch=$batchId")
-                    .map(_.toString)
+                Shards.requireNoLaterShards(all, batchId, growIndexPath)
+                val shards = all
+                  // a replayed batch must not read its own (possibly
+                  // half-written) growth shard from the crashed run
+                  .filterNot(_.getName == s"batch=$batchId")
+                  .map(_.toString)
                 if (shards.isEmpty) baseIndex
                 else baseIndex.unionByName(spark.read.parquet(shards: _*))
               }

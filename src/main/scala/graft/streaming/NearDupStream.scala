@@ -95,18 +95,19 @@ object NearDupStream {
             val index =
               if (growIndexPath == null) baseIndex
               else {
-                val fs = new org.apache.hadoop.fs.Path(growIndexPath)
-                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
-                val shards = if (!fs.exists(
-                    new org.apache.hadoop.fs.Path(growIndexPath))) Nil
-                  else fs.listStatus(
-                    new org.apache.hadoop.fs.Path(growIndexPath))
-                    .toSeq.map(_.getPath)
+                val p = new org.apache.hadoop.fs.Path(growIndexPath)
+                val fs = p.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                val all =
+                  if (!fs.exists(p)) Nil
+                  else fs.listStatus(p).toSeq.map(_.getPath)
                     .filter(_.getName.startsWith("batch="))
-                    // a replayed batch must not read its own (possibly
-                    // half-written) growth shard from the crashed run
-                    .filterNot(_.getName == s"batch=$batchId")
-                    .map(_.toString)
+                Shards.requireNoLaterShards(all, batchId, growIndexPath)
+                val shards = all
+                  // a replayed batch must not read its own (possibly
+                  // half-written) growth shard from the crashed run
+                  .filterNot(_.getName == s"batch=$batchId")
+                  .map(_.toString)
                 if (shards.isEmpty) baseIndex
                 else baseIndex.unionByName(
                   spark.read.parquet(shards: _*))

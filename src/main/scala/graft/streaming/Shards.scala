@@ -33,4 +33,39 @@ private[streaming] object Shards {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
   }
+
+  /** Refuse a growth dir carrying shards from batches LATER than the
+    * one being processed (r17, found by the release-cycle rehearsal):
+    * under one checkpoint lineage that state is impossible — shards
+    * land in batch order, and a replayed batch N implies no batch > N
+    * ever committed — so a later shard means the stream was restarted
+    * with a FRESH checkpoint against an already-grown dir. Batch ids
+    * would restart at 0 and silently OVERWRITE the earlier shards
+    * (the admitted digests vanish and their docs re-admit later).
+    * Failing the query loudly here turns that silent data loss into
+    * an operator-visible error; the legitimate restarts are (a) the
+    * ORIGINAL checkpoint (ids continue) or (b) the release protocol's
+    * rebuilt base + fresh (empty) growth dir.
+    *
+    * Honest limit: a dir holding ONLY batch=0 clobbered by a fresh
+    * checkpoint's batch 0 is indistinguishable from a genuine batch-0
+    * replay at the file level (a replay rewrites the same digests, so
+    * convergence holds there) — the guard covers the grown (>= 2
+    * shard) dir, which is every service past its first two batches.
+    */
+  def requireNoLaterShards(shards: Seq[org.apache.hadoop.fs.Path],
+      batchId: Long, growPath: String): Unit = {
+    val later = shards
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("batch=").toLong).toOption)
+      .filter(_ > batchId)
+    require(later.isEmpty,
+      s"growth dir $growPath holds shards from later batches " +
+        s"(${later.sorted.mkString(",")}) than the one being " +
+        s"processed ($batchId): the stream was restarted with a " +
+        "fresh checkpoint against an already-grown dir, which would " +
+        "silently overwrite admitted digests. Restart with the " +
+        "original checkpoint, or rebuild the base and start a fresh " +
+        "growth dir (the release protocol).")
+  }
 }

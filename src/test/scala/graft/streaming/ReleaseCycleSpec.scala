@@ -215,4 +215,62 @@ class ReleaseCycleSpec extends AnyFunSuite {
       "an exact line-copy of an A doc must keep zero lines — the " +
         "line growth was not compacted into the released index")
   }
+
+  test("a fresh-checkpoint restart against a GROWN dir refuses " +
+      "loudly instead of silently clobbering admitted digests") {
+    // the hazard the rehearsal exposed: restart a growth stream with
+    // a NEW checkpoint and the batch ids restart at 0 — batch=0
+    // overwrites the oldest growth shard and the same-batch filter
+    // hides the rest from the read. Under one checkpoint lineage a
+    // replayed batch can never see LATER shard ids, so that state is
+    // refusable (for dirs past their first shard — the honest limit
+    // in Shards.requireNoLaterShards' doc).
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val b0 = Seq((1L, "alpha\nbeta")).toDF("doc_id", "text")
+    val lineBase = LineDedupStream.buildIndex(b0)
+    val grow = tmp("rc_guard_g")
+    val out1 = tmp("rc_guard_o1")
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = LineDedupStream.admissionStream(spark,
+      in1.toDS().toDF("doc_id", "text"), lineBase, out1,
+      tmp("rc_guard_c1"), grow)
+    try {
+      in1.addData((10L, "gamma\ndelta")) // -> growth batch=0
+      q1.processAllAvailable()
+      in1.addData((11L, "epsilon"))      // -> growth batch=1
+      q1.processAllAvailable()
+    } finally q1.stop() // clean quiesce
+    // WRONG restart: fresh checkpoint, same grown dir
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = LineDedupStream.admissionStream(spark,
+      in2.toDS().toDF("doc_id", "text"), lineBase, tmp("rc_guard_o2"),
+      tmp("rc_guard_c2"), grow)
+    val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      in2.addData((20L, "zeta"))
+      q2.processAllAvailable()
+      q2.awaitTermination()
+    }
+    q2.stop()
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString(" | ")
+    assert(rootMsg(e).contains("fresh checkpoint"),
+      s"expected the guard's message, got: ${rootMsg(e)}")
+    // nothing was clobbered: both phase-1 shards still hold their
+    // digests (the guard fires BEFORE any write)
+    val digests = spark.read.parquet(grow).select("lh")
+      .collect().map(_.getString(0)).toSet
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(digests == Set(md5hex("gamma"), md5hex("delta"),
+      md5hex("epsilon")), s"growth shards damaged: $digests")
+    // the SANCTIONED restart — original checkpoint — still works is
+    // LineDedupStreamSpec's crash-replay territory; the release
+    // protocol's rebuilt-base + fresh-growth path is the main test's
+  }
 }
