@@ -4800,9 +4800,6 @@ object TextQueries {
     Seq("shard_id", "m_idx", "method", "n_entries"),
     clusterAware = true)
 
-  private val WarcRecIdRe = "urn:graft:d(\\d+)".r
-  private val WarcUriRe = "WARC-Target-URI: ([^\r\n]*)".r
-
   // ---- q163: curation over the WARC-gzip front ----
   // Third instantiation of the container-curation template (ZIP q160,
   // WebDataset-tar q161), completing the container matrix over the
@@ -4841,32 +4838,24 @@ object TextQueries {
       .mapGroups { (sid, it) =>
         val members = it.toSeq.sortBy(_._2).zipWithIndex.map {
           case ((_, d, p, u), j) =>
-            val rec = s"WARC/1.0\r\nWARC-Record-ID: urn:graft:d$d\r\n" +
-              s"WARC-Target-URI: $u\r\n\r\n$p"
             // FNAME on even members only — both header paths walked
             val name = if (j % 2 == 0) s"d$d.warc" else null
-            (name, rec.getBytes("UTF-8"))
+            (name, graft.multimodal.Warc.encode(d, u, p))
         }
         (sid, GzipMembers.encodeMembers(members))
       }
     val records = shards.flatMap { case (sid, payload) =>
-      // regexes hoisted: compiled once per partition-task closure,
-      // not once per member (5M members at the 100x replica)
-      val recIdRe = WarcRecIdRe
-      val uriRe = WarcUriRe
       GzipMembers.membersFull(payload) match {
         case None => Iterator.empty // quarantine-whole in the service
         case Some(ms) =>
           val n = ms.size.toLong
           ms.iterator.zipWithIndex.map { case ((name, body), i) =>
-            val s = new String(body, "UTF-8")
-            val cut = s.indexOf("\r\n\r\n")
-            val (hdr, html) =
-              if (cut < 0) (s, "") else (s.take(cut), s.drop(cut + 4))
-            val docId = recIdRe.findFirstMatchIn(hdr)
-              .map(_.group(1).toLong).getOrElse(-1L)
-            val url = uriRe.findFirstMatchIn(hdr)
-              .map(_.group(1)).getOrElse("")
+            // the shared record codec (Warc) — the service's parse,
+            // so query and service cannot drift; the fixture never
+            // produces an unparsable record, and if one appeared the
+            // (-1, "", "") row would hash-fail the oracle loudly
+            val (docId, url, html) = graft.multimodal.Warc.parse(body)
+              .getOrElse((-1L, "", ""))
             (sid, i.toLong, n, name.nonEmpty, docId, url, html)
           }
       }

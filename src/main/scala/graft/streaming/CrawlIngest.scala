@@ -99,61 +99,79 @@ object CrawlIngest {
           val batch = parsed.filter(!bad).select(
             col("j.doc_id").as("doc_id"), col("j.url").as("url"),
             col("j.html").as("html"))
-          // the q158 front: extract, then gate on the HARDENED host —
-          // userinfo stripped, blocklist entries matched as host
-          // suffixes (Urls' contract; the r15 advice's fix). The
-          // recorded `domain` stays the last-two-label DISPLAY
-          // heuristic; the gate key is the host itself.
-          val host = Urls.hostOf(col("url"))
-          val staged0 = batch
-            .select(col("doc_id"),
-              host.as("__host"),
-              Urls.displayDomain(host).as("domain"),
-              Urls.blockedByHostSuffix(host, blockedDomains)
-                .as("blocked_lit"),
-              Html.extractMain(col("html")).getField("content").as("text"))
-          // the table gate joins its MATCHED keys back (narrow explode
-          // + broadcast semi join inside blockedKeysByTable; the wide
-          // html/text columns never ride the explode)
-          val staged1 =
-            if (blocklistTable == null)
-              staged0.withColumn("blocked", col("blocked_lit"))
-            else staged0
-              .join(Urls.blockedKeysByTable(
-                  staged0.select(col("doc_id"), col("__host")),
-                  "doc_id", "__host", blocklistTable, blocklistEntryCol)
-                .withColumn("__tbl_hit", lit(true)),
-                Seq("doc_id"), "left")
-              .withColumn("blocked", col("blocked_lit") ||
-                coalesce(col("__tbl_hit"), lit(false)))
-              .drop("__tbl_hit")
-          val staged = staged1.drop("blocked_lit", "__host")
-            .withColumn("thin", length(col("text")) === 0)
-            .persist()
-          try {
-            if (gatedDir != null) {
-              val gated = staged.filter(col("blocked") || col("thin"))
-                .select(col("doc_id"), col("domain"),
-                  when(col("blocked"), "blocked").otherwise("thin")
-                    .as("reason"))
-              if (!gated.isEmpty)
-                gated.write.mode(SaveMode.Overwrite)
-                  .json(s"$gatedDir/batch=$batchId")
-            }
-            val live = staged.filter(!col("blocked") && !col("thin"))
-              .select(col("doc_id"), col("text"))
-            // within-batch doc_id dedupe — the jsonl ingest's rule
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(md5(col("text")))
-            val deduped = live
-              .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn")
-            Ingest.curateAndMerge(spark, deduped, tablePath, buckets,
-              postMergeHook, batchId)
-          } finally staged.unpersist()
+          curatePages(spark, batch, tablePath, buckets, postMergeHook,
+            batchId, blockedDomains, blocklistTable, blocklistEntryCol,
+            gatedDir)
         } finally parsed.unpersist()
       }
       .start()
+  }
+
+  /** One micro-batch of raw pages (doc_id, url, html) through the
+    * curation front + the shared merge back half — the q158 chain:
+    * extract, then gate on the HARDENED host (userinfo stripped,
+    * blocklist entries matched as host suffixes — Urls' contract; the
+    * recorded `domain` stays the last-two-label DISPLAY heuristic,
+    * the gate key is the host itself), optional table gate, thin
+    * gate, gated-doc recording, within-batch doc_id dedupe, then
+    * `Ingest.curateAndMerge`. Factored out (r17) so the JSONL crawl
+    * front and the WARC-shard front ([[ShardIngest
+    * .warcCurationIngest]]) share one definition — the service and
+    * the container boundary cannot drift.
+    */
+  private[streaming] def curatePages(spark: SparkSession,
+      batch: org.apache.spark.sql.DataFrame, tablePath: String,
+      buckets: Int, postMergeHook: Long => Unit, batchId: Long,
+      blockedDomains: Seq[String],
+      blocklistTable: org.apache.spark.sql.DataFrame,
+      blocklistEntryCol: String, gatedDir: String): Unit = {
+    val host = Urls.hostOf(col("url"))
+    val staged0 = batch
+      .select(col("doc_id"),
+        host.as("__host"),
+        Urls.displayDomain(host).as("domain"),
+        Urls.blockedByHostSuffix(host, blockedDomains)
+          .as("blocked_lit"),
+        Html.extractMain(col("html")).getField("content").as("text"))
+    // the table gate joins its MATCHED keys back (narrow explode
+    // + broadcast semi join inside blockedKeysByTable; the wide
+    // html/text columns never ride the explode)
+    val staged1 =
+      if (blocklistTable == null)
+        staged0.withColumn("blocked", col("blocked_lit"))
+      else staged0
+        .join(Urls.blockedKeysByTable(
+            staged0.select(col("doc_id"), col("__host")),
+            "doc_id", "__host", blocklistTable, blocklistEntryCol)
+          .withColumn("__tbl_hit", lit(true)),
+          Seq("doc_id"), "left")
+        .withColumn("blocked", col("blocked_lit") ||
+          coalesce(col("__tbl_hit"), lit(false)))
+        .drop("__tbl_hit")
+    val staged = staged1.drop("blocked_lit", "__host")
+      .withColumn("thin", length(col("text")) === 0)
+      .persist()
+    try {
+      if (gatedDir != null) {
+        val gated = staged.filter(col("blocked") || col("thin"))
+          .select(col("doc_id"), col("domain"),
+            when(col("blocked"), "blocked").otherwise("thin")
+              .as("reason"))
+        if (!gated.isEmpty)
+          gated.write.mode(SaveMode.Overwrite)
+            .json(s"$gatedDir/batch=$batchId")
+      }
+      val live = staged.filter(!col("blocked") && !col("thin"))
+        .select(col("doc_id"), col("text"))
+      // within-batch doc_id dedupe — the jsonl ingest's rule
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(md5(col("text")))
+      val deduped = live
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      Ingest.curateAndMerge(spark, deduped, tablePath, buckets,
+        postMergeHook, batchId)
+    } finally staged.unpersist()
   }
 
   /** The ingested table, caller-keyed. */

@@ -209,6 +209,99 @@ object ShardIngest {
     }
   }
 
+  /** One walked WARC page (or a quarantine row: reason non-null,
+    * member -1 for whole-shard failures).
+    */
+  final case class WarcPage(shard: String, member: Long,
+      reason: String, doc_id: Long, url: String, html: String)
+
+  /** WARC-shard CURATION ingest (r17) — the container boundary driven
+    * INTO the curation chain, closing the gap between "the walk is
+    * proven" (q153/q163 batch oracles; gzipShardIngest lands digests)
+    * and "a pipeline can actually run from shards": crawl archives
+    * drop as multi-member gzip files, each micro-batch walks them
+    * executor-side with the bodies-carrying strict walk
+    * ([[graft.multimodal.GzipMembers.membersFull]]), parses each
+    * record with the SHARED codec ([[graft.multimodal.Warc]] — the
+    * same parse q163 oracles, so service and query cannot drift),
+    * and the decoded pages run [[CrawlIngest.curatePages]] — the
+    * exact front+merge the JSONL crawl ingest uses, so the
+    * composition law (streamed curation == batch curation of the
+    * clean text) and the exactly-once replay argument are inherited,
+    * not re-argued.
+    *
+    * Quarantine granularity, two-level by design: byte corruption
+    * (CRC/framing/bomb-cap) quarantines the shard WHOLE under the
+    * walk's named reason — every byte is suspect (the q153 rule;
+    * the reason is re-derived by the digest walk only for failed
+    * shards); a VALID shard carrying a foreign/unparsable record
+    * quarantines that RECORD alone ("unparsable_record", raw =
+    * "shard#member") and the rest of the shard proceeds.
+    *
+    * 100 TB posture: walk + parse are map-only per shard (payloads
+    * never shuffle); everything after is curatePages' documented
+    * machinery.
+    */
+  def warcCurationIngest(spark: SparkSession, dropDir: String,
+      tablePath: String, checkpointDir: String,
+      blockedDomains: Seq[String], buckets: Int = 16,
+      postMergeHook: Long => Unit = _ => (),
+      quarantineDir: String = null, gatedDir: String = null,
+      blocklistTable: DataFrame = null,
+      blocklistEntryCol: String = "entry",
+      maxBytes: Long = 1L << 26): StreamingQuery = {
+    import spark.implicits._
+    readShardStream(spark, dropDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (files: Dataset[Row], batchId: Long) =>
+        val quarantine =
+          Option(quarantineDir).getOrElse(Ingest.quarantinePath(tablePath))
+        // persisted: the quarantine probe and curatePages' stages
+        // would each re-read and re-walk the shard bytes otherwise
+        val walked = files
+          .select(fileName(col("path")).as("shard"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (shard, bytes) =>
+            graft.multimodal.GzipMembers.membersFull(bytes, maxBytes)
+              match {
+                case Some(ms) =>
+                  ms.iterator.zipWithIndex.map { case ((_, body), i) =>
+                    graft.multimodal.Warc.parse(body) match {
+                      case Some((id, url, html)) =>
+                        WarcPage(shard, i.toLong, null, id, url, html)
+                      case None =>
+                        WarcPage(shard, i.toLong, "unparsable_record",
+                          -1L, null, null)
+                    }
+                  }
+                case None =>
+                  val reason = graft.multimodal.GzipMembers
+                    .walkDetail(0L, bytes, maxBytes)
+                    .left.toOption.getOrElse("checksum_or_framing")
+                  Iterator.single(
+                    WarcPage(shard, -1L, reason, -1L, null, null))
+              }
+          }.toDF().persist()
+        try {
+          val bad = walked.filter(col("reason").isNotNull)
+            .select(concat_ws("#", col("shard"),
+                when(col("member") >= 0, col("member").cast("string")))
+              .as("raw"), col("reason"))
+          if (!bad.isEmpty)
+            bad.write.mode(SaveMode.Overwrite)
+              .json(s"$quarantine/batch=$batchId")
+          CrawlIngest.curatePages(spark,
+            walked.filter(col("reason").isNull)
+              .select(col("doc_id"), col("url"), col("html")),
+            tablePath, buckets, postMergeHook, batchId, blockedDomains,
+            blocklistTable, blocklistEntryCol, gatedDir)
+        } finally walked.unpersist()
+      }
+      .start()
+  }
+
   /** The ingested table, caller-keyed. */
   def readShardTable(spark: SparkSession, tablePath: String): DataFrame =
     Sinks.readKeyedTable(spark, tablePath, "rec_key", "rev")
