@@ -248,7 +248,7 @@ object Archives {
   def zipMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val k = (2 + id % 3).toInt
         (id, encodeZip((0 until k).map(j =>
@@ -421,7 +421,7 @@ object Archives {
   def tarMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val samples = (0 until (1 + id % 2).toInt).flatMap { j =>
           val base = Seq(

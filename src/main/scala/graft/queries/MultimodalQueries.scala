@@ -685,7 +685,8 @@ object MultimodalQueries {
   def q146(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{Acf, Codecs}
-    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
+      .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val p = (12 + id % 40).toInt
         val n = (200 + id % 100).toInt
@@ -751,7 +752,7 @@ object MultimodalQueries {
   // oracle orderBy exchanges.
   def q148(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = tbl(spark, dir, "documents")
+    val media = graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
       .select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val w = (10 + id % 20).toInt
@@ -803,7 +804,8 @@ object MultimodalQueries {
   def q151(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Mp4
-    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
+      .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val n = (1 + id % 3).toInt
         val dims = (0 until n).map(k =>
@@ -866,7 +868,8 @@ object MultimodalQueries {
   def q152(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Tiff
-    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
+      .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val payload = Tiff.encode(
           littleEndian = id % 2 == 0,
@@ -912,7 +915,8 @@ object MultimodalQueries {
   def q153(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.GzipMembers
-    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
+      .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val members = (0 until (1 + id % 4).toInt).map { j =>
           val name = if (j % 2 == 0) s"rec$j.warc" else null
@@ -968,7 +972,8 @@ object MultimodalQueries {
   def q154(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Tfrecord
-    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
+      .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val payloads = (0 until (1 + id % 5).toInt).map { j =>
           val body = ("doc " + id + " example " + j + " ") *
@@ -1036,7 +1041,7 @@ object MultimodalQueries {
   private def audioHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{AudioHash, Codecs}
-    tbl(spark, dir, "documents")
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
       .select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val f = id / 4

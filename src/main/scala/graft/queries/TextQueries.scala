@@ -3235,7 +3235,12 @@ object TextQueries {
       lit("]]> plus enough visible characters to pass</p>"),
       lit("<footer><a href=\"/c\">Contact</a> (c) "), s(id % 100),
       lit("</footer></body></html>"))
-    tbl(spark, dir, "documents")
+    // scale-adaptive fan-out (r17): the extraction is the suite's
+    // heaviest per-row map work and the fixture scan is one
+    // unsplittable rowgroup — serial without this (measured 4.3 s
+    // 1-task vs ~1 s fanned; no-op at production scale, see
+    // ScanFanOut)
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
       .select(id, Html.extractMain(html).as("m"))
       .select(id,
         md5(col("m.content")).as("content_md5"),
@@ -3950,7 +3955,19 @@ object TextQueries {
     val thinDocs = base.filter(id % 97 === 0)
       .select(Fixtures.plantedId(id, 3000000L).as("doc_id"),
         concat(lit("tiny page "), (id % 9).cast("string")).as("text"))
-    val corpus = withNearCopies(base).unionByName(thinDocs)
+    // scale-adaptive fan-out (r17): extraction below is q142's
+    // heavy regex pipeline over every corpus row, and the fixture
+    // scan is one unsplittable rowgroup — the (doc_id, text) seed
+    // crosses one tiny exchange so the page build + extraction run
+    // wide; no-op at production scale (see ScanFanOut)
+    // scale-adaptive fan-out (r17): extraction below is q142's heavy
+    // regex pipeline over every corpus row and the fixture scan is
+    // one unsplittable rowgroup — the (doc_id, text) seed crosses one
+    // tiny exchange so the page build + extraction run wide (ext
+    // materialization measured 1.5 s 1-task -> 0.55 s fanned); no-op
+    // at production scale (see ScanFanOut)
+    val corpus = graft.operators.ScanFanOut(
+      withNearCopies(base).unionByName(thinDocs))
     // stage 0: wrap in the hardened crawl page and extract
     val t = regexp_replace(
       regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", " "),
