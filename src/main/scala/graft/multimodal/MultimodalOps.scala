@@ -110,7 +110,7 @@ object MultimodalOps {
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    graft.operators.ScanFanOut(docs).select(
+    docs.select(
       id.as("media_id"),
       (id % 3).cast("int").as("kind_id"),
       encodeMedia(
@@ -138,7 +138,7 @@ object MultimodalOps {
   def codecMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = (id % 3) match {
@@ -244,7 +244,7 @@ object MultimodalOps {
   def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
+    docs.select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val w = (16 + (id % 3) * 8).toInt
         val h = (8 + (id % 2) * 8).toInt
@@ -285,7 +285,7 @@ object MultimodalOps {
   def dhashMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
+    docs.select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val scene = id / 4
         val variant = id % 4
@@ -310,7 +310,7 @@ object MultimodalOps {
   def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
+    docs.select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val w = (16 + id % 16).toInt
         val h = (8 + id % 8).toInt
@@ -337,7 +337,7 @@ object MultimodalOps {
   def audioMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.ScanFanOut(docs).select(col("doc_id").cast("long")).as[Long]
+    docs.select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val n = (64 + id % 128).toInt
         val rate = (8000 + (id % 8) * 1000).toInt

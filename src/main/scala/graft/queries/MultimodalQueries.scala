@@ -685,8 +685,7 @@ object MultimodalQueries {
   def q146(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{Acf, Codecs}
-    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val p = (12 + id % 40).toInt
         val n = (200 + id % 100).toInt
@@ -752,8 +751,7 @@ object MultimodalQueries {
   // oracle orderBy exchanges.
   def q148(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    val media = tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val w = (10 + id % 20).toInt
         val h = (6 + id % 10).toInt
@@ -804,8 +802,7 @@ object MultimodalQueries {
   def q151(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Mp4
-    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val n = (1 + id % 3).toInt
         val dims = (0 until n).map(k =>
@@ -868,8 +865,7 @@ object MultimodalQueries {
   def q152(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Tiff
-    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val payload = Tiff.encode(
           littleEndian = id % 2 == 0,
@@ -972,8 +968,7 @@ object MultimodalQueries {
   def q154(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Tfrecord
-    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val payloads = (0 until (1 + id % 5).toInt).map { j =>
           val body = ("doc " + id + " example " + j + " ") *
@@ -1041,8 +1036,7 @@ object MultimodalQueries {
   private def audioHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.{AudioHash, Codecs}
-    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
-      .select(col("doc_id").cast("long")).as[Long]
+    tbl(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .flatMap { id =>
         val f = id / 4
         val m = id % 4

@@ -1864,7 +1864,14 @@ object Relational {
   // distinct column; at 100 TB swap them for the HLL sketch (q84) —
   // the shape is otherwise a single map-side-combined aggregate.
   def q104(spark: SparkSession, dir: String): DataFrame = {
-    val li = tbl(spark, dir, "lineitem")
+    // scale-adaptive fan-out (r17): three multi-distinct aggregates
+    // Expand the 600k-row fact 4x through the partial-agg stage, and
+    // the fixture scan is one unsplittable rowgroup — the whole
+    // profile ran in one task. The narrow 3-column projection crosses
+    // one exchange; no-op at production scale (see ScanFanOut).
+    val li = graft.operators.ScanFanOut(tbl(spark, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount")))
     val p = li.agg(
       count(lit(1)).as("n_rows"),
       count(col("l_quantity")).as("qty_n"),

@@ -1458,7 +1458,10 @@ object TextQueries {
   // 100 TB this is embarrassingly parallel and the output is what
   // gets Z-ordered/bucketed for the ANN build downstream.
   def q76(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
+    // scale-adaptive fan-out (r17): ~40 chunk digests per doc, all
+    // computed in the scan stage — serial on the one-rowgroup
+    // fixture; no-op at production scale (see ScanFanOut)
+    graft.operators.ScanFanOut(tbl(spark, dir, "documents"))
       .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0), size(toks) - 1, lit(6)))
           .as(Seq("chunk_id", "start_tok")))
@@ -2293,7 +2296,7 @@ object TextQueries {
         Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
         Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(
         // banded Levenshtein: the keep condition lev*5 <= max_len is
         // exactly lev <= floor(max_len/5) (integer lev), so passing
         // that bound as the threshold makes the scorer O(len x k)
@@ -2303,13 +2306,24 @@ object TextQueries {
         // distance (identical output rows); past it, -1 (the rows the
         // filter dropped anyway). The oracle keeps the unbounded form
         // + filter: same relation, engine-independent.
-        expr("levenshtein(ta, tb, " +
-          "cast((greatest(length(ta), length(tb)) div 5) as int))")
-          .cast("long").as("lev"),
-        greatest(length(col("ta")), length(col("tb"))).cast("long")
-          .as("max_len"))
+        // The explode(array(struct)) wrap is a Generate BARRIER
+        // (r17): without it Catalyst pushes the `lev != -1` filter
+        // into the join condition by SUBSTITUTING the levenshtein
+        // expression, and the projection recomputes it — every
+        // surviving pair paid the banded scorer TWICE (verified in
+        // the formatted plan: the expression appeared in both the
+        // join condition and the project). A filter on a GENERATED
+        // attribute cannot be substituted below the Generate, so the
+        // scorer runs exactly once per pair. Same rows, same values.
+        explode(array(struct(col("id_a"), col("id_b"),
+          expr("levenshtein(ta, tb, " +
+            "cast((greatest(length(ta), length(tb)) div 5) as int))")
+            .cast("long").as("lev"),
+          greatest(length(col("ta")), length(col("tb"))).cast("long")
+            .as("max_len")))).as("r"))
+      .select(col("r.id_a").as("id_a"), col("r.id_b").as("id_b"),
+        col("r.lev").as("lev"), col("r.max_len").as("max_len"))
       .filter(col("lev") =!= -1L)
-      .select(col("id_a"), col("id_b"), col("lev"), col("max_len"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

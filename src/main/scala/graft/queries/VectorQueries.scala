@@ -1444,7 +1444,15 @@ object VectorQueries {
 
   def q118(spark: SparkSession, dir: String): DataFrame = {
     val (a0, b) = alignSides(spark, dir)
-    val a = a0.filter(alignAnchored(col("xid")))
+    // scale-adaptive fan-out (r17): the |panel| x |b| exact scorer
+    // inherits the probe side's scan partitioning, and the fixture
+    // embeddings are one unsplittable rowgroup — every dot product
+    // ran in one task (measured: q118 1.94 s -> ~1.5 s; banded paths
+    // deliberately NOT fanned — their hot join already runs post-
+    // exchange, and fanning alignSides taxed every eager count).
+    // No-op at production scale (see ScanFanOut).
+    val a = graft.operators.ScanFanOut(
+      a0.filter(alignAnchored(col("xid"))))
     val scored = a.crossJoin(broadcast(b))
       .select(col("xid"), col("yid"),
         round(dot(col("xv"), col("yv")) / (col("nx") * col("ny")) * 1e6)
@@ -1945,25 +1953,10 @@ object VectorQueries {
   // priced like q105's baseline — at 100 TB it runs on a SAMPLE of
   // the source side; the shape holds.
   def q123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val exact = q118(spark, dir).select(col("xid"), col("yid"))
       .persist()
-    exact.count() // eager: each config's counts + hit join re-read it
-    def audit(cfg: String, banded: DataFrame): DataFrame = {
-      // both sides of the audit live on the SAME anchored x panel the
-      // exact baseline (q118) mines — an unrestricted banded side
-      // would count non-panel pairs as junk and deflate precision
-      val pairs = banded.filter(alignAnchored(col("xid")))
-        .select(col("xid").as("bxid"), col("yid").as("byid"))
-      val hit = exact.join(pairs,
-        col("xid") === col("bxid") && col("yid") === col("byid"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_banded"))))
-        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-        .select(lit(cfg).as("cfg"), col("n_exact"), col("n_banded"),
-          col("n_hit"),
-          expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
-          expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
-    }
+    exact.count() // eager: the counts + the hit join re-read it
     // band3x8 and band3x8c differ ONLY by the confirm floor — a
     // filter on a column the candidate stage already computed — so
     // both configs derive from ONE persisted admitted set and the
@@ -1975,13 +1968,47 @@ object VectorQueries {
     // unsorted admitted set directly (counts are order-free)
     val b6 = bandedAlignAdmitted(spark, dir, BandSalts6).persist()
     b6.count()
-    // band3x8c = q122's SHIPPED config (margin + confirm floor): the
-    // third row prices exactly what the confirm stage buys over the
-    // margin-only configs it audits
-    audit("band3x8", adm3)
-      .union(audit("band6x8", b6))
-      .union(audit("band3x8c",
-        adm3.filter(col("cos_e6") >= ConfirmFloorE6)))
+    // r17 restructure (same three rows, same arithmetic): the audits
+    // previously ran PER CONFIG — each one an exact-count aggregate
+    // plus two broadcast-built count subplans, so the union plan
+    // spawned ~9 tiny aggregate/broadcast jobs and re-counted the
+    // persisted exact set three times. The three configs now ride
+    // ONE cfg-tagged union: one grouped count for the banded sides,
+    // one hit join + grouped count against the exact set, one exact
+    // count — 3 jobs total. Counts per cfg are unchanged (the tag
+    // partitions the union exactly as the per-config frames did);
+    // the DuckDB oracle replays the same three rows bit-exact.
+    // band3x8c = q122's SHIPPED config (margin + confirm floor): its
+    // row prices exactly what the confirm stage buys over the
+    // margin-only configs it audits. Both sides of every audit live
+    // on the SAME anchored x panel the exact baseline (q118) mines —
+    // an unrestricted banded side would count non-panel pairs as
+    // junk and deflate precision.
+    val tagged = Seq(
+      "band3x8" -> adm3,
+      "band6x8" -> b6,
+      "band3x8c" -> adm3.filter(col("cos_e6") >= ConfirmFloorE6))
+      .map { case (cfg, banded) =>
+        banded.filter(alignAnchored(col("xid")))
+          .select(lit(cfg).as("cfg"), col("xid").as("bxid"),
+            col("yid").as("byid"))
+      }.reduce(_.union(_))
+    val nBanded = tagged.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_banded"))
+    val nHit = tagged.join(exact,
+        col("xid") === col("bxid") && col("yid") === col("byid"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_hit"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    Seq("band3x8", "band3x8c", "band6x8").toDF("cfg")
+      .join(broadcast(nBanded), Seq("cfg"), "left")
+      .join(broadcast(nHit), Seq("cfg"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("cfg"), col("n_exact"),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("cfg"), col("n_exact"), col("n_banded"), col("n_hit"),
+        expr("n_hit * 1000000 DIV nullif(n_exact, 0)").as("recall_e6"),
+        expr("n_hit * 1000000 DIV nullif(n_banded, 0)").as("precision_e6"))
       .orderBy(col("cfg"))
   }
 
