@@ -1250,8 +1250,14 @@ object Relational {
   // replays registers, checksum, and estimate bit-for-bit.
   def q84(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    tbl(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
+    // scale-adaptive fan-out (r17): the witness's multi-distinct
+    // Expand + the per-row hll_build digest both run in the scan
+    // stage — serial on the one-rowgroup fixture (the sketch's
+    // register-partial exchange law is pinned on its own pipeline in
+    // ShuffleBudgetSpec and is unaffected); no-op at production
+    // scale (ScanFanOut)
+    graft.operators.ScanFanOut(tbl(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k")))
       .groupBy(col("flag"))
       .agg(countDistinct(col("k")).as("exact_nd"),
         call_function("hll_build", col("k"), lit(7)).as("sk"))

@@ -1624,6 +1624,9 @@ object TextQueries {
     */
   private[queries] def spanFixture(spark: SparkSession,
       dir: String): DataFrame = {
+    // (r17: a ScanFanOut here was tried and REVERTED — no in-bench
+    // win: the fixture feeds several consumers across q85/q86's
+    // subplans and the digest front's serial share is small)
     val docs = tbl(spark, dir, "documents")
     withExactCopies(docs).union(
       docs.filter(col("doc_id") % 8 === 1 && size(toks) >= 24)
@@ -3591,7 +3594,11 @@ object TextQueries {
   // map-side-combined min aggregate + equi join (no window over the
   // corpus line table); PlanSpec pins it.
   def q150(spark: SparkSession, dir: String): DataFrame =
-    TextOps.lineDedup(withBoilerLines(tbl(spark, dir, "documents")))
+    // scale-adaptive fan-out (r17): the re-line + per-line digest
+    // front runs in the scan stage — serial on the one-rowgroup
+    // fixture; no-op at production scale (ScanFanOut)
+    TextOps.lineDedup(withBoilerLines(
+      graft.operators.ScanFanOut(tbl(spark, dir, "documents"))))
       .orderBy(col("doc_id"))
 
   /** documents re-lined for q150: a fixed boilerplate header line,
@@ -3668,6 +3675,11 @@ object TextQueries {
   // sort-merge fallback past it); everything else is delta-sized
   // digest machinery.
   def q159(spark: SparkSession, dir: String): DataFrame = {
+    // (r17: a ScanFanOut on this seed was tried and REVERTED — the
+    // base-index and four batch parts consume the seed from several
+    // eager subplans, each re-paying the repartition: measured
+    // 3.7 s -> 5.3 s in-bench. The serial digest front is the
+    // cheaper evil here.)
     val docs = tbl(spark, dir, "documents")
     val id = col("doc_id")
     def freshToks(n: Int, tag: String): Column = concat_ws(" ",
