@@ -1759,12 +1759,6 @@ object VectorQueries {
     kb.count()
     val scored = alignScoredPairs(ka, kb)
       .repartition(col("xid"))
-    val xside = alignXTop4(scored)
-    val yside = alignYTop4(scored)
-    val admitted = xside.join(yside, col("ybest") === col("yid"))
-      .withColumn("margin_e6",
-        expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
-      .filter(col("margin_e6") >= 1400000L)
     // the confirm floor (q42/q31 pattern) is applied downstream in
     // finishBandedAlign: margin cancels hubness but on sparse
     // candidate neighborhoods it also INFLATES — a junk pair can
@@ -1772,7 +1766,21 @@ object VectorQueries {
     // re-tests each admitted pair on its EXACT cosine (already
     // computed on the candidate, zero extra work) — output-sized, not
     // candidate-sized. q123's band3x8c row measures what it buys.
-    admitted
+    marginAdmitted(scored)
+  }
+
+  /** The margin-admission tail over a scored-pairs frame (xid, yid,
+    * cos_e6, extra columns ignored): both top-4 partials + the 1.4x
+    * margin filter — split out (r17) so q123 can run it per config
+    * over ONE shared scored table.
+    */
+  private def marginAdmitted(scored: DataFrame): DataFrame = {
+    val xside = alignXTop4(scored)
+    val yside = alignYTop4(scored)
+    xside.join(yside, col("ybest") === col("yid"))
+      .withColumn("margin_e6",
+        expr("cos_e6 * 1000000 DIV nullif((ax + ay) DIV 2, 0)"))
+      .filter(col("margin_e6") >= 1400000L)
   }
 
   // ---- streaming alignment-miner seam (streaming/AlignStream) ----
@@ -1962,11 +1970,42 @@ object VectorQueries {
     // both configs derive from ONE persisted admitted set and the
     // identical 3-table band join runs once, not twice (the r12
     // verdict measured the rebuild as ~a third of q123's cost).
-    val adm3 = bandedAlignAdmitted(spark, dir, BandSalts).persist()
+    // r17: the 3-table and 6-table configs now ALSO share one
+    // candidate pass. BandSalts is a strict prefix of BandSalts6 and
+    // a band key is struct(table_idx, bucket) over the SAME salted
+    // sign tables, so the 3-table candidate set is exactly the
+    // 6-table pairs that collide in some table < 3 — per-key bucket
+    // populations (and therefore the hot-bucket cap's drop set) are
+    // identical for those keys in either run. One capped join +
+    // cosine pass over the 6-table explode, with min colliding table
+    // per distinct pair, replaces the two separate builds; each
+    // config then runs only its own top-4/margin tail.
+    val (a, b) = alignSides(spark, dir)
+    val planes = alignPlaneCount(spark, dir)
+    val tables6 = BandSalts6.map(s => srpSignsSalted(s, planes, Dim))
+    val ka = a.withColumn("bk", explode(bandKeyArr(col("xv"), tables6)))
+      .persist()
+    ka.count() // eager: hot-key agg + anti join are sibling stages
+    val kb = b.withColumn("bk", explode(bandKeyArr(col("yv"), tables6)))
+      .persist()
+    kb.count()
+    val scored6 = graft.operators.Buckets
+      .cappedBipartitePairs(ka, kb, "bk", 100000L)
+      .select(col("a.xid"), col("b.yid"),
+        round(dot(col("a.xv"), col("b.yv")) /
+          (col("a.nx") * col("b.ny")) * 1e6).cast("long").as("cos_e6"),
+        col("a.bk").getField("t").as("t"))
+      .groupBy(col("xid"), col("yid"), col("cos_e6"))
+      .agg(min(col("t")).as("mint"))
+      .repartition(col("xid"))
+      .persist()
+    scored6.count() // eager: both configs' top-4 tails re-read it
+    val adm3 = marginAdmitted(
+      scored6.filter(col("mint") < BandSalts.size)).persist()
     adm3.count() // eager: both configs' counts + hit joins re-read it
     // margin-only 6-table config; the audit never sorts, so take the
     // unsorted admitted set directly (counts are order-free)
-    val b6 = bandedAlignAdmitted(spark, dir, BandSalts6).persist()
+    val b6 = marginAdmitted(scored6).persist()
     b6.count()
     // r17 restructure (same three rows, same arithmetic): the audits
     // previously ran PER CONFIG — each one an exact-count aggregate
