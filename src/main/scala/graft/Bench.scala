@@ -212,10 +212,19 @@ object Bench {
     val window =
       if (expectApplicable && ratioMedian > 1.2) "contended" else "quiet"
     val line = s"""{"queries":$qs,"over_expect":$ratioJson,"failed":$failed,"contended":$contendedJson,"no_expect":$noExpect,"reruns":$reruns,"extra_passes":$extraPasses,"window":"$window","over_expect_median":${f"$ratioMedian%.2f"},"sf":"$sfDir","passes":$passes,"semantics":"as-declared(toRdd); r7-and-earlier used count() which pruned projection+sort work","metric":"total","unit":"sec","value":$total}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // stdout stays the contract
+    // r18 (r17-verdict item 8): ALSO write a cpus-suffixed copy —
+    // the driver runs the bench at two core counts and the c8 run
+    // used to clobber BENCH_full.json's c32 line, which cost round 17
+    // its entire round-over-round per-query comparison when the
+    // driver's own stdout capture truncated.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_full_c$cpus.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout stays the contract
     println(line)
     spark.stop()
   }

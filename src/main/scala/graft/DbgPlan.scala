@@ -11,7 +11,9 @@ object DbgPlan {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-    println(df.queryExecution.executedPlan.toString.take(4000))
+    val cap = sys.env.get("GRAFT_DBG_PLAN_CHARS").map(_.toInt)
+      .getOrElse(4000)
+    println(df.queryExecution.executedPlan.toString.take(cap))
     spark.stop()
   }
 }

@@ -191,6 +191,16 @@ object GraftFunctions {
       s"topk_by_score(score, id, <int literal k>) — got $other")
   }
 
+  private[functions] val collectMembersBuilder: Seq[Expression] => Expression = {
+    case Seq(id, nsh, Literal(c: Long, LongType)) =>
+      CollectMembersCapped(id, nsh, c)
+    case Seq(id, nsh, Literal(c: Int, IntegerType)) =>
+      CollectMembersCapped(id, nsh, c.toLong)
+    case other => throw new IllegalArgumentException(
+      s"collect_members_capped(doc_id, n_sh, <integral literal cap>) — " +
+        s"got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -201,6 +211,8 @@ object GraftFunctions {
       "dot_f64", dotBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "topk_by_score", topkBuilder, "built-in")
+    registry.createOrReplaceTempFunction(
+      "collect_members_capped", collectMembersBuilder, "built-in")
     registry.createOrReplaceTempFunction(
       "rep_stats2", repStatsBuilder, "built-in")
     registry.createOrReplaceTempFunction(
@@ -328,6 +340,10 @@ class GraftExtensions
         case other => throw new IllegalArgumentException(
           s"topk_by_score(score, id, <int literal k>) — got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("collect_members_capped"),
+      new ExpressionInfo(classOf[CollectMembersCapped].getName,
+        "collect_members_capped"),
+      GraftFunctions.collectMembersBuilder))
     ext.injectFunction((FunctionIdentifier("rep_stats2"),
       new ExpressionInfo(classOf[RepStats2].getName, "rep_stats2"),
       (exprs: Seq[Expression]) => exprs match {

@@ -3697,8 +3697,16 @@ object TextQueries {
     val partD = docs.filter(id % 9 === 2)
       .select(Fixtures.plantedId(id, 6000000L).as("doc_id"),
         freshToks(21, "f").as("text"))
+    // r18: persist the constructed batch — the LineDedupStream
+    // pattern applied to the one-shot query. THREE subplans evaluate
+    // the batch lineage (the transport estimator, the keeper side,
+    // and lineStatsFrom's n_lines scan), and the lineage is the
+    // expensive part here (4-part union + relining token work); the
+    // cache swaps two recomputes for reads. Bench/Verify clear the
+    // cache per query.
     val batch = withBoilerLines(
       partA.unionByName(partB).unionByName(partC).unionByName(partD))
+      .persist()
     TextOps.lineAdmitStats(batch, index).orderBy(col("doc_id"))
   }
 
@@ -3817,6 +3825,12 @@ object TextQueries {
       withBoilerLines(gated.filter(!col("blocked"))
         .select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("n_lines"), col("n_kept"))
+    // (r18: computing the signals INLINE on the assembly scan was
+    // tried and REVERTED — measured 1.32 s -> 2.30 s best-of-3. The
+    // final orderBy is a RANGE exchange, and range partitioning
+    // SAMPLES its child: everything below it with no intervening
+    // shuffle executes twice, so inlined signal expressions pay 2x
+    // while this broadcast-built side evaluates exactly once.)
     val signals = TextOps.withLanguageId(
       gated.select(col("doc_id"), col("text")), col("text"), "lang_pred")
       .withColumn("quality_e4", qualityE4Col)
@@ -3981,11 +3995,6 @@ object TextQueries {
     val thinDocs = base.filter(id % 97 === 0)
       .select(Fixtures.plantedId(id, 3000000L).as("doc_id"),
         concat(lit("tiny page "), (id % 9).cast("string")).as("text"))
-    // scale-adaptive fan-out (r17): extraction below is q142's
-    // heavy regex pipeline over every corpus row, and the fixture
-    // scan is one unsplittable rowgroup — the (doc_id, text) seed
-    // crosses one tiny exchange so the page build + extraction run
-    // wide; no-op at production scale (see ScanFanOut)
     // scale-adaptive fan-out (r17): extraction below is q142's heavy
     // regex pipeline over every corpus row and the fixture scan is
     // one unsplittable rowgroup — the (doc_id, text) seed crosses one
@@ -4050,7 +4059,12 @@ object TextQueries {
       .select(col("doc_id"), col("n_lines"), col("n_kept"))
     // stage 3: near-dup clusters over the live set
     val clusters = TextOps.dedupClusters(TextOps.jaccardPairs(live, 0.5))
-    // stage 4: language/quality signals over the live set
+    // stage 4: language/quality signals over the live set.
+    // (r18: inlining these on the assembly scan was tried and
+    // REVERTED — the final orderBy's range exchange SAMPLES its
+    // child, so expressions below it with no intervening shuffle
+    // evaluate twice; the broadcast-built branch here evaluates once.
+    // Measured: q157 1.32 s -> 2.30 s inlined; q158 itself a wash.)
     val signals = TextOps.withLanguageId(live, col("text"), "lang_pred")
       .withColumn("quality_e4", qualityE4Col)
       .select(col("doc_id"), col("lang_pred"), col("quality_e4"))
@@ -4367,7 +4381,12 @@ object TextQueries {
     * through into the output. The gated frame is PERSISTED here:
     * the sibling consumers (line stats, signals, clusters when
     * cluster-aware, final assembly) read it with different column
-    * sets — q158's measured ReuseExchange argument.
+    * sets — q158's measured ReuseExchange argument. (r18: inlining
+    * the per-row signals on the assembly scan was tried and REVERTED
+    * — the final orderBy's range exchange SAMPLES its child, so the
+    * inlined expressions evaluated twice; measured +0.2 s on
+    * q160/q161 and +1.0 s on the unpersisted q157, vs once on this
+    * broadcast-built branch.)
     *
     * `clusterAware = true` (q162) composes q158's near-dup stage onto
     * the container lineage: jaccardPairs + CC keeper over the live

@@ -331,34 +331,46 @@ object TextOps {
     // Measured at sf0.1 (best-of-passes): q162 8.64 s -> 4.93 s,
     // q117 3.69 -> 1.99, q47 3.73 -> 2.39, q124 3.57 -> 2.31,
     // q112 1.76 -> 1.16, q158 6.85 -> 5.18, q103 5.12 -> 4.03 —
-    // the same core serves q33/q116 and the curation tails too. Per-shingle buffers are bounded by the df cap
-    // (the emitted pair count C(df,2) dwarfs the buffer long before
-    // memory does — the cap exists to bound exactly that).
+    // the same core serves q33/q116 and the curation tails too.
     // Pair multiset, counts, and arithmetic are unchanged: the
     // brute-force DuckDB oracles replay every consumer bit-exact.
+    //
+    // r18 memory hardening (guide §5, r17-verdict items 1+2): the df
+    // cap must bound MEMORY, not just output.
+    //   1. member collection is collect_members_capped — a capped
+    //      TypedImperativeAggregate that stops accumulating (and drops
+    //      its buffer) the moment a group exceeds maxDf, so a
+    //      stop-shingle with df ~10^9 at 100 TB costs one flag byte
+    //      per task instead of an unbounded reduce-side list; the
+    //      `ms IS NOT NULL` filter is the same `size(ms) <= maxDf` set
+    //      (null == overflowed == dropped), now applied inside the
+    //      aggregate where it bounds the buffer.
+    //   2. pair emission streams through TWO nested Generates
+    //      (posexplode + explode-of-slice) instead of materializing
+    //      the full C(k,2) struct array per group in one
+    //      explode(flatten(transform(...))) row — peak per-row memory
+    //      is one ≤df slice, not df² structs.
+    // Same 2-exchange no-join plan; same pair multiset (i < j over
+    // the doc_id-sorted members), so every consumer stays bit-exact.
     val inv = docs
       .select(col("doc_id"),
         hashedShingles(tokens(col("text")), shingleN).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
     val members = inv.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
-        .as("ms"))
-      .filter(size(col("ms")) <= maxDf)
+      .agg(call_function("collect_members_capped",
+        col("doc_id"), col("n_sh"), lit(maxDf)).as("ms"))
+      .filter(col("ms").isNotNull)
     // per shingle: all (i < j) member pairs — doc_ids are distinct
     // within a group (hashedShingles is per-doc distinct), so the
     // sorted order makes id_a < id_b by construction
-    val pairRows = members.select(explode(flatten(
-      transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-          y => struct(
-            x.getField("doc_id").as("id_a"),
-            y.getField("doc_id").as("id_b"),
-            x.getField("n_sh").as("na"),
-            y.getField("n_sh").as("nb")))))).as("p"))
+    val pairRows = members
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "x")))
+      .select(col("x"), explode(slice(col("ms"), col("i") + lit(2),
+        size(col("ms")) - col("i") - lit(1))).as("y"))
     pairRows
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
   }
 
@@ -690,7 +702,8 @@ object TextOps {
       baseLineIndex: DataFrame): DataFrame = {
     // min_by keeper — same one-exchange shape as [[lineDedup]] (r17);
     // kept set identical to the min+join-back form
-    val kept0 = rankedLines(batch).groupBy(col("lh"))
+    val ranked = rankedLines(batch)
+    val kept0 = ranked.groupBy(col("lh"))
       .agg(min_by(struct(col("doc_id"), col("pos")), col("rank_key"))
         .as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"),
@@ -698,12 +711,18 @@ object TextOps {
     // ONE estimator job, shared with matchedBaseDigests' transport
     // decision via knownDeltaCount (its internal estimator would
     // recompute kept0's digest+keeper lineage for the same number).
+    // r18 (r17-verdict item 5): the estimate runs over the RANKED
+    // lines, not kept0 — HyperLogLog++ registers depend only on the
+    // distinct value set, and kept0 has exactly one row per distinct
+    // lh, so the estimate is bit-identical while the estimator job
+    // drops the keeper exchange (map-side HLL partials, one tiny
+    // final; the old form ran the full min_by shuffle just to count).
     // kept0 itself is deliberately NOT persisted: the stream caller
     // already persists the batch (so recompute re-runs batch-sized
     // digest work over cached rows), and a catalog cache here would
     // leak across LineDedupStream's batches — its per-batch
     // unpersist covers `kept`, not this internal frame.
-    val approxN = kept0
+    val approxN = ranked
       .agg(approx_count_distinct(col("lh"), 0.01)).head().getLong(0)
     val hits = matchedBaseDigests(
       baseLineIndex.select(col("lh")), kept0.select(col("lh")), "lh",
@@ -828,21 +847,48 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(call_function("shingle_hash60", t, lit(shingleN)))
           .as(Seq("pos", "h")))
+    // r18 (guide §5 + §2.4): occ collection is the capped aggregate
+    // (collect_members_capped, the pair core's r18 hardening) so a
+    // boilerplate 8-gram with 10^8 occurrences at 100 TB costs one
+    // flag byte per task, not an unbounded reduce-side list before
+    // the between(2, maxOcc) filter — null == over-cap == dropped,
+    // the same group set. Field names rename via a no-op struct cast.
     val pairs = sh
       .groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"))
-      .filter(size(col("occs")).between(2, maxOcc))
+      .agg(call_function("collect_members_capped",
+        col("doc_id"), col("pos"), lit(maxOcc.toLong)).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+      .select(col("ms").cast("array<struct<doc_id:bigint,pos:int>>")
+        .as("occs"))
       .select(explode(col("occs")).as("a"), col("occs"))
       .select(col("a"), explode(col("occs")).as("b"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("ad"), col("a.pos").as("ap"),
         (col("a.pos") - col("b.pos")).as("diag"), col("b.doc_id").as("bd"))
-    val wIsl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ad"), col("bd"), col("diag")).orderBy(col("ap"))
+    // r18 (guide §2.4, r17-verdict item 3): islands come from ONE
+    // grouped aggregate over (ad, bd, diag) — sort_array of the
+    // group's (distinct — one digest per (doc, pos)) positions, then
+    // per-group array math finds the consecutive runs — replacing the
+    // whole-partition Sort + Window(row_number) + second aggregate.
+    // Same exchange key, one operator chain fewer; run/start values
+    // identical to the (ap - row_number) island fold by construction
+    // (both enumerate maximal consecutive-position segments).
+    // `get()` (0-based, null past the end — ANSI-safe) reads the
+    // next-start fence; the last run's fence is the group size.
+    val starts = filter(
+      sequence(lit(0), size(col("aps")) - 1),
+      i => (i === 0) ||
+        (get(col("aps"), i) =!= get(col("aps"), i - 1) + 1))
     pairs
-      .withColumn("isl", col("ap") - row_number().over(wIsl))
-      .groupBy(col("ad"), col("bd"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run"), min(col("ap")).as("start"))
+      .groupBy(col("ad"), col("bd"), col("diag"))
+      .agg(sort_array(collect_list(col("ap"))).as("aps"))
+      .withColumn("si", starts)
+      .select(col("ad"), col("bd"), col("diag"), col("aps"), col("si"),
+        posexplode(col("si")).as(Seq("j", "s")))
+      .select(col("ad"), col("bd"), col("diag"),
+        (coalesce(get(col("si"), col("j") + 1), size(col("aps")))
+          - col("s")).cast("long").as("run"),
+        get(col("aps"), col("s")).as("start"))
   }
 
   /** The CUT half of substring dedup (Lee et al.'s action, where
@@ -1021,28 +1067,34 @@ object TextOps {
       .union(nodes.select(col("id").as("id_a"), col("id").as("id_b")))
       .repartition(col("id_a"))
       .localCheckpoint()
-    // Seed labels from bidir's OWN self-loop rows, not from `edges`
-    // (which is unpersisted once the loop starts — a labels plan
-    // rooted at it would recompute the entire upstream pairs pipeline
-    // when first materialized). The self-loops are exactly the node
-    // set, hash-partitioned on id_a — and project aliasing preserves
-    // that partitioning, so each round's join is exchange-free on
-    // both sides.
-    var labels = bidir.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id"), col("id_a").as("label")).persist()
+    // Degree-aware seed (r18, r17-verdict item 4): label = min over
+    // self ∪ neighbors, computed directly on bidir with ONE aggregate
+    // that reuses bidir's id_a partitioning — no join, no exchange.
+    // This is exactly what round 1's hop over identity labels would
+    // compute, so a graph whose min-neighbor labeling is already the
+    // fixpoint (organic shallow dup clusters) converges one full
+    // round (hop join + doubling join + action) earlier; deeper
+    // graphs get a free first hop before the doubling compounds.
+    // Rooted at bidir (checkpointed), not `edges` — a labels plan
+    // rooted at edges would recompute the entire upstream pairs
+    // pipeline when first materialized. The aggregate output is
+    // hash-partitioned on id_a and project aliasing preserves that,
+    // so each round's join stays exchange-free on both sides.
+    var labels = bidir.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("label"))
+      .select(col("id_a").as("id"), col("label")).persist()
     // Convergence via the label SUM: per-node labels are non-increasing
     // (min over self ∪ neighbors), so the sum strictly decreases until
     // the fixpoint — one aggregate action per round (which also
     // materializes the persist), no separate changed-row join.
     // decimal(38,0) so the sum is exact at any id domain / node count.
-    // Round 0's aggregate ALSO returns sum(id): `next` has exactly one
-    // row per node, so that is the seed label sum (seed label = own
-    // id) — no separate job to materialize bidir/labels first. The
-    // only cost of skipping that warm-up action is that round 0's
-    // sibling scans of the not-yet-cached bidir share its shuffle via
-    // exchange reuse, duplicating just the cache fill of tiny (id,id)
-    // rows.
-    var prevSum: java.math.BigDecimal = null
+    // The seed's own sum is the round-0 baseline (one cheap action on
+    // the narrow labels, which also fills the seed's cache) — the old
+    // form compared round 0 against sum(id), which cost every graph a
+    // confirming round even when the seed was already the fixpoint.
+    var prevSum: java.math.BigDecimal = labels.agg(
+      coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect().head.getDecimal(0)
     var iters = 0
     var converged = false
     val spark = pairs.sparkSession
@@ -1080,11 +1132,8 @@ object TextOps {
       val sums = timed(s"round $iters")(
         next.agg(
           coalesce(sum(col("label").cast("decimal(38,0)")),
-            lit(java.math.BigDecimal.ZERO)),
-          coalesce(sum(col("id").cast("decimal(38,0)")),
             lit(java.math.BigDecimal.ZERO))).collect().head)
       val nextSum = sums.getDecimal(0)
-      if (iters == 0) prevSum = sums.getDecimal(1)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist() // releases the seed's DF cache; no-op after

@@ -516,9 +516,15 @@ class PlanSpec extends AnyFunSuite {
     val joins = "Join".r.findAllIn(p).length
     assert(joins == 1, s"expected exactly the final doc-span join, got $joins:\n$p")
     // shingle pipeline rides ONE scan pass: posexplode + the two
-    // bounded pair explodes, nothing re-generated
+    // bounded pair explodes + the r18 island readout (posexplode of
+    // the per-group run starts — what replaced the Sort+Window),
+    // nothing re-generated
     val generates = "Generate ".r.findAllIn(p).length
-    assert(generates == 3, s"expected 3 bounded Generates, got $generates:\n$p")
+    assert(generates == 4, s"expected 4 bounded Generates, got $generates:\n$p")
+    // r18: the diagonal islands fold into the grouped (ad, bd, diag)
+    // aggregate — the whole-partition Sort + row_number Window is gone
+    assert(!p.contains("Window"),
+      s"q85 grew its island window back:\n$p")
   }
 
   test("q86 span cut: still no pair self-join; only the coverage join") {

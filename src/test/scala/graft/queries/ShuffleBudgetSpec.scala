@@ -143,12 +143,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     val s = ShuffleMeter.measure(spark) {
       TextQueries.q85(spark, dir).queryExecution.toRdd.count()
     }
-    // the digest group moves every shingle once; pairs (occ <= 8 cap,
-    // both orientations), island partials, per-doc max and the final
-    // join/order are all strictly smaller sets
-    assert(s.writeRecords >= nShingles,
-      s"only ${s.writeRecords} records for $nShingles shingles — the " +
-        "measured plan did not execute the digest exchange")
+    // every shingle occurrence still crosses the digest exchange, but
+    // since r18 it rides inside collect_members_capped PARTIAL buffers
+    // (map-side combine — guide §2.3), so the RECORD floor is the
+    // distinct digest count (≥ one partial row per distinct digest;
+    // same-task duplicates merge pre-shuffle), not the occurrence
+    // count. Pairs (occ <= 8 cap, both orientations), island partials,
+    // per-doc max and the final join/order stay strictly smaller sets.
+    val nDistinctDigests = docs
+      .select(explode(call_function("shingle_hash60",
+        split(lower(trim(col("text"))), "\\s+"), lit(8))).as("h"))
+      .distinct().count()
+    assert(s.writeRecords >= nDistinctDigests,
+      s"only ${s.writeRecords} records for $nDistinctDigests distinct " +
+        "digests — the measured plan did not execute the digest exchange")
     assert(s.writeRecords <= 6 * nShingles,
       s"span pipeline shuffled ${s.writeRecords} records for " +
         s"$nShingles shingles — pair generation is no longer capped")
