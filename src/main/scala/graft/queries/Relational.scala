@@ -648,6 +648,10 @@ object Relational {
         sqrt(col("dux") * col("dux") + col("duy") * col("duy")))), 4)
         .as("dest_lat"),
       round(degrees(atan2(col("duy"), col("dux"))), 4).as("dest_lon"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("c_custkey"))
   }
 
@@ -1898,6 +1902,10 @@ object Relational {
         |'l_extendedprice_cents', n_rows, n_rows - price_n, price_d, price_min, price_max,
         |'l_discount_nz_e4', n_rows, n_rows - disc_n, disc_d, disc_min, disc_max)
         | AS (column, n_rows, n_null, n_distinct, min_v, max_v)""".stripMargin)
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("column"))
   }
 

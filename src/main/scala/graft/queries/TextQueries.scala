@@ -284,6 +284,10 @@ object TextQueries {
       tbl(spark, dir, "documents").select(col("doc_id"), col("text")),
       col("text"), "simhash64")
       .select(col("doc_id"), col("simhash64"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -424,6 +428,10 @@ object TextQueries {
         floor(sumLen * 100 / nTok).cast("long").as("avg_tok_len_e2"),
         floor(stopHits * 10000 / nTok).cast("long").as("stop_ratio_e4"),
         qualityE4Col.as("quality_e4"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -455,6 +463,10 @@ object TextQueries {
         size(expr(
           "regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)"))
           .cast("long").as("bpe_tokens"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
 
   val q36Sql: String =
@@ -477,6 +489,10 @@ object TextQueries {
         col("doc_id"),
         col("s.fingerprint").as("fingerprint"),
         col("s.n_distinct").as("n_distinct_8grams"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -1094,6 +1110,10 @@ object TextQueries {
         expr("dup_c * 10000 div n_2grams").as("dup_frac_e4"))
       .withColumn("keep",
         col("top_frac_e4") <= 2000 && col("dup_frac_e4") <= 6000)
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -1275,6 +1295,10 @@ object TextQueries {
       StructField("doc_id", LongType),
       StructField("quality_e4", LongType),
       StructField("train_idx", LongType))))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("train_idx"))
   }
 
@@ -1513,6 +1537,10 @@ object TextQueries {
         regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
         md5(regexp_replace(regexp_replace(col("text"), emailRe, "<email>"),
           phoneRe, "<phone>")).as("scrubbed_md5"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -2555,6 +2583,10 @@ object TextQueries {
           aggregate(col("big"), lit(0L), (acc, b) => acc + wInt(b)))
           .as("score_int"))
       .withColumn("keep", col("score_int") > 0)
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -3182,6 +3214,10 @@ object TextQueries {
         // way, but CJK-heavy real documents flag 3x differently
         octet_length(body).cast("long").as("raw_len"),
         TextOps.repetitiveFlag(body).cast("int").as("is_repetitive"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
@@ -3438,6 +3474,10 @@ object TextQueries {
         col("domain") === col("blocked_domain"), "left")
       .select(id, col("canon_url"), col("domain"),
         col("blocked_domain").isNotNull.as("blocked"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's whole map stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
