@@ -2355,6 +2355,10 @@ object TextQueries {
       .select(col("r.id_a").as("id_a"), col("r.id_b").as("id_b"),
         col("r.lev").as("lev"), col("r.max_len").as("max_len"))
       .filter(col("lev") =!= -1L)
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's final stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -4135,6 +4139,10 @@ object TextQueries {
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
         coalesce(col("quality_e4"), lit(0L)).as("quality_e4"),
         col("reason"), col("reason").isNull.as("keep"))
+      // r18: cache the small pre-sort result — the orderBy's range
+      // partitioner samples its child with one extra execution, which
+      // re-ran this query's final stage (measured; see OPTIMIZATION_r18.md)
+      .persist()
       .orderBy(col("doc_id"))
   }
 
